@@ -1,0 +1,579 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Bins, TimeFns, UnitFns}
+import graft.operators.{Dedup, Scaffold, Windows}
+import graft.sources.Tables
+
+/** Relational operator inventory (SURVEY §2.2–§2.9) expressed over the
+  * driver testdata. Query names carry the SURVEY ids they cover.
+  */
+object QueriesRelational {
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum / count, both as double. */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  private def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+
+  /** Exact sum for 4-decimal products like extendedprice*(1-discount). */
+  private def dsum4(c: Column): Column =
+    sum(c.cast("decimal(28,4)")).cast("double")
+  private def dsum4Sql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- P1/P9
+    Q("q_p1_project_rename",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_linenumber").as("line"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
+        .orderBy(col("okey"), col("line")),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+             |       l_quantity AS qty, l_extendedprice AS price
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY okey, line""".stripMargin)),
+
+    // ---------------------------------------------------------------- P5/P6
+    Q("q_p5_filter_eq",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") =!= "3-MEDIUM")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+             |FROM orders
+             |WHERE o_orderstatus = 'F' AND o_orderpriority <> '3-MEDIUM'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------ P7
+    Q("q_p7_substring_filter",
+      (s, d) => Tables.part(s, d)
+        .filter(lower(col("p_type")).contains("econo"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE lower(p_type) LIKE '%econo%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------ P8
+    Q("q_p8_range_filter",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1997-07-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------ F5
+    Q("q_f5_calendar_features",
+      (s, d) => Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("cal_date")).distinct()
+        .select(
+          col("cal_date"),
+          year(col("cal_date")).as("yr"),
+          quarter(col("cal_date")).as("qtr"),
+          month(col("cal_date")).as("mon"),
+          date_format(col("cal_date"), "MMM").as("mon_abbrev"),
+          date_format(col("cal_date"), "MMMM").as("mon_name"),
+          weekofyear(col("cal_date")).as("iso_week"),
+          expr("extract(YEAROFWEEK FROM cal_date)").as("iso_year"),
+          dayofmonth(col("cal_date")).as("dom"),
+          (expr("weekday(cal_date)") + 1).as("iso_dow"))
+        .orderBy(col("cal_date")),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS cal_date,
+             |  date_part('year', o_orderdate) AS yr,
+             |  date_part('quarter', o_orderdate) AS qtr,
+             |  date_part('month', o_orderdate) AS mon,
+             |  strftime(o_orderdate, '%b') AS mon_abbrev,
+             |  monthname(o_orderdate) AS mon_name,
+             |  date_part('week', o_orderdate) AS iso_week,
+             |  date_part('isoyear', o_orderdate) AS iso_year,
+             |  date_part('day', o_orderdate) AS dom,
+             |  date_part('isodow', o_orderdate) AS iso_dow
+             |FROM (SELECT DISTINCT o_orderdate FROM orders)
+             |ORDER BY cal_date""".stripMargin)),
+
+    // ------------------------------------------------------------- F18/F19
+    Q("q_f18_binning",
+      (s, d) => Tables.lineitem(s, d)
+        .select(Bins.binLabel(col("l_quantity"), Bins.distanceBins).as("qty_group"),
+                Bins.binId(col("l_quantity"), Bins.distanceBins).as("qty_group_id"))
+        .groupBy(col("qty_group"), col("qty_group_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qty_group_id")),
+      Some("""SELECT CASE
+             |  WHEN l_quantity >= 13 THEN '13km+'
+             |  WHEN l_quantity >= 10 THEN '10-13km'
+             |  WHEN l_quantity >= 7 THEN '7-10km'
+             |  WHEN l_quantity >= 5 THEN '5-7km'
+             |  WHEN l_quantity >= 3 THEN '3-5km'
+             |  WHEN l_quantity >= 0 THEN '0-3km' END AS qty_group,
+             |CASE
+             |  WHEN l_quantity >= 13 THEN 6
+             |  WHEN l_quantity >= 10 THEN 5
+             |  WHEN l_quantity >= 7 THEN 4
+             |  WHEN l_quantity >= 5 THEN 3
+             |  WHEN l_quantity >= 3 THEN 2
+             |  WHEN l_quantity >= 0 THEN 1 END AS qty_group_id,
+             |count(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY qty_group_id""".stripMargin)),
+
+    // -------------------------------------------------- F6-F11 round trip
+    Q("q_f7_time_parse_roundtrip",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat(col("l_linenumber").cast("string"), lit(":"),
+              lpad(col("l_quantity").cast("int").cast("string"), 2, "0"),
+              lit(".5")).as("raw"))
+        base.select(
+            col("l_orderkey"), col("l_linenumber"), col("raw"),
+            TimeFns.mmssToSeconds(TimeFns.dropMilliseconds(col("raw"))).as("sec"),
+            TimeFns.standardizeHms(TimeFns.dropMilliseconds(col("raw"))).as("hms_std"))
+          .withColumn("hms_fmt", TimeFns.secondsToHms(col("sec")))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_linenumber AS VARCHAR) || ':' ||
+             |      lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 2, '0') || '.5' AS raw
+             |  FROM lineitem WHERE l_orderkey < 2000),
+             |parsed AS (
+             |  SELECT l_orderkey, l_linenumber, raw,
+             |    CAST(string_split(string_split(raw,'.')[1], ':')[1] AS BIGINT) * 60 +
+             |      CAST(string_split(string_split(raw,'.')[1], ':')[2] AS BIGINT) AS sec,
+             |    '0:' || string_split(raw,'.')[1] AS hms_std
+             |  FROM base)
+             |SELECT l_orderkey, l_linenumber, raw, sec, hms_std,
+             |  printf('%d:%02d:%02d', sec//3600, (sec%3600)//60, sec%60) AS hms_fmt
+             |FROM parsed ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------- F15/F16/F17
+    Q("q_f15_unit_conversions",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          UnitFns.cmToKm(col("l_extendedprice")).as("as_km"),
+          UnitFns.msToSeconds(col("l_extendedprice")).as("as_sec"),
+          UnitFns.secondsToHours(col("l_extendedprice")).as("as_hr"),
+          UnitFns.sentinelToDefault(
+            when(col("l_linenumber") === 1, lit("--"))
+              .otherwise(format_string("%.2f", col("l_extendedprice"))))
+            .as("cleaned"),
+          UnitFns.flag(col("l_quantity") > 25).as("is_big"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice / 100000.0 AS as_km,
+             |  l_extendedprice / 1000.0 AS as_sec,
+             |  round(l_extendedprice / 3600.0, 1) AS as_hr,
+             |  CASE WHEN l_linenumber = 1 THEN 0.0
+             |       ELSE CAST(replace(printf('%.2f', l_extendedprice), ',', '') AS DOUBLE)
+             |  END AS cleaned,
+             |  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS is_big
+             |FROM lineitem WHERE l_orderkey < 1000
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // -------------------------------------------------------------- A1
+    Q("q_a1_group_min",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"),
+             min(col("o_orderdate")).as("first_date"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, min(o_totalprice) AS min_price,
+             |       max(o_totalprice) AS max_price, min(o_orderdate) AS first_date
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // -------------------------------------------------------------- A2
+    Q("q_a2_group_mean",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(davg(col("l_extendedprice")).as("avg_price"),
+             davg(col("l_quantity")).as("avg_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+              |  ${davgSql("l_extendedprice")} AS avg_price,
+              |  ${davgSql("l_quantity")} AS avg_qty,
+              |  count(*) AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -------------------------------------------------------------- A3/A4
+    Q("q_a3_global_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+             dsum(col("l_quantity")).as("total_qty"),
+             count(lit(1)).as("n_rows"),
+             countDistinct(col("l_orderkey")).as("n_orders")),
+      Some(s"""SELECT ${dsumSql("l_extendedprice")} AS total_price,
+              |  ${dsumSql("l_quantity")} AS total_qty,
+              |  count(*) AS n_rows,
+              |  count(DISTINCT l_orderkey) AS n_orders
+              |FROM lineitem""".stripMargin)),
+
+    Q("q_a4_filtered_count",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 200000.0)
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM orders WHERE o_totalprice >= 200000.0")),
+
+    // -------------------------------------------------------------- A5/A6
+    Q("q_a5_a6_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        // Single multi-agg pass (SURVEY §7.4#8): one job profiles every
+        // column's null count + distinct count, instead of one job each.
+        val aggs = o.columns.toSeq.flatMap { c =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+              countDistinct(col(c)).as(s"distinct_$c"))
+        }
+        o.agg(aggs.head, aggs.tail: _*)
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val items = cols.flatMap { c =>
+          Seq(s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nulls_$c",
+              s"count(DISTINCT $c) AS distinct_$c")
+        }
+        s"SELECT ${items.mkString(", ")} FROM orders"
+      }),
+
+    // -------------------------------------------------------------- A7
+    Q("q_a7_value_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin)),
+
+    // -------------------------------------------------------------- A8
+    Q("q_a8_mean_impute",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .withColumn("disc_dirty",
+            when(col("l_linenumber") === 2, lit(null)).otherwise(col("l_discount")))
+        // global mean of the surviving values, computed exactly
+        val w = Window.partitionBy()
+        val filled = li.withColumn("mean_disc",
+            sum(col("disc_dirty").cast("decimal(18,2)")).over(w).cast("double")
+              / count(col("disc_dirty")).over(w))
+          .withColumn("disc_filled",
+            coalesce(col("disc_dirty"), round(col("mean_disc"), 4)))
+        filled.groupBy(col("l_returnflag"))
+          .agg(sum(col("disc_filled").cast("decimal(18,4)")).cast("double")
+                 .as("sum_filled"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH dirty AS (
+             |  SELECT l_returnflag,
+             |    CASE WHEN l_linenumber = 2 THEN NULL ELSE l_discount END AS disc_dirty
+             |  FROM lineitem),
+             |m AS (SELECT CAST(SUM(CAST(disc_dirty AS DECIMAL(18,2))) AS DOUBLE)
+             |             / COUNT(disc_dirty) AS mean_disc FROM dirty)
+             |SELECT l_returnflag,
+             |  CAST(SUM(CAST(COALESCE(disc_dirty, round(mean_disc, 4))
+             |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
+             |  count(*) AS n
+             |FROM dirty, m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -------------------------------------------------------------- A9
+    Q("q_a9_correlation",
+      (s, d) => {
+        // Pearson r from exact decimal co-moments: deterministic across
+        // engines and partitionings (built-in corr() accumulates doubles
+        // in partition order, which is not reproducible bit-for-bit).
+        val li = Tables.lineitem(s, d).select(
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        li.agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(28,4)")).cast("double").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(28,4)")).cast("double").as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(28,4)")).cast("double").as("syy"))
+          .select(
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+             |  FROM lineitem)
+             |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+             |  AS corr_qty_price FROM s""".stripMargin)),
+
+    // ------------------------------------------------------------- A10/U2
+    Q("q_a10_keep_latest",
+      (s, d) => Dedup.keepLatest(Tables.orders(s, d),
+          Seq("o_custkey"), col("o_orderdate"), Seq(col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_u2_dedup_keep_first",
+      (s, d) => Dedup.keepFirst(Tables.lineitem(s, d),
+          Seq("l_partkey"), Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_partkey")),
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY l_partkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
+
+    // -------------------------------------------------------------- W1/W2
+    Q("q_w1_running_sum",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_custkey") < 200)
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            Windows.runningSum(col("o_totalprice").cast("decimal(18,2)"),
+                Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))
+              .cast("double").as("cum_spend"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS cum_spend
+             |FROM orders WHERE o_custkey < 200
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    Q("q_w2_lag_default",
+      (s, d) => Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Windows.lagWithDefault(col("o_totalprice"),
+            Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")), 0.0)
+            .as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  COALESCE(lag(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)
+             |    AS prev_price
+             |FROM orders WHERE o_custkey < 200
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------- J2 + W3
+    Q("q_j2_w3_scaffold_ffill",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val sparse = o.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(to_date(col("o_orderdate")).as("cal_date"))
+          .agg(max(col("o_totalprice")).as("day_max"))
+        val spine = Scaffold.dateSpine(o, "o_orderdate", "cal_date")
+        spine.join(sparse, Seq("cal_date"), "left")
+          .select(col("cal_date"),
+            Windows.forwardFill(col("day_max"), Nil, Seq(col("cal_date")))
+              .as("day_max_filled"))
+          .orderBy(col("cal_date"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+             |    AS cal_date
+             |  FROM (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             |               CAST(max(o_orderdate) AS DATE) AS hi FROM orders)),
+             |sparse AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS cal_date,
+             |         max(o_totalprice) AS day_max
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+             |SELECT s.cal_date,
+             |  last_value(day_max IGNORE NULLS) OVER (
+             |    ORDER BY s.cal_date
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_max_filled
+             |FROM spine s LEFT JOIN sparse USING (cal_date)
+             |ORDER BY s.cal_date""".stripMargin)),
+
+    // ------------------------------------------------------------- J1
+    Q("q_j1_multiway_outer",
+      (s, d) => {
+        val byDay  = (df: DataFrame, c: String, n: String) =>
+          df.groupBy(to_date(col(c)).as("cal_date")).agg(count(lit(1)).as(n))
+        val o = byDay(Tables.orders(s, d), "o_orderdate", "n_orders")
+        val l = byDay(Tables.lineitem(s, d), "l_shipdate", "n_ship")
+        val e = byDay(Tables.events(s, d), "ts", "n_events")
+        Seq(o, l, e).reduce(_.join(_, Seq("cal_date"), "full_outer"))
+          .select(col("cal_date"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy(col("cal_date"))
+      },
+      Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) cal_date, count(*) n_orders
+             |          FROM orders GROUP BY 1),
+             |     l AS (SELECT CAST(l_shipdate AS DATE) cal_date, count(*) n_ship
+             |          FROM lineitem GROUP BY 1),
+             |     e AS (SELECT CAST(ts AS DATE) cal_date, count(*) n_events
+             |          FROM events GROUP BY 1)
+             |SELECT cal_date,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  COALESCE(n_ship, 0) AS n_ship,
+             |  COALESCE(n_events, 0) AS n_events
+             |FROM o FULL OUTER JOIN l USING (cal_date)
+             |       FULL OUTER JOIN e USING (cal_date)
+             |ORDER BY cal_date""".stripMargin)),
+
+    // ----------------------------------------------------- star join (J1)
+    Q("q_join_star_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val n  = Tables.nation(s, d)
+        val r  = Tables.region(s, d)
+        // Dim tables are broadcast (they stay tiny at any fact-side scale);
+        // the only shuffle is the lineitem<->orders equi-join on orderkey.
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+                 .as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+              |  ${dsum4Sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  count(*) AS n_items
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ----------------------------------------------------- semi/anti joins
+    Q("q_join_semi",
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------- U1
+    Q("q_u1_union_by_name",
+      (s, d) => {
+        val hi = Tables.orders(s, d).filter(col("o_totalprice") >= 300000.0)
+          .select(col("o_orderkey").as("okey"), col("o_totalprice").as("price"),
+                  lit("high").as("bucket"))
+        // deliberately different column order — unionByName aligns by name
+        val lo = Tables.orders(s, d).filter(col("o_totalprice") < 20000.0)
+          .select(lit("low").as("bucket"), col("o_totalprice").as("price"),
+                  col("o_orderkey").as("okey"))
+        hi.unionByName(lo).orderBy(col("okey"))
+      },
+      Some("""SELECT o_orderkey AS okey, o_totalprice AS price, 'high' AS bucket
+             |FROM orders WHERE o_totalprice >= 300000.0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, 'low'
+             |FROM orders WHERE o_totalprice < 20000.0
+             |ORDER BY okey""".stripMargin)),
+
+    // -------------------------------------------------- intersect / except
+    Q("q_set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")).distinct()
+          .intersect(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey").as("custkey")).distinct())
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+             |INTERSECT
+             |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+             |ORDER BY custkey""".stripMargin)),
+
+    Q("q_set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")).distinct()
+          .except(o.filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey").as("custkey")).distinct())
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+             |EXCEPT
+             |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ------------------------------------------------------------- O1/O2
+    Q("q_o1_topk_global",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    Q("q_o2_topk_per_group",
+      (s, d) => Windows.topKPerGroup(Tables.orders(s, d),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------- N1/N2
+    Q("q_n1_struct_expand",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"),
+                 year(col("o_orderdate")).as("yr"),
+                 col("o_orderstatus").as("status")).as("payload"))
+        .select(col("o_orderkey"), col("payload.*"))
+        .withColumnRenamed("status", "status_payload")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+             |  date_part('year', o_orderdate) AS yr,
+             |  o_orderstatus AS status_payload
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable hashing. Spark's `hash()`/`xxhash64()` are
+  * Spark-specific (seeded Murmur3/XXH64), so results can't be reproduced
+  * by other engines. For oracle-checkable dedup/LSH we derive a 60-bit
+  * non-negative long from the md5 hex digest — md5 is identical
+  * everywhere (DuckDB: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`).
+  *
+  * `conv(hex,16,10)` on 15 hex chars (60 bits) always fits a signed long.
+  * This composes inside higher-order-function lambdas (transform/filter),
+  * which Scala UDFs cannot, and stays codegen'd.
+  */
+object HashFns {
+
+  /** Deterministic 60-bit hash of a string column (md5-derived). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: hash of (salt || value). Seeds give independent
+    * hash families for MinHash signatures.
+    */
+  def md5Long(c: Column, seed: Int): Column =
+    md5Long(concat(lit(s"s$seed:"), c))
+
+  /** DuckDB SQL fragment mirroring [[md5Long]] — kept adjacent so the two
+    * sides can't drift. `expr` is a SQL expression evaluating to VARCHAR.
+    */
+  def md5LongSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  def md5LongSql(expr: String, seed: Int): String =
+    md5LongSql(s"'s$seed:' || $expr")
+}

@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM locale: date_format 'MMM'/'MMMM' is locale-dependent while
+  // the DuckDB oracle (strftime/monthname) is always English.
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked process stdout passes through unprefixed — sbt's default logger
+// wraps every line in "[info] ", which broke the driver's parse of the
+// Bench JSON line in round 1 (BENCH_r01.json "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)

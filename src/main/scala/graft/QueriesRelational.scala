@@ -248,8 +248,11 @@ object QueriesRelational {
       Some {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")
+        // CAST ... AS BIGINT: DuckDB's SUM over integers returns HUGEINT
+        // (surfaces as float64) while Spark emits int64 — hash parity
+        // requires pinning the oracle side to int64.
         val items = cols.flatMap { c =>
-          Seq(s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nulls_$c",
+          Seq(s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c",
               s"count(DISTINCT $c) AS distinct_$c")
         }
         s"SELECT ${items.mkString(", ")} FROM orders"
@@ -266,15 +269,17 @@ object QueriesRelational {
     // -------------------------------------------------------------- A8
     Q("q_a8_mean_impute",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d)
           .withColumn("disc_dirty",
             when(col("l_linenumber") === 2, lit(null)).otherwise(col("l_discount")))
-        // global mean of the surviving values, computed exactly
-        val w = Window.partitionBy()
-        val filled = li.withColumn("mean_disc",
-            sum(col("disc_dirty").cast("decimal(18,2)")).over(w).cast("double")
-              / count(col("disc_dirty")).over(w))
+        // Global mean via a 1-row aggregate broadcast-cross-joined back in.
+        // (An unpartitioned window would funnel the whole fact table through
+        // one task — correct at sf0.1 but a guaranteed straggler/OOM at
+        // cluster scale; the agg+broadcast shape stays fully parallel.)
+        val meanDf = li.agg(
+          (sum(col("disc_dirty").cast("decimal(18,2)")).cast("double")
+            / count(col("disc_dirty"))).as("mean_disc"))
+        val filled = li.crossJoin(broadcast(meanDf))
           .withColumn("disc_filled",
             coalesce(col("disc_dirty"), round(col("mean_disc"), 4)))
         filled.groupBy(col("l_returnflag"))
@@ -449,10 +454,11 @@ object QueriesRelational {
         val c  = Tables.customer(s, d)
         val n  = Tables.nation(s, d)
         val r  = Tables.region(s, d)
-        // Dim tables are broadcast (they stay tiny at any fact-side scale);
-        // the only shuffle is the lineitem<->orders equi-join on orderkey.
+        // nation/region are fixed-size → explicit broadcast; customer SCALES
+        // with SF (150k×SF rows) so its join strategy is left to AQE — a
+        // forced broadcast would blow the driver at cluster scale.
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))

@@ -17,14 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Helper-column name guaranteed absent from `df` (a fixed name would
+    * silently shadow a same-named input column and corrupt results).
+    */
+  private[operators] def freshName(df: DataFrame, base: String): String = {
+    val taken = df.columns.toSet
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(!taken(_)).get
+  }
+
   /** Keep the first row per key under `order` (must be a total order —
     * include a tiebreaker column for determinism).
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val w  = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val rn = freshName(df, "__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Keep the row with the max `ordCol` per key (argmax dedup, A10).
@@ -40,7 +50,9 @@ object Dedup {
     * (scale path for 100 TB corpora: the shuffle key is the 128-bit
     * digest, not the document body).
     */
-  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame =
-    keepFirst(df.withColumn("__fp", md5(col(contentCol))),
-      Seq("__fp"), Seq(col(idCol))).drop("__fp")
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val fp = freshName(df, "__fp")
+    keepFirst(df.withColumn(fp, md5(col(contentCol))),
+      Seq(fp), Seq(col(idCol))).drop(fp)
+  }
 }

@@ -47,8 +47,10 @@ object Windows {
 
   /** Top-k per group with deterministic tiebreak ordering. */
   def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
-                   k: Int): DataFrame =
-    df.withColumn("__rk", rowNumber(keys, order))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+                   k: Int): DataFrame = {
+    val rk = Dedup.freshName(df, "__rk")
+    df.withColumn(rk, rowNumber(keys, order))
+      .filter(col(rk) <= k)
+      .drop(rk)
+  }
 }

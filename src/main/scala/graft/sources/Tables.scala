@@ -24,7 +24,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // floor division (not `div`, which truncates toward zero): pre-epoch
+      // negative nanos must round DOWN like DuckDB's TIMESTAMP_NS cast.
+      raw.withColumn("ts",
+        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
     else raw
   }
 

@@ -1,2 +1,144 @@
 package graft
-object QueriesEvents { val qs: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` table (ts/user_id/event_type/
+  * value/props): sessionization, tumbling + sliding event-time windows,
+  * JSON property extraction, and an ordered funnel. These are the batch
+  * shapes of the streaming operators in graft.streaming — identical
+  * logical plans, so correctness proven here transfers to the
+  * Structured Streaming path.
+  *
+  * Oracle-parity notes: all epoch arithmetic is integer MICROseconds
+  * (Spark unix_micros ≡ DuckDB epoch_us) so no float time math; counts
+  * and window-sums are cast to BIGINT on the DuckDB side (its integer
+  * SUM returns HUGEINT).
+  */
+object QueriesEvents {
+
+  private val gapSec = 1800L // 30-min session gap
+
+  val qs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------ sessionization
+    Q("q_ev_sessionize",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        Sessionize.sessionize(e, col("user_id"), col("ts"),
+            Seq(col("ts"), col("event_id")), gapSec)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts")).as("session_start"),
+               max(col("ts")).as("session_end"),
+               sum(col("value").cast("decimal(18,2)")).cast("double")
+                 .as("sum_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM g),
+             |s AS (
+             |  SELECT *, CAST(SUM(new_s) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS session_id
+             |  FROM f)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // -------------------------------------------------- tumbling windows
+    Q("q_ev_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double")
+               .as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // --------------------------------------------------- sliding windows
+    // size 1h, slide 30min → each event lands in exactly 2 windows.
+    // DuckDB mirrors Spark's epoch-aligned window() with integer floor
+    // division on epoch micros.
+    Q("q_ev_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .orderBy(col("win_start")),
+      Some("""SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k)
+             |         * 1800000000) AS win_start,
+             |       count(*) AS n
+             |FROM events, unnest([0, 1]) t(k)
+             |GROUP BY 1 ORDER BY win_start""".stripMargin)),
+
+    // ------------------------------------------------ JSON props extract
+    Q("q_ev_props_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+        .orderBy(col("k_mod")),
+      Some("""WITH x AS (
+             |  SELECT event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |SELECT k % 10 AS k_mod, count(*) AS n,
+             |       min(event_id) AS first_event
+             |FROM x WHERE k IS NOT NULL
+             |GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    // ------------------------------------------------------- ordered funnel
+    // view → click (after the user's first view) → purchase (after that
+    // click): three tiny per-user aggregates, each a single shuffle on
+    // user_id; the final counts are 1-row aggregates cross-joined.
+    Q("q_ev_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click").as("c")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase").as("p")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |      GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_view_click,
+             |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin))
+  )
+}

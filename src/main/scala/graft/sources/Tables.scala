@@ -24,10 +24,12 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
-      // floor division (not `div`, which truncates toward zero): pre-epoch
-      // negative nanos must round DOWN like DuckDB's TIMESTAMP_NS cast.
+      // Floor division in pure INTEGER math: `div` truncates toward zero
+      // (wrong for pre-epoch negative nanos), and floor(x/1000.0) loses
+      // precision because epoch nanos (~1.7e18) exceed double's 53-bit
+      // mantissa. Subtracting pmod first keeps it exact and floor-like.
       raw.withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
     else raw
   }
 

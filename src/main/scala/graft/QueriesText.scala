@@ -1,2 +1,161 @@
 package graft
-object QueriesText { val qs: Seq[Q] = Seq() }
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFns, TextFns}
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` corpus: token counting,
+  * quality scoring, language-ID heuristic, corpus n-gram stats, and
+  * content fingerprinting. All per-document work is embarrassingly
+  * parallel (map-only over the scan); only the n-gram rollup shuffles,
+  * and it shuffles compact (bigram, 1) pairs after map-side partial
+  * aggregation — the shape that survives a 100 TB corpus.
+  *
+  * DuckDB oracle notes: DuckDB regexp_replace needs the 'g' flag to
+  * match Spark's replace-all default; token/char counts are cast BIGINT
+  * on both sides; ratios are int/int → double in both engines (same
+  * operands → same IEEE result).
+  */
+object QueriesText {
+
+  /** DuckDB mirror of TextFns.normalize. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' +',' ','g'))"
+  private val stopListSql =
+    TextFns.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qs: Seq[Q] = Seq(
+
+    // -------------------------------------------------- token/char stats
+    Q("q_text_token_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextFns.tokens(col("text"))
+        docs.select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            TextFns.wordCount(col("text")).as("n_words"),
+            TextFns.punctCount(col("text")).as("n_punct"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            (length(array_join(toks, "")).cast("long")
+              / size(toks)).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, string_split($normSql, ' ') AS toks
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+              |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+              |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+              |  CAST(length(list_aggregate(toks, 'string_agg', '')) AS BIGINT)
+              |    / CAST(len(toks) AS BIGINT) AS avg_token_len
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------- quality score
+    Q("q_text_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextFns.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nStop = TextFns.countIn(toks, TextFns.enStopwords)
+        docs.select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            nStop.as("n_stop"),
+            (nStop / nTok).as("stop_ratio"),
+            when(nTok >= 20 && nTok <= 500 && (nStop / nTok) >= 0.01, 1L)
+              .otherwise(0L).as("quality_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id,
+              |    CAST(len(toks) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS BIGINT) AS n_stop
+              |  FROM t)
+              |SELECT doc_id, n_tokens, n_stop,
+              |  n_stop / n_tokens AS stop_ratio,
+              |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 500
+              |            AND n_stop / n_tokens >= 0.01
+              |       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ language-ID heuristic
+    // Stopword-share n-gram heuristic (the corpus text is synthetic word
+    // salad, so the score — not the stored lang column — is the contract;
+    // the heuristic itself is what a pretraining pipeline runs at scale).
+    Q("q_text_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextFns.tokens(col("text"))
+        val score = TextFns.countIn(toks, TextFns.enStopwords) /
+          size(toks).cast("long")
+        docs.select(col("doc_id"), col("lang").as("lang_declared"),
+            score.as("en_score"),
+            when(score >= 0.05, lit("en")).otherwise(lit("und")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS BIGINT)
+              |      / CAST(len(toks) AS BIGINT) AS en_score
+              |  FROM t)
+              |SELECT doc_id, lang AS lang_declared, en_score,
+              |  CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------- corpus top bigrams
+    Q("q_text_top_bigrams",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextFns.tokens(col("text"))
+        val bigrams = transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+        docs.select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT string_split($normSql, ' ') AS toks FROM documents),
+              |bg AS (
+              |  SELECT unnest(list_transform(range(1, len(toks)),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              |  FROM t)
+              |SELECT bigram, count(*) AS n FROM bg
+              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------ content fingerprint
+    // Fingerprint survives case/punctuation/whitespace noise: fp of the
+    // raw text equals fp of a deliberately-mangled copy.
+    Q("q_text_fingerprint",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val noisy = concat(upper(substring(col("text"), 1, 10)),
+          substring(col("text"), 11, 1000000), lit("  !!!"))
+        docs.select(col("doc_id"),
+            TextFns.fingerprint(col("text")).as("fp"),
+            (TextFns.fingerprint(col("text")) === TextFns.fingerprint(noisy))
+              .cast("int").cast("long").as("noise_invariant"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val normNoisy = normSql.replace("lower(text)",
+          "lower(upper(substr(text,1,10)) || substr(text,11) || '  !!!')")
+        s"""SELECT doc_id,
+           |  ${HashFns.md5LongSql(normSql)} AS fp,
+           |  CAST(CASE WHEN ${HashFns.md5LongSql(normSql)} =
+           |       ${HashFns.md5LongSql(normNoisy)}
+           |       THEN 1 ELSE 0 END AS BIGINT) AS noise_invariant
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFns
+
+/** Near-duplicate detection and similarity search primitives:
+  * character shingling, MinHash signatures, banded LSH candidate
+  * generation, and dense-vector cosine — all as `Column`/`DataFrame`
+  * combinators over Spark built-ins (higher-order array functions), no
+  * UDFs, no driver-side loops.
+  *
+  * Scale shapes (the point of each design):
+  *  - shingling is map-only over the corpus scan;
+  *  - MinHash reduces each document to K longs via partial-aggregating
+  *    `min()` — the shuffle carries (id, K×8 bytes), never text;
+  *  - LSH banding shuffles (band, bandValue) keys so only same-bucket
+  *    documents ever meet — the all-pairs join never exists;
+  *  - candidate verification joins shingles ONLY for candidate pairs
+  *    (semi-join pushdown), so exact Jaccard cost is proportional to
+  *    the candidate count, not corpus².
+  * Hashes are md5-derived (HashFns) so every step is reproducible by
+  * any engine — the DuckDB oracles in QueriesSimilarity mirror each
+  * stage exactly.
+  */
+object Similarity {
+
+  /** Character k-shingles: one (id, shingle) row per position. Documents
+    * shorter than k produce no rows (same as the DuckDB mirror).
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - (k - 1)),
+          i => col(textCol).substr(i, lit(k)))).as("shingle"))
+
+  /** MinHash signature: K independent (seeded) min-hashes per id.
+    * Output columns mh0..mh{K-1}. Duplicate shingles don't affect min,
+    * so no distinct pass is needed before this.
+    */
+  def minhashSignature(shingles: DataFrame, idCol: String,
+                       numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(seed =>
+      min(HashFns.md5Long(col("shingle"), seed)).as(s"mh$seed"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH: split the K-hash signature into bands of `rowsPerBand`,
+    * emit one (id, band, band_value) row per band. Joining on
+    * (band, band_value) equality yields candidate pairs with the classic
+    * 1-(1-j^r)^b recall curve.
+    */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int,
+               rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val bv = concat_ws(":",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), bv.as("band_value"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+              col("bb.band_value").as("band_value"))
+  }
+
+  /** Candidate pairs from banded signatures: ids sharing at least one
+    * band bucket, deduplicated, a < b. The join key is (band, value) —
+    * this is the only shuffle and it never compares cross-bucket pairs.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("band_value"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("band_value"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_value"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over shingle SETS for the given candidate pairs only. */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame,
+                      idCol: String): DataFrame = {
+    val shd = shingles.select(col(idCol), col("shingle")).distinct()
+    val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shd.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shd.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** Dot product of two float-array columns, accumulated in DOUBLE in
+    * index order (bit-identical to DuckDB's
+    * list_sum(list_transform(list_zip(a,b), ...)) mirror).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm (double). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit random-projection bucket over the first `bits` dimensions:
+    * bucket = Σ 2^i · [v[i] ≥ 0]. For embeddings whose dimensions are
+    * (approximately) random projections this is a valid LSH family for
+    * cosine distance; at scale use more bits + multi-probe.
+    */
+  def signBitBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -24,6 +24,7 @@ final case class Q(
 object Queries {
   private def groups: Seq[Seq[Q]] = Seq(
     QueriesRelational.qs,
+    QueriesCoverage.qs,
     QueriesText.qs,
     QueriesSimilarity.qs,
     QueriesEvents.qs

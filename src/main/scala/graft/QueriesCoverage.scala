@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Headers, TimeFns}
+import graft.operators.{Dedup, Profile}
+import graft.sources.Tables
+
+/** Oracle-checked coverage for SURVEY §2 operators that existed as
+  * building blocks without correctness evidence (VERDICT r1 #7/#8/#10):
+  * the duration/pace scalar family (F3/F9/F12/F13/F14), the higher-order
+  * array-of-struct extraction (N3/N5), argmax-per-group by value (A11),
+  * positional drops / presentation reorder (P2/P10), null-predicate +
+  * defaulted projection (P6/P11), two-phase uninformative-column pruning
+  * (P3/P4), and header normalization + parse-or-null timestamps (F1/F2).
+  */
+object QueriesCoverage {
+
+  val qs: Seq[Q] = Seq(
+
+    // --------------------------------------------- F3/F9/F12/F13/F14
+    // Round-trips through every duration/pace function, seeded from
+    // deterministic integer columns so both engines compute identical
+    // inputs. Reference semantics: `ETL Scripts/transform_running_data.py:
+    // 140-201`, `extract_json_data.py:168-205`, `transform_all_datasets.py:
+    // 313-316`.
+    Q("q_f3_f9_f12_durations",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        val base = o.select(
+          col("o_orderkey"),
+          // parquet TIMESTAMP_NTZ -> session-UTC timestamp for epoch math
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"),
+          (col("o_orderkey") % 90000).as("secs"),
+          ((col("o_custkey") % 40 + 1) / 10.0).as("speed_ms"))
+        base.select(
+            col("o_orderkey"),
+            col("epoch_ms"),
+            // F3: epoch millis -> timestamp
+            TimeFns.epochMillisToTimestamp(col("epoch_ms")).as("ts_from_ms"),
+            // F10 then F9: seconds -> "H:MM:SS" -> seconds (identity)
+            TimeFns.secondsToHms(col("secs")).as("hms"),
+            TimeFns.hmsToSeconds(TimeFns.secondsToHms(col("secs"))).as("secs_rt"),
+            // F12: speed m/s -> pace "M:SS"/km; F13: pace -> seconds
+            TimeFns.paceFromSpeed(col("speed_ms")).as("pace"),
+            TimeFns.paceToSeconds(TimeFns.paceFromSpeed(col("speed_ms")))
+              .as("pace_secs"),
+            // F14: duration between two timestamps, in seconds
+            TimeFns.durationSeconds(col("o_orderdate"),
+              expr("timestampadd(SECOND, secs, o_orderdate)"))
+              .as("dur_secs"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderdate,
+             |    epoch_ms(o_orderdate) AS epoch_ms,
+             |    o_orderkey % 90000 AS secs,
+             |    (o_custkey % 40 + 1) / 10.0 AS speed_ms
+             |  FROM orders WHERE o_orderkey < 2000),
+             |p AS (
+             |  SELECT *, CAST(round(1000.0 / speed_ms, 0) AS BIGINT) AS spk
+             |  FROM base)
+             |SELECT o_orderkey, epoch_ms,
+             |  epoch_ms(epoch_ms) AS ts_from_ms,
+             |  printf('%d:%02d:%02d', secs // 3600, (secs % 3600) // 60, secs % 60)
+             |    AS hms,
+             |  secs AS secs_rt,
+             |  printf('%d:%02d', spk // 60, spk % 60) AS pace,
+             |  (spk // 60) * 60 + spk % 60 AS pace_secs,
+             |  date_diff('second', o_orderdate,
+             |            o_orderdate + secs * INTERVAL 1 SECOND) AS dur_secs
+             |FROM p ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------ N3/N5
+    // Array-of-struct normalize + take the tagged element: the reference
+    // keeps the `type == 'TOTAL'` element of `aggregatorList`
+    // (`PBI ...Wrangling.ipynb:2275-2302`). Here each order's lineitems
+    // become an array of structs; the higher-order `filter` + `get`
+    // extracts the first A-flagged element — order-independent because the
+    // array is sorted on a unique leading field first.
+    Q("q_n3_array_filter_total",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 3000)
+        val agg = li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(struct(
+            col("l_linenumber").as("line"),
+            col("l_returnflag").as("rtype"),
+            col("l_quantity").as("qty")))).as("items"))
+        val aItems = filter(col("items"), x => x.getField("rtype") === "A")
+        agg.select(
+            col("l_orderkey"),
+            size(col("items")).cast("long").as("n_items"),
+            size(aItems).cast("long").as("n_a"),
+            // `get` is 0-based and null-safe on out-of-bounds (ANSI-safe),
+            // mirroring DuckDB's list[1] returning NULL on empty lists.
+            get(aItems, lit(0)).getField("line").as("first_a_line"),
+            get(aItems, lit(0)).getField("qty").as("first_a_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(struct_pack(
+             |      line := l_linenumber, rtype := l_returnflag,
+             |      qty := l_quantity))) AS items
+             |  FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  len(items) AS n_items,
+             |  CAST(len(list_filter(items, x -> x.rtype = 'A')) AS BIGINT) AS n_a,
+             |  list_filter(items, x -> x.rtype = 'A')[1].line AS first_a_line,
+             |  list_filter(items, x -> x.rtype = 'A')[1].qty AS first_a_qty
+             |FROM agg ORDER BY l_orderkey""".stripMargin)),
+
+    // -------------------------------------------------------------- A11
+    // Keep the max-valued row per day (reference: longest run per
+    // calendarDate, `ML_Model_...ipynb:2515`) — same window pattern as
+    // A10 but ordered by a measure, with explicit tiebreakers.
+    Q("q_a11_keep_max_per_day",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("ship_day", to_date(col("l_shipdate")))
+        Dedup.keepLatest(li, Seq("ship_day"), col("l_quantity"),
+            Seq(col("l_orderkey").desc, col("l_linenumber").desc))
+          .select(col("ship_day"), col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity"))
+          .orderBy(col("ship_day"))
+      },
+      Some("""SELECT ship_day, l_orderkey, l_linenumber, l_quantity FROM (
+             |  SELECT CAST(l_shipdate AS DATE) AS ship_day, l_orderkey,
+             |         l_linenumber, l_quantity,
+             |         row_number() OVER (
+             |           PARTITION BY CAST(l_shipdate AS DATE)
+             |           ORDER BY l_quantity DESC, l_orderkey DESC,
+             |                    l_linenumber DESC) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY ship_day""".stripMargin)),
+
+    // ---------------------------------------------------------- P2/P10
+    // Positional column drop (`iloc[:, :-2]`, `PBI ...Wrangling.ipynb:820`)
+    // recast as a schema-ordered select, then a presentation reorder.
+    Q("q_p2_p10_positional",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val kept = c.columns.dropRight(2) // P2: drop last 2 columns
+        val dropped = c.select(kept.map(col).toSeq: _*)
+        // P10: presentation reorder — key column last
+        dropped.select((dropped.columns.tail :+ dropped.columns.head)
+            .map(col).toSeq: _*)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_name, c_nationkey, c_custkey
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------- P6/P11
+    // Null-predicate filter + defaulted projection (reference: keep
+    // `.notna()` rows, fill picked JSON fields with `.get` defaults —
+    // `transform_all_datasets.py:180-181`, `extract_json_data.py:67-88`).
+    Q("q_p6_p11_null_default",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("v_dirty",
+            when(col("event_type") === "click", lit(null).cast("double"))
+              .otherwise(col("value")))
+        e.filter(col("user_id").isNotNull)
+          .select(
+            col("event_id"),
+            coalesce(col("v_dirty"), lit(-1.0)).as("v_filled"),
+            coalesce(get_json_object(col("props"), "$.no_such_key"),
+                     lit("unknown")).as("prop_defaulted"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  COALESCE(CASE WHEN event_type = 'click' THEN NULL
+             |                ELSE value END, -1.0) AS v_filled,
+             |  COALESCE(json_extract_string(props, '$.no_such_key'),
+             |           'unknown') AS prop_defaulted
+             |FROM events WHERE user_id IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------- P3/P4
+    // Two-phase uninformative-column pruning: inject an all-null and a
+    // constant column, profile in ONE aggregate pass, select survivors.
+    // The oracle pins the expected surviving schema.
+    Q("q_p3_p4_prune_uninformative",
+      (s, d) => {
+        val dirty = Tables.supplier(s, d)
+          .withColumn("all_null", lit(null).cast("double"))
+          .withColumn("constant_col", lit(7))
+        Profile.pruneUninformative(dirty)
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // ----------------------------------------------------------- F1/F2
+    // Header normalization over dirty column names, plus parse-or-null
+    // timestamp semantics (pandas `errors='coerce'` ->
+    // Spark `try_to_timestamp`, `transform_all_datasets.py:51-56`).
+    Q("q_f1_f2_normalize_parse",
+      (s, d) => {
+        val dirty = Tables.orders(s, d)
+          .filter(col("o_orderkey") < 2000)
+          .select(
+            col("o_orderkey").as("Order Key"),
+            col("o_totalprice").as("Total Price($)"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+              .as("Order Date!"))
+        Headers.normalize(dirty)
+          .select(
+            col("Order_Key"),
+            col("Total_Price"),
+            try_to_timestamp(col("Order_Date")).as("parsed_ts"),
+            try_to_timestamp(concat(lit("junk-"), col("Order_Date")))
+              .as("bad_ts"))
+          .orderBy(col("Order_Key"))
+      },
+      Some("""SELECT o_orderkey AS Order_Key,
+             |  o_totalprice AS Total_Price,
+             |  TRY_CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+             |           AS TIMESTAMP) AS parsed_ts,
+             |  TRY_CAST('junk-' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+             |           AS TIMESTAMP) AS bad_ts
+             |FROM orders WHERE o_orderkey < 2000
+             |ORDER BY Order_Key""".stripMargin))
+  )
+}

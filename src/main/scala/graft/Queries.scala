@@ -25,6 +25,7 @@ object Queries {
   private def groups: Seq[Seq[Q]] = Seq(
     QueriesRelational.qs,
     QueriesCoverage.qs,
+    QueriesSources.qs,
     QueriesText.qs,
     QueriesSimilarity.qs,
     QueriesEvents.qs

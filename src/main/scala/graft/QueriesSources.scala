@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Headers, TimeFns, UnitFns}
+import graft.sinks.Jdbc
+import graft.sources.{CsvSources, Gpx, JsonSources, Tables, ZipUtil}
+
+/** Source/sink layer coverage (SURVEY §2.1 S1–S11), oracle-checked.
+  *
+  * Inputs are committed fixtures under `src/test/resources/fixtures`
+  * (deterministic, mirroring the reference's raw-file shapes: JSON-array
+  * exports, the summarizedActivities envelope, sentinel-laden CSV, GPX
+  * tracks, the mass-export zip). Round-trip queries (CSV sink, JDBC)
+  * write under `target/tmp` and read back, so the oracle can pin them to
+  * the original parquet tables.
+  */
+object QueriesSources {
+
+  private val FX =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/src/test/resources/fixtures")
+  private val TMP =
+    sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/tmp")
+
+  // Embedded Derby for the JDBC sink surface: same write/verify/probe code
+  // path as a warehouse sink, zero external service. derby.system.home
+  // keeps derby.log + the db directory out of the repo root.
+  private lazy val derbyUrl: String = {
+    System.setProperty("derby.system.home", s"$TMP/derby")
+    new java.io.File(s"$TMP/derby").mkdirs()
+    s"jdbc:derby:$TMP/derby/graftdb;create=true"
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- S1/S2/U1
+    // Glob discovery + whole-file JSON-array scan with explicit schema;
+    // two date-stamped files with drifting schemas unify in one read.
+    Q("q_s1_s2_json_glob_scan",
+      (s, d) => JsonSources
+        .scanJsonArrays(s, s"$FX/json_plain/*.json", JsonSources.activitySchema)
+        .select(
+          col("activityId").as("activity_id"),
+          col("name"),
+          col("activityType.typeKey").as("type_key"),
+          (col("distance") / 100000.0).as("distance_km"),
+          (col("duration") / 1000.0).as("duration_s"),
+          timestamp_millis(col("beginTimestamp")).as("began"),
+          col("calories"))
+        .orderBy(col("activity_id")),
+      Some(s"""SELECT activityId AS activity_id, name,
+              |  activityType.typeKey AS type_key,
+              |  distance / 100000.0 AS distance_km,
+              |  duration / 1000.0 AS duration_s,
+              |  epoch_ms(beginTimestamp) AS began, calories
+              |FROM read_json_auto('$FX/json_plain/*.json', union_by_name=true)
+              |ORDER BY activity_id""".stripMargin)),
+
+    // ---------------------------------------------------------- S3/N5/F12
+    // Envelope explode: one wrapper row -> one row per activity, plus the
+    // pace derivation the reference applies on this exact source
+    // (`extract_json_data.py:187-205`).
+    Q("q_s3_envelope_explode",
+      (s, d) => JsonSources
+        .scanEnvelope(s, s"$FX/json_envelope/summarizedActivities.json")
+        .select(
+          col("activityId").as("activity_id"),
+          col("activityName").as("aname"),
+          col("activityType.typeKey").as("type_key"),
+          timestamp_millis(col("startTimeGmt")).as("start_ts"),
+          (col("distance") / 100000.0).as("distance_km"),
+          TimeFns.paceFromSpeed(col("avgSpeed")).as("pace"))
+        .orderBy(col("activity_id")),
+      Some(s"""WITH x AS (
+              |  SELECT unnest(summarizedActivitiesExport) AS a
+              |  FROM read_json_auto('$FX/json_envelope/summarizedActivities.json')),
+              |p AS (
+              |  SELECT a.*, CAST(round(1000.0 / a.avgSpeed, 0) AS BIGINT) AS spk
+              |  FROM x)
+              |SELECT activityId AS activity_id, activityName AS aname,
+              |  activityType.typeKey AS type_key,
+              |  epoch_ms(startTimeGmt) AS start_ts,
+              |  distance / 100000.0 AS distance_km,
+              |  printf('%d:%02d', spk // 60, spk % 60) AS pace
+              |FROM p ORDER BY activity_id""".stripMargin)),
+
+    // -------------------------------------------------- S4 + F1/F16/F17
+    // Header CSV where '--' sentinels and "9,876" thousands-commas survive
+    // the scan as strings (pandas-parity), then get cleaned downstream.
+    Q("q_s4_csv_scan_sentinels",
+      (s, d) => {
+        val schema = StructType(Seq("Date", "Name", "Distance", "Total Ascent",
+          "Max Elevation", "Steps", "Calories")
+          .map(StructField(_, StringType)))
+        val raw = CsvSources.scan(s, s"$FX/csv/running.csv", schema)
+        Headers.normalize(raw)
+          .select(
+            to_date(col("Date")).as("run_date"),
+            col("Name").as("name"),
+            col("Distance").cast("double").as("distance_km"),
+            UnitFns.sentinelToDefault(col("Total_Ascent")).as("total_ascent"),
+            UnitFns.sentinelToDefault(col("Max_Elevation")).as("max_elevation"),
+            UnitFns.stripThousands(col("Steps")).as("steps"),
+            col("Calories").cast("double").as("calories"))
+          .orderBy(col("run_date"))
+      },
+      Some(s"""SELECT CAST("Date" AS DATE) AS run_date, "Name" AS name,
+              |  CAST(Distance AS DOUBLE) AS distance_km,
+              |  CASE WHEN "Total Ascent" = '--' THEN 0.0
+              |       ELSE CAST(replace("Total Ascent", ',', '') AS DOUBLE)
+              |  END AS total_ascent,
+              |  CASE WHEN "Max Elevation" = '--' THEN 0.0
+              |       ELSE CAST(replace("Max Elevation", ',', '') AS DOUBLE)
+              |  END AS max_elevation,
+              |  CAST(replace(Steps, ',', '') AS DOUBLE) AS steps,
+              |  CAST(Calories AS DOUBLE) AS calories
+              |FROM read_csv('$FX/csv/running.csv', header=true, all_varchar=true)
+              |ORDER BY run_date""".stripMargin)),
+
+    // -------------------------------------------------------------- S5
+    // CSV sink round-trip: write nation as a header CSV, read it back
+    // with an explicit schema; the oracle pins it to the source parquet.
+    Q("q_s5_csv_sink_roundtrip",
+      (s, d) => {
+        val dir = s"$TMP/s5_nation_csv"
+        CsvSources.write(Tables.nation(s, d), dir)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        CsvSources.scan(s, dir, schema).orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------- S6/S7/S8/S11 JDBC
+    // replace-load the first half, append the second, probe existence,
+    // verify the count, then read back through SQL passthrough. The oracle
+    // pins the round-trip to the source parquet.
+    Q("q_s6_s7_s8_s11_jdbc_roundtrip",
+      (s, d) => {
+        val url = derbyUrl
+        val base = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("odate"))
+        Jdbc.load(base.filter(col("o_orderkey") < 1000), url,
+          "graft_orders", ifExists = "replace", batchSize = 1000)
+        Jdbc.load(base.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000),
+          url, "graft_orders", ifExists = "append", batchSize = 500)
+        require(Jdbc.tableExists(url, "graft_orders"), "S11 probe failed")
+        val n = Jdbc.rowCount(s, url, "graft_orders")
+        Jdbc.query(s, url,
+            """SELECT "o_orderkey", "o_custkey", "o_totalprice", "odate"
+              |FROM graft_orders""".stripMargin)
+          .withColumn("verified_n", lit(n))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CAST(o_orderdate AS DATE) AS odate,
+             |  (SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS verified_n
+             |FROM orders WHERE o_orderkey < 2000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // -------------------------------------------------------------- S9
+    // GPX trkpt scan over a folder glob (XML source, rowTag=trkpt); the
+    // oracle is a hand-written expected-points CSV committed next to the
+    // .gpx fixtures.
+    Q("q_s9_gpx_scan",
+      (s, d) => Gpx.scanPoints(s, s"$FX/gpx/*.gpx")
+        .orderBy(col("point_date"), col("point_time")),
+      Some(s"""SELECT CAST(point_date AS DATE) AS point_date,
+              |  point_time,
+              |  CAST(latitude AS DOUBLE) AS latitude,
+              |  CAST(longitude AS DOUBLE) AS longitude,
+              |  CAST(elevation AS DOUBLE) AS elevation
+              |FROM read_csv('$FX/gpx/expected_points.csv', header=true,
+              |              all_varchar=true)
+              |ORDER BY point_date, point_time""".stripMargin)),
+
+    // -------------------------------------------------------------- S10
+    // Zip extraction prep + scan of the contained CSV; the oracle reads
+    // the committed plain copy of the same file.
+    Q("q_s10_zip_extract_scan",
+      (s, d) => {
+        val paths = ZipUtil.extract(s"$FX/zip/garmin_export.zip", s"$TMP/s10")
+        val csv = paths.find(_.toString.endsWith("daily_steps.csv"))
+          .getOrElse(sys.error("daily_steps.csv not in archive")).toString
+        val schema = StructType(Seq(
+          StructField("calendarDate", DateType),
+          StructField("totalSteps", LongType),
+          StructField("totalDistanceMeters", DoubleType)))
+        CsvSources.scan(s, csv, schema)
+          .select(col("calendarDate").as("cal_date"), col("totalSteps"),
+                  col("totalDistanceMeters").as("dist_m"))
+          .orderBy(col("cal_date"))
+      },
+      Some(s"""SELECT CAST(calendarDate AS DATE) AS cal_date, totalSteps,
+              |  CAST(totalDistanceMeters AS DOUBLE) AS dist_m
+              |FROM read_csv('$FX/zip_expected/daily_steps.csv', header=true)
+              |ORDER BY cal_date""".stripMargin))
+  )
+}

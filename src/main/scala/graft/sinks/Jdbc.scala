@@ -1,0 +1,86 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC sink + verification probes (SURVEY §2.1 S6–S8, S11).
+  *
+  * Reference: `ETL Scripts/db_utils.py:121-159` — chunked multi-row INSERT
+  * with `replace`/`append`/`fail` modes and batch_size 1000; post-load
+  * `SELECT COUNT(*)` verification (`db_utils.py:221-245`); arbitrary SQL
+  * passthrough (`db_utils.py:161-187`); information_schema table-exists
+  * probe (`db_utils.py:189-219`).
+  *
+  * Spark-first shape: `df.write.format("jdbc")` writes from EXECUTORS in
+  * parallel — one connection per partition, `batchsize` rows per round
+  * trip — not through the driver like pandas `to_sql`. `numPartitions`
+  * caps sink-side connection fan-in for databases that can't take one
+  * connection per upstream partition.
+  *
+  * The test/verification database is embedded Derby (ships with Spark's
+  * jars); against a real warehouse only `url`/`driver` change — the
+  * operator surface (modes, batchsize, verify-count, exists-probe) is
+  * engine-agnostic.
+  */
+object Jdbc {
+
+  /** Mirror of the reference's if_exists modes. */
+  def saveMode(ifExists: String): SaveMode = ifExists match {
+    case "replace" => SaveMode.Overwrite
+    case "append"  => SaveMode.Append
+    case "fail"    => SaveMode.ErrorIfExists
+    case other     => throw new IllegalArgumentException(
+      s"unknown if_exists mode: $other (expected replace|append|fail)")
+  }
+
+  /** S6 — bulk load with mode + batchsize (+ optional connection cap). */
+  def load(df: DataFrame, url: String, table: String,
+           ifExists: String = "replace", batchSize: Int = 1000,
+           numPartitions: Option[Int] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode(saveMode(ifExists))
+    numPartitions.fold(w)(n => w.option("numPartitions", n.toString)).save()
+  }
+
+  /** S7 — post-load row count, pushed down as COUNT(*) (the subquery-as-
+    * dbtable trick: only the 1-row count crosses the wire).
+    */
+  def rowCount(spark: SparkSession, url: String, table: String): Long =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT COUNT(*) AS n FROM $table) q")
+      .load()
+      // COUNT(*)'s JDBC type differs per engine (Derby INTEGER, Postgres
+      // BIGINT) — widen via Number instead of assuming LongType.
+      .head().getAs[Number](0).longValue()
+
+  /** S8 — SELECT passthrough: run remote SQL, get a DataFrame. */
+  def query(spark: SparkSession, url: String, sql: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"($sql) q")
+      .load()
+
+  /** S8 — DDL/DML passthrough (driver-side side effect, like the
+    * reference's execute_query non-SELECT branch).
+    */
+  def execute(url: String, sql: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** S11 — table-exists probe via JDBC metadata (portable across engines,
+    * unlike information_schema dialects).
+    */
+  def tableExists(url: String, table: String): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Bins (F18/F19), UnitFns (F15–F17/F20), Headers (F1), HashFns, TextFns. */
+class ScalarFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("F18/F19 bin edges are left-closed [lo, hi)") {
+    val df = Seq(-0.1, 0.0, 2.999, 3.0, 9.99, 10.0, 13.0, 1e9).toDF("v")
+      .select(col("v"),
+        Bins.binLabel(col("v"), Bins.distanceBins).as("label"),
+        Bins.binId(col("v"), Bins.distanceBins).as("id"))
+    val rows = df.collect().map(r => (r.get(1), r.get(2))).toSeq
+    assert(rows == Seq(
+      (null, null), ("0-3km", 1), ("0-3km", 1), ("3-5km", 2),
+      ("7-10km", 4), ("10-13km", 5), ("13km+", 6), ("13km+", 6)))
+  }
+
+  test("F16 stripThousands and F17 sentinelToDefault") {
+    val df = Seq("3,000", "--", "1,234,567", "42").toDF("v")
+      .select(UnitFns.sentinelToDefault(col("v")).as("r"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      Seq(3000.0, 0.0, 1234567.0, 42.0))
+  }
+
+  test("F15 conversions") {
+    val r = Seq(802500.0).toDF("v").select(
+      UnitFns.cmToKm(col("v")).as("km"),
+      UnitFns.msToSeconds(col("v")).as("s"),
+      UnitFns.secondsToHours(col("v")).as("h")).head()
+    assert(r.getDouble(0) == 8.025)
+    assert(r.getDouble(1) == 802.5)
+    assert(r.getDouble(2) == 222.9) // round(802500/3600, 1)
+  }
+
+  test("F1 header normalization strips specials, keeps underscores") {
+    assert(Headers.normalizeName("Total Price($)") == "Total_Price")
+    assert(Headers.normalizeName("Order Key") == "Order_Key")
+    assert(Headers.normalizeName("already_ok_9") == "already_ok_9")
+    val df = Seq((1, 2)).toDF("A b!", "c#d")
+    assert(Headers.normalize(df).columns.toSeq == Seq("A_b", "cd"))
+  }
+
+  test("HashFns.md5Long matches a JVM-side md5 computation") {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.take(15), 16)
+    val got = Seq("abc").toDF("v")
+      .select(HashFns.md5Long(col("v")).as("h")).head().getLong(0)
+    assert(got == expected)
+    // seeded family differs from unseeded and from other seeds
+    val s = Seq("abc").toDF("v").select(
+      HashFns.md5Long(col("v"), 0).as("h0"),
+      HashFns.md5Long(col("v"), 1).as("h1")).head()
+    assert(Set(expected, s.getLong(0), s.getLong(1)).size == 3)
+  }
+
+  test("TextFns.normalize canonicalizes case, punctuation, whitespace") {
+    val r = Seq("  The  QUICK, brown-fox! ").toDF("v")
+      .select(TextFns.normalize(col("v")).as("r")).head().getString(0)
+    assert(r == "the quick brownfox")
+  }
+
+  test("TextFns word/punct counts and stopword membership") {
+    val r = Seq("The cat and the hat!").toDF("v").select(
+      TextFns.wordCount(col("v")).as("w"),
+      TextFns.punctCount(col("v")).as("p"),
+      TextFns.countIn(TextFns.tokens(col("v")), TextFns.enStopwords).as("sw"))
+      .head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 1L) // the '!'
+    assert(r.getLong(2) == 3L) // the, and, the
+  }
+
+  test("TextFns.fingerprint is invariant to formatting noise") {
+    val df = Seq("Hello,   World!", "hello world").toDF("v")
+      .select(TextFns.fingerprint(col("v")).as("f"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Dedup (U2/A10), Windows (W1–W4), Scaffold (J2), Profile (P3/P4),
+  * Sessionize — determinism and exact expected rows on small frames.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sales = Seq(
+    // key, seq, value
+    ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0),
+    ("b", 1, 7.0), ("b", 2, 7.0)).toDF("k", "seq", "v")
+
+  test("U2 keepFirst keeps the first row per key under the total order") {
+    val r = Dedup.keepFirst(sales, Seq("k"), Seq(col("seq")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(r == Seq(("a", 1), ("b", 1)))
+  }
+
+  test("keepFirst is idempotent and order-insensitive") {
+    val once = Dedup.keepFirst(sales, Seq("k"), Seq(col("seq")))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("seq")))
+    assert(once.orderBy("k", "seq").collect().toSeq ==
+           twice.orderBy("k", "seq").collect().toSeq)
+    val shuffled = Dedup.keepFirst(
+      sales.orderBy(rand(seed = 7)).repartition(3), Seq("k"), Seq(col("seq")))
+    assert(shuffled.orderBy("k", "seq").collect().toSeq ==
+           once.orderBy("k", "seq").collect().toSeq)
+  }
+
+  test("A10 keepLatest takes the max-ordered row with tiebreak") {
+    val r = Dedup.keepLatest(sales, Seq("k"), col("v"), Seq(col("seq")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    // b has tied v=7.0 -> tiebreak seq DESC would keep seq=2? No: keepLatest
+    // orders by v DESC then the caller tiebreak ASC (seq) -> seq=1.
+    assert(r == Seq(("a", 2), ("b", 1)))
+  }
+
+  test("helper columns never collide with input columns") {
+    val tricky = sales.withColumn("__rn", lit(99))
+    val r = Dedup.keepFirst(tricky, Seq("k"), Seq(col("seq")))
+    assert(r.columns.count(_ == "__rn") == 1) // input survives untouched
+    assert(r.filter(col("__rn") =!= 99).count() == 0)
+  }
+
+  test("exactByContent dedups identical bodies, keeps smallest id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "body")
+    val r = Dedup.exactByContent(docs, "body", "id")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 3L))
+  }
+
+  test("W1 runningSum follows the declared total order") {
+    val r = sales.select(col("k"), col("seq"),
+        Windows.runningSum(col("v"), Seq(col("k")), Seq(col("seq"))).as("cum"))
+      .orderBy("k", "seq").collect().map(_.getDouble(2)).toSeq
+    assert(r == Seq(10.0, 30.0, 35.0, 7.0, 14.0))
+  }
+
+  test("W2 lagWithDefault fills the first row per group") {
+    val r = sales.select(col("k"), col("seq"),
+        Windows.lagWithDefault(col("v"), Seq(col("k")), Seq(col("seq")), 0.0)
+          .as("prev"))
+      .orderBy("k", "seq").collect().map(_.getDouble(2)).toSeq
+    assert(r == Seq(0.0, 10.0, 20.0, 0.0, 7.0))
+  }
+
+  test("W3 forwardFill carries the last non-null forward") {
+    val gaps = Seq(("a", 1, Some(5.0)), ("a", 2, None), ("a", 3, None),
+                   ("a", 4, Some(9.0)), ("a", 5, None))
+      .toDF("k", "seq", "v")
+    val r = gaps.select(col("seq"),
+        Windows.forwardFill(col("v"), Seq(col("k")), Seq(col("seq"))).as("f"))
+      .orderBy("seq").collect().map(_.getDouble(1)).toSeq
+    assert(r == Seq(5.0, 5.0, 5.0, 9.0, 9.0))
+  }
+
+  test("O2 topKPerGroup returns exactly k deterministic rows per group") {
+    val r = Windows.topKPerGroup(sales, Seq(col("k")),
+        Seq(col("v").desc, col("seq")), 2)
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(r == Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)))
+  }
+
+  test("J2 dateSpine is dense: datediff+1 rows, no gaps") {
+    val df = Seq("2024-01-30", "2024-02-02", "2024-02-01")
+      .toDF("d").select(to_date(col("d")).as("d"))
+    val spine = Scaffold.dateSpine(df, "d")
+    assert(spine.count() == 4)
+    val dates = spine.orderBy("spine_date").collect().map(_.getDate(0).toString)
+    assert(dates.toSeq == Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
+  }
+
+  test("P3/P4 pruneUninformative drops all-null and constant columns only") {
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
+      .withColumn("dead", lit(null).cast("int"))
+      .withColumn("const", lit(5))
+    assert(Profile.pruneUninformative(df).columns.toSeq == Seq("id", "s"))
+    assert(Profile.pruneUninformative(df, dropSingleValue = false)
+      .columns.toSeq == Seq("id", "s", "const"))
+    assert(Profile.pruneUninformative(df, dropAllNull = false)
+      .columns.toSeq == Seq("id", "s", "dead"))
+  }
+
+  test("sessionize splits on gap > threshold, 1-based per user") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L),
+      (1L, "2024-01-01 11:00:00", 3L), // 50 min gap -> new session
+      (2L, "2024-01-01 10:00:00", 4L))
+      .toDF("user", "ts", "eid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Sessionize.sessionize(ev, col("user"), col("ts"),
+        Seq(col("ts"), col("eid")), gapSeconds = 1800)
+      .orderBy("user", "eid").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_id"))).toSeq
+    assert(r == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content here entirely")).toDF("id", "text")
+
+  test("charShingles emits len-k+1 shingles, none for short docs") {
+    val sh = Similarity.charShingles(Seq((1L, "abcd"), (2L, "ab")).toDF("id", "t"),
+      "id", "t", k = 3)
+    val rows = sh.orderBy("id", "shingle").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "abc"), (1L, "bcd"))) // doc 2 too short -> absent
+  }
+
+  test("identical documents get identical minhash signatures") {
+    val sh  = Similarity.charShingles(docs, "id", "text", k = 5)
+    val sig = Similarity.minhashSignature(sh, "id", numHashes = 8)
+    val rows = sig.orderBy("id").collect()
+    val s1 = rows(0).toSeq.tail
+    val s2 = rows(1).toSeq.tail
+    val s4 = rows(3).toSeq.tail
+    assert(s1 == s2)      // dup docs -> equal signatures
+    assert(s1 != s4)      // unrelated docs -> different
+  }
+
+  test("LSH banding surfaces near-dup candidates without all-pairs") {
+    val sh    = Similarity.charShingles(docs, "id", "text", k = 5)
+    val sig   = Similarity.minhashSignature(sh, "id", numHashes = 8)
+    val bands = Similarity.lshBands(sig, "id", numHashes = 8, rowsPerBand = 2)
+    val pairs = Similarity.candidatePairs(bands, "id")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))          // exact dup always collides
+    assert(!pairs.exists(p => p._1 >= p._2))  // a < b canonical form
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("jaccardForPairs computes exact set jaccard") {
+    val sh = Similarity.charShingles(docs, "id", "text", k = 5)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Similarity.jaccardForPairs(pairs, sh, "id")
+      .head().getDouble(2)
+    assert(j == 1.0) // identical text -> jaccard 1
+  }
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Array(1f, 2f, 2f), Array(2f, 0f, 1f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("na"),
+      Similarity.cosine(col("a"), col("a")).as("self")).head()
+    assert(r.getDouble(0) == 4.0)   // 2 + 0 + 2
+    assert(r.getDouble(1) == 3.0)   // sqrt(9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("signBitBucket encodes the sign pattern of leading dims") {
+    val df = Seq(
+      (1L, Array(1f, -1f, 1f, -1f)),
+      (2L, Array(0.5f, -2f, 3f, -0.1f)), // same sign pattern as 1
+      (3L, Array(-1f, 1f, 1f, 1f))).toDF("id", "v")
+    val r = df.select(col("id"),
+        Similarity.signBitBucket(col("v"), bits = 4).as("b"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(r(0) == r(1))      // 1 and 2 share a bucket
+    assert(r(0) != r(2))
+    assert(r(0) == (1L | 4L)) // bits 0 and 2 set
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10 phase-2: the reference is
+  * strictly batch truncate-and-reload; this is the incremental-ingest
+  * replacement reserved by the build plan, plus the windowed analytics
+  * the extension operators need over `events`-shaped streams).
+  *
+  * Design: `readStream` file source with the SAME explicit schema as the
+  * batch path (a streaming query is the batch plan + incremental
+  * execution), event-time watermarks bounding state, and
+  * `flatMapGroupsWithState` for gap-based sessionization where the
+  * windowed built-ins can't express the semantics. State size per key is
+  * O(1) (aggregates only, never buffered events), so a 1000-executor
+  * cluster shards state by user hash exactly like the batch shuffle.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-arrival ingest: each new JSON file under `dir` becomes a
+    * micro-batch (the streaming replacement for the reference's re-glob +
+    * full reload, `ETL Scripts/aggregate_json_files.py:29-48`).
+    */
+  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "16")
+      .json(dir)
+
+  /** Tumbling-window counts with a watermark: late events beyond
+    * `lateness` are dropped and their window state is reclaimed.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastTs: Long,
+                                nEvents: Long, total: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long,
+                              total_value: Double)
+
+  /** Gap-based sessionization with explicit state: a user's session
+    * closes when no event arrives within `gap` of the last one. Mirrors
+    * the batch operator graft.operators.Sessionize — same gap semantics,
+    * incremental execution.
+    *
+    * `idleTimeout = true` (production) arms a processing-time timer so a
+    * session whose user goes silent is flushed without waiting for the
+    * next event; `false` closes sessions only when a later event proves
+    * the gap (deterministic for tests/replays — timer batches otherwise
+    * keep `processAllAvailable` from settling).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 idleTimeout: Boolean = true)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = gapSeconds * 1000L
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            cur.foreach { s =>
+              out += SessionOut(user, new Timestamp(s.sessionStart),
+                new Timestamp(s.lastTs), s.nEvents, s.total)
+            }
+            state.remove()
+            cur = None
+          }
+          // within a micro-batch, order by event time for gap detection
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(user, new Timestamp(s.sessionStart),
+                  new Timestamp(s.lastTs), s.nEvents, s.total)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            if (idleTimeout) state.setTimeoutDuration(gapMs)
+          }
+          out.iterator
+      }
+  }
+}

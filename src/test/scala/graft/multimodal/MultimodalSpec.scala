@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Multimodal.MediaRow
+
+class MultimodalSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def media(id: Long, n: Int, seed: Int): MediaRow =
+    MediaRow(id, "image", Array.tabulate(n)(i => ((i * seed + seed) % 251).toByte))
+
+  test("feature extraction: fixed dim, deterministic, partition-invariant") {
+    val rows = Seq(media(1, 4096, 3), media(2, 1024, 7), media(3, 0, 1))
+    val ds = rows.toDS()
+    val a = Multimodal.extractFeatures(ds, dim = 32).collect()
+      .sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(ds.repartition(3), dim = 32,
+      targetPartitions = 2).collect().sortBy(_.media_id)
+    assert(a.forall(_.features.length == 32))
+    assert(a.map(_.n_bytes).toSeq == Seq(4096L, 1024L, 0L))
+    // determinism across partitionings (a real decoder must hold this too)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.features.toSeq == y.features.toSeq)
+    }
+    assert(a(0).features.toSeq != a(1).features.toSeq)
+    assert(a.forall(_.features.forall(f => f >= -1f && f <= 1f)))
+  }
+
+  test("frame sampling yields stride-spaced fixed-size frames") {
+    val ds = Seq(media(9, 1000, 5)).toDS()
+    val frames = Multimodal.sampleFrames(ds, frameSize = 100, stride = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(frames.length == 5) // 1000 / (100*2)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 100))
+    val f0 = frames(0).getAs[Array[Byte]]("frame_bytes")
+    val f1 = frames(1).getAs[Array[Byte]]("frame_bytes")
+    assert(f0.toSeq != f1.toSeq)
+  }
+
+  test("binaryFile ingestion reads bytes + length") {
+    val df = Multimodal.readBinaryDir(spark,
+      "/root/repo/src/test/resources/fixtures/zip", "*.zip")
+    val r = df.collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("length") > 0)
+    assert(r(0).getAs[Array[Byte]]("bytes").take(2).toSeq ==
+      Seq('P'.toByte, 'K'.toByte)) // zip magic
+  }
+}

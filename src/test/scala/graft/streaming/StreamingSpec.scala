@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import EventStreams.{Event, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  private implicit val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark aggregates per window/type") {
+    val input = MemoryStream[Event](spark)
+    val result = EventStreams.tumblingCounts(
+      input.toDF(), windowLen = "1 hour", lateness = "10 minutes")
+    val q = result.writeStream
+      .format("memory").queryName("tumbling_spec")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 10:55:00"), 2, "click", 2.0),
+        Event(3, ts("2024-03-01 11:05:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT win_start, event_type, n, total FROM tumbling_spec " +
+        "ORDER BY win_start, event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("win_start") == ts("2024-03-01 10:00:00"))
+      assert(rows(0).getAs[Long]("n") == 2L)
+      assert(rows(0).getAs[Double]("total") == 3.0)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    val input = MemoryStream[Event](spark)
+    val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+      idleTimeout = false)
+    val q = sessions.writeStream
+      .format("memory").queryName("session_spec")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two bursts 50 min apart -> first session closes when the second
+      // burst arrives (gap exceeded within-batch)
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-03-01 10:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts("2024-03-01 11:00:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value " +
+        "FROM session_spec ORDER BY session_start").collect()
+      assert(rows.length == 1) // second session still open in state
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("total_value") == 3.0)
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-03-01 10:10:00"))
+    } finally q.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashFns
+import graft.functions.{HashFns, TextFns}
 import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
@@ -29,9 +29,14 @@ object QueriesSimilarity {
     """SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
       |  FROM documents, unnest(range(1, greatest(length(text)-3, 1))) t(i)""".stripMargin
 
+  /** DuckDB mirror of minhashSignature: one md5 per shingle (`h`), K
+    * xor-shift family members, min per id.
+    */
+  private val baseHashSql =
+    s"SELECT doc_id, ${HashFns.md5LongSql("shingle")} AS h FROM sh"
   private def sigSelectSql: String =
     (0 until K).map(i =>
-      s"MIN(${HashFns.md5LongSql("shingle", i)}) AS mh$i").mkString(",\n  ")
+      s"MIN(${HashFns.hashFamilySql("h", i)}) AS mh$i").mkString(",\n  ")
 
   /** DuckDB mirror of the double-accumulated dot product. */
   private def dotSql(a: String, b: String): String =
@@ -76,53 +81,77 @@ object QueriesSimilarity {
         Similarity.minhashSignature(sh, "doc_id", K).orderBy(col("doc_id"))
       },
       Some(s"""WITH sh AS (
-              |$shinglesSql)
+              |$shinglesSql),
+              |hh AS ($baseHashSql)
               |SELECT doc_id,
               |  $sigSelectSql
-              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+              |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------- banded LSH near-dup + verification
-    // sig -> 4 bands of 2 -> bucket-join candidates -> exact Jaccard over
-    // shingle sets (candidates only) -> pairs with j >= 0.8.
+    // Exact dedup FIRST (identical bodies would otherwise form quadratic
+    // buckets), then sig -> 4 bands of 2 -> bucket-join candidates with a
+    // bucket-size cap of 20 (a hot bucket of m docs emits m²/2 pairs; at
+    // corpus scale capped buckets go to a template report, not the pair
+    // join) -> exact Jaccard over shingle sets (candidates only) -> 0.8.
     Q("q_sim_lsh_neardup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = Similarity.charShingles(docs, "doc_id", "text", 5)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5)
         val sig = Similarity.minhashSignature(sh, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
-        val cand = Similarity.candidatePairs(bands, "doc_id")
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
         Similarity.jaccardForPairs(cand, sh, "doc_id")
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH sh AS (
-              |$shinglesSql),
-              |sig AS (
-              |  SELECT doc_id,
-              |  $sigSelectSql
-              |  FROM sh GROUP BY doc_id),
-              |cand AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-              |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
-              |    (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
-              |    (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
-              |    (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
-              |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
-              |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-              |  FROM cand c
-              |  JOIN shd a ON a.doc_id = c.id_a
-              |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              |  GROUP BY c.id_a, c.id_b)
-              |SELECT id_a, id_b,
-              |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
-              |FROM inter
-              |JOIN sz sa ON sa.doc_id = id_a
-              |JOIN sz sb ON sb.doc_id = id_b
-              |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
-              |ORDER BY id_a, id_b""".stripMargin)),
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN ok USING (band, bv)
+           |  JOIN bands b USING (band, bv)
+           |  WHERE a.doc_id < b.doc_id),
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.id_a
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT id_a, id_b,
+           |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // -------------------------------------------- brute-force cosine top-k
     // The correctness baseline for ANN: 10 query vectors scored against
@@ -202,25 +231,202 @@ object QueriesSimilarity {
       }),
 
     // --------------------------------------------- embedding near-dup pairs
-    // Cosine near-duplicate pairs (keep-lowest-id dedup decision comes
-    // from these). Brute force at test scale; the signbit-bucketed join
-    // above is the same computation's scale path.
+    // Cosine near-dup pairs via multi-probe sign-bit LSH: 4-bit bucket,
+    // probe side explodes bucket + every 1-bit flip, EQUI-join on the
+    // other side's exact bucket (hamming <= 1 as a hash join, never an
+    // all-pairs predicate), exact cosine verification on candidates
+    // only. The r1 brute-force cross join cost 80 s at sf0.1 and is
+    // impossible at 100 TB. Probing is a recall/cost knob: measured on
+    // this corpus, ham<=1 on 4 bits surfaces 8 of the 14 true pairs at
+    // the loose 0.45 threshold (recall rises toward 1 as the threshold
+    // approaches true-duplicate range, where sign patterns agree).
     Q("q_sim_embedding_neardup",
       (s, d) => {
+        // norms precomputed ONCE per vector — computing them inside the
+        // pair-wise cosine would redo two 64-element aggregations per
+        // CANDIDATE (millions) instead of per vector (thousands)
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("bucket", Similarity.signBitBucket(col("embedding"), 4))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+            col("nrm").as("na"),
+            explode(Similarity.multiProbeBuckets(col("bucket"), 4))
+              .as("bucket"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        // no distinct: probe values within a vector are pairwise distinct
+        // and the other side joins its ONE exact bucket, so each pair can
+        // match at most once (a distinct here would shuffle every
+        // candidate pair a second time for nothing)
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            Similarity.cosine(col("ea"), col("eb")).as("cos_sim"))
+            (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("cos_sim"))
           .filter(col("cos_sim") >= 0.45)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
-              |FROM embeddings a, embeddings b
-              |WHERE a.vec_id < b.vec_id
-              |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45
-              |ORDER BY id_a, id_b""".stripMargin))
+      Some {
+        val bucketSql = (0 until 4).map(i =>
+          s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val probes = "[bk, xor(bk, 1), xor(bk, 2), xor(bk, 4), xor(bk, 8)]"
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, $bucketSql AS bk,
+           |         ${normSql("embedding")} AS nrm
+           |  FROM embeddings),
+           |probes AS (
+           |  SELECT vec_id AS id_a, embedding AS ea, nrm AS na,
+           |         unnest($probes) AS bucket
+           |  FROM b)
+           |SELECT id_a, id_b, cos_sim FROM (
+           |  SELECT p.id_a, c.vec_id AS id_b,
+           |    ${dotSql("p.ea", "c.embedding")} / (p.na * c.nrm) AS cos_sim
+           |  FROM probes p JOIN b c ON p.bucket = c.bk AND p.id_a < c.vec_id)
+           |WHERE cos_sim >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ----------------------------------------------------- simhash dedup
+    // 16-bit SimHash from word tokens; near-dup candidates = docs whose
+    // simhashes collide on one of 4 four-bit bands, verified by hamming
+    // distance <= 3. Map + one groupBy to sign, band bucket-join for
+    // pairs — the same no-all-pairs shape as MinHash-LSH, but signature
+    // cost is one hash per TOKEN (vs per char-shingle).
+    Q("q_sim_simhash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val toks = uniq.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("token"))
+        val shash = Similarity.simHash(toks, "doc_id", "token", 16)
+        val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("band_value")))
+        val bands = shash
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.band_value").as("band_value"))
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 50)
+        val ha = shash.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val hb = shash.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+              .as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val votes = (0 until 16).map(i =>
+          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+          .mkString(",\n    ")
+        val assemble = (0 until 16).map(i =>
+          s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |tok AS (
+           |  SELECT doc_id, unnest(string_split(
+           |    trim(regexp_replace(regexp_replace(lower(text),
+           |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           |  FROM uniq),
+           |hh AS (SELECT doc_id, ${HashFns.md5LongSql("token")} AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM hh GROUP BY doc_id),
+           |shash AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+           |          FROM votes),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         (simhash >> (CAST(bb.band AS INT) * 4)) & 15 AS bv
+           |  FROM shash, (SELECT unnest(range(4)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) <= 50),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN ok USING (band, bv)
+           |  JOIN bands b USING (band, bv)
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+           |FROM cand
+           |JOIN shash ha ON ha.doc_id = id_a
+           |JOIN shash hb ON hb.doc_id = id_b
+           |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ------------------------------------------------ word-ngram jaccard
+    // Token-3-gram Jaccard near-dup: inverted-index candidate join on
+    // shared RARE ngrams (document frequency <= 20 — frequent ngrams are
+    // boilerplate and would re-create the quadratic join), then exact
+    // set-Jaccard for the candidates only.
+    Q("q_sim_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val toked = uniq.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ngrams = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+          .distinct()
+        val rare = ngrams.groupBy(col("ngram"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= 20)
+          .select(col("ngram"))
+        // positional filter: candidates must share >= 2 rare ngrams —
+        // one shared ngram admits far too many weak pairs into the
+        // (expensive) exact-Jaccard verification at corpus scale
+        val rareNg = ngrams.join(rare, Seq("ngram"))
+        val cand = rareNg.select(col("ngram"), col("doc_id").as("id_a"))
+          .join(rareNg.select(col("ngram"), col("doc_id").as("id_b")),
+            Seq("ngram"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= 2)
+          .select(col("id_a"), col("id_b"))
+        Similarity.jaccardForPairs(cand, ngrams.withColumnRenamed("ngram",
+            "shingle"), "doc_id")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH uniq AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, row_number() OVER (
+             |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM documents) WHERE rn = 1),
+             |t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM uniq),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |rare AS (SELECT ngram FROM ng GROUP BY ngram
+             |         HAVING count(*) <= 20),
+             |cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM ng a JOIN rare USING (ngram) JOIN ng b USING (ngram)
+             |  WHERE a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+             |sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+             |  FROM cand c
+             |  JOIN ng a ON a.doc_id = c.id_a
+             |  JOIN ng b ON b.doc_id = c.id_b AND b.ngram = a.ngram
+             |  GROUP BY c.id_a, c.id_b)
+             |SELECT id_a, id_b,
+             |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = id_a
+             |JOIN sz sb ON sb.doc_id = id_b
+             |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -115,11 +115,16 @@ object QueriesText {
     Q("q_text_top_bigrams",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = TextFns.tokens(col("text"))
+        // Materialize the token array ONCE per row: inlining the
+        // normalize+split expression into the lambda would re-run the
+        // regexes per element access (O(len²) regex work per doc — this
+        // was 21 s at sf0.1 before the materialization).
+        val toked = docs.select(TextFns.tokens(col("text")).as("toks"))
+        val t = col("toks")
         val bigrams = transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-        docs.select(explode(bigrams).as("bigram"))
+          sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+        toked.select(explode(bigrams).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
           .limit(20)

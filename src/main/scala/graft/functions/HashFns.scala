@@ -33,4 +33,23 @@ object HashFns {
 
   def md5LongSql(expr: String, seed: Int): String =
     md5LongSql(s"'s$seed:' || $expr")
+
+  private val lowMask = (1L << 49) - 1
+
+  /** Cheap hash family derived from ONE base hash by xor-shift mixing:
+    * family(h, 0) = h, family(h, i) = (h >> i) xor ((h & (2^49-1)) << i).
+    * For K-wide MinHash this replaces K md5 computations per row with
+    * one (md5 dominates the signature cost at corpus scale); the family
+    * members are pairwise-decorrelated enough for banding, though not
+    * truly independent — callers needing cryptographic independence pay
+    * for per-seed md5 instead. Always non-negative and < 2^60.
+    */
+  def hashFamily(h: Column, i: Int): Column =
+    if (i == 0) h
+    else shiftright(h, i).bitwiseXOR(
+      shiftleft(h.bitwiseAND(lit(lowMask)), i))
+
+  /** DuckDB mirror of [[hashFamily]]; `e` must be a simple identifier. */
+  def hashFamilySql(e: String, i: Int): String =
+    if (i == 0) e else s"xor($e >> $i, ($e & $lowMask) << $i)"
 }

@@ -36,15 +36,20 @@ object Similarity {
           sequence(lit(1), length(col(textCol)) - (k - 1)),
           i => col(textCol).substr(i, lit(k)))).as("shingle"))
 
-  /** MinHash signature: K independent (seeded) min-hashes per id.
-    * Output columns mh0..mh{K-1}. Duplicate shingles don't affect min,
-    * so no distinct pass is needed before this.
+  /** MinHash signature: K min-hashes per id, output columns
+    * mh0..mh{K-1}. Duplicate shingles don't affect min, so no distinct
+    * pass is needed before this. ONE md5 per shingle row; the K family
+    * members derive from it by xor-shift mixing (HashFns.hashFamily) —
+    * at corpus scale md5 dominates signature cost, so this is K× cheaper
+    * than seeded per-hash digests and still engine-portable.
     */
   def minhashSignature(shingles: DataFrame, idCol: String,
                        numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(seed =>
-      min(HashFns.md5Long(col("shingle"), seed)).as(s"mh$seed"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingles.select(col(idCol),
+      HashFns.md5Long(col("shingle")).as("__h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(HashFns.hashFamily(col("__h"), i)).as(s"mh$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded LSH: split the K-hash signature into bands of `rowsPerBand`,
@@ -68,10 +73,27 @@ object Similarity {
   /** Candidate pairs from banded signatures: ids sharing at least one
     * band bucket, deduplicated, a < b. The join key is (band, value) —
     * this is the only shuffle and it never compares cross-bucket pairs.
+    *
+    * `maxBucket` caps bucket size: a bucket of m ids emits m(m-1)/2
+    * pairs, so one hot bucket (template spam, boilerplate) turns the
+    * candidate stage quadratic. Oversized buckets are DROPPED from
+    * near-dup candidacy — run exact dedup first so they can only arise
+    * from genuinely-distinct-but-templated content, and handle those via
+    * the bucket report, not the pair join.
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("band_value"), col(idCol).as("id_a"))
-    val b = bands.select(col("band"), col("band_value"), col(idCol).as("id_b"))
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val ok =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val sizes = bands.groupBy(col("band"), col("band_value"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+          .drop("__bn")
+        bands.join(sizes, Seq("band", "band_value"))
+      }
+    val a = ok.select(col("band"), col("band_value"), col(idCol).as("id_a"))
+    val b = ok.select(col("band"), col("band_value"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_value"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -94,6 +116,43 @@ object Similarity {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
   }
+
+  /** SimHash over a (id, token) frame: for each of `bits` bit positions,
+    * tokens vote +1/-1 by their hash's bit; positive totals set the bit.
+    * Near-duplicate documents differ in few tokens, so their simhashes
+    * differ in few bits (compare with bit_count(xor)).
+    *
+    * Scale shape: map-side md5 per token row, ONE groupBy(id) with
+    * `bits` partial-aggregating sums — the shuffle carries (id, bits×8
+    * bytes). Pair generation then bands the simhash bits (same
+    * bucket-join shape as MinHash-LSH), never all-pairs.
+    */
+  def simHash(tokens: DataFrame, idCol: String, tokenCol: String,
+              bits: Int): DataFrame = {
+    val h = HashFns.md5Long(col(tokenCol))
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    tokens.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i =>
+          when(col(s"v$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Word n-grams from a token-array column: one (id, ngram) row per
+    * position, n consecutive tokens joined by a space. Token arrays
+    * shorter than n produce no rows.
+    */
+  def wordNgrams(df: DataFrame, idCol: String, toksCol: String,
+                 n: Int): DataFrame =
+    df.filter(size(col(toksCol)) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col(toksCol)) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col(toksCol), i + j)): _*)))
+        .as("ngram"))
 
   /** Dot product of two float-array columns, accumulated in DOUBLE in
     * index order (bit-identical to DuckDB's
@@ -118,4 +177,14 @@ object Similarity {
     (0 until bits).map { i =>
       when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-probe set for a sign-bit bucket: the bucket itself plus every
+    * 1-bit flip — explode this on the probe side and EQUI-JOIN on the
+    * exact bucket of the other side. This keeps candidate generation a
+    * hash join (hamming <= 1 as a join predicate would be an all-pairs
+    * comparison); probing k bits costs k+1 rows per vector, not n².
+    */
+  def multiProbeBuckets(bucket: Column, bits: Int): Column =
+    array(bucket +: (0 until bits).map(i =>
+      bucket.bitwiseXOR(lit(1L << i))): _*)
 }

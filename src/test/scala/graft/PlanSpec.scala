@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries hold up
+  * at 100 TB are asserted here so a regression (a lost pushdown, a
+  * sneaky unpartitioned window, a fact-table broadcast) fails CI, not
+  * the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String): DataFrame = Queries.all(name)(spark, sf)
+  private def planString(d: DataFrame): String =
+    d.queryExecution.executedPlan.toString
+  private def formatted(d: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out)(d.explain("formatted"))
+    out.toString
+  }
+
+  test("filters and projections push into the parquet scan (P8/P1)") {
+    val p8 = formatted(df("q_p8_range_filter"))
+    assert(p8.contains("PushedFilters:"))
+    assert(p8.contains("IsNotNull(o_orderdate)"))
+    // column pruning: the scan reads only the 3 projected columns
+    val read = p8.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("o_orderkey") && read.contains("o_orderdate") &&
+      read.contains("o_totalprice"))
+    assert(!read.contains("o_orderpriority") && !read.contains("o_custkey"))
+  }
+
+  test("star join broadcasts fixed-size dims, never forces customer") {
+    val plan = planString(df("q_join_star_revenue"))
+    // nation + region arrive via explicit broadcast hints
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+    // the SCALING side must not carry a broadcast HINT — its strategy is
+    // AQE's runtime call (logical plan check: hints survive analysis)
+    val logical = df("q_join_star_revenue").queryExecution.analyzed.toString
+    val hinted = "(?s)UnresolvedHint|ResolvedHint".r.findAllIn(logical).size
+    assert(hinted == 2, s"expected exactly 2 broadcast hints, got $hinted")
+  }
+
+  test("mean imputation runs as agg + broadcast join, not a global window") {
+    val plan = planString(df("q_a8_mean_impute"))
+    assert(!plan.contains("Window"),
+      "A8 must not use an unpartitioned window over the fact table")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("scalar pipelines stay inside whole-stage codegen") {
+    // `*(N)` node prefixes mark whole-stage-codegen stages; the AQE plan
+    // finalizes on execution, so collect() first.
+    for (q <- Seq("q_f15_unit_conversions", "q_f18_binning",
+        "q_f3_f9_f12_durations")) {
+      val d = df(q)
+      d.collect()
+      assert(planString(d).contains("*("),
+        s"$q fell out of whole-stage codegen:\n${planString(d)}")
+    }
+  }
+
+  test("custom py_round expression participates in codegen") {
+    import org.apache.spark.sql.functions._
+    // range-backed (not a local relation, which would constant-fold the
+    // whole projection before any codegen happens)
+    val frame = spark.range(3).select(
+      graft.datasets.PipelineOps.pyRound1(
+        when(col("id") === 0, 2.15).when(col("id") === 1, 0.25)
+          .otherwise(1.05)).as("r"))
+    assert(frame.collect().map(_.getDouble(0)).toSeq == Seq(2.1, 0.2, 1.1))
+    // `*(1) Project [py_round(...)]` = the expression runs INSIDE a
+    // whole-stage-codegen stage (its doGenCode emitted the static call)
+    assert(planString(frame).contains("*("))
+    assert(planString(frame).contains("py_round"))
+  }
+
+  test("dedup and windows shuffle ONCE on their keys (no extra exchanges)") {
+    val plan = planString(df("q_u2_dedup_keep_first"))
+    // one hash exchange for the window partition key; the final orderBy
+    // adds a range exchange — anything more means a wasted shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+}

@@ -64,6 +64,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("simHash: near-identical docs land within small hamming distance") {
+    val toks = docs.select(col("id"),
+      explode(split(col("text"), " ")).as("token"))
+    val sh = Similarity.simHash(toks, "id", "token", 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))              // identical docs -> same hash
+    assert(ham(sh(1L), sh(3L)) <= 4)      // one word swapped -> close
+    assert(ham(sh(1L), sh(4L)) > ham(sh(1L), sh(3L))) // unrelated -> farther
+  }
+
+  test("wordNgrams emits positional n-grams, skips short docs") {
+    val t = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("x", "y")))
+      .toDF("id", "toks")
+    val ng = Similarity.wordNgrams(t, "id", "toks", 3)
+      .orderBy("id", "ngram").collect().map(_.getString(1)).toSeq
+    assert(ng == Seq("a b c", "b c d"))
+  }
+
+  test("multiProbeBuckets covers exactly hamming <= 1") {
+    val r = Seq(5L).toDF("b")
+      .select(Similarity.multiProbeBuckets(col("b"), 4).as("p"))
+      .head().getSeq[Long](0)
+    assert(r.toSet == Set(5L, 4L, 7L, 1L, 13L)) // 0101 and its 1-bit flips
+    assert(r.size == 5)
+  }
+
   test("signBitBucket encodes the sign pattern of leading dims") {
     val df = Seq(
       (1L, Array(1f, -1f, 1f, -1f)),

@@ -26,6 +26,7 @@ object Queries {
     QueriesRelational.qs,
     QueriesCoverage.qs,
     QueriesSources.qs,
+    QueriesDatasets.qs,
     QueriesText.qs,
     QueriesSimilarity.qs,
     QueriesEvents.qs

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Headers, TimeFns}
-import graft.operators.{Dedup, Profile}
+import graft.operators.{Dedup, Profile, Salt}
 import graft.sources.Tables
 
 /** Oracle-checked coverage for SURVEY §2 operators that existed as
@@ -189,6 +189,35 @@ object QueriesCoverage {
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------ salted agg
+    // Two-phase salted aggregation over a 3-value (maximally skewed)
+    // group key: partial aggregate on (key, salt), merge partials.
+    // The oracle is the PLAIN group-by — exactness of the decimal sums
+    // proves the two-phase rewrite is value-identical, while the
+    // physical plan never funnels a hot key through one reducer.
+    Q("q_salted_skew_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        Salt.aggregate(li,
+            keys = Seq(col("l_returnflag")),
+            salt = Salt.saltFrom(col("l_orderkey"), 16),
+            aggs = Seq(
+              "sum_qty" -> (col("l_quantity").cast("decimal(18,2)"), Salt.sum2),
+              "n"       -> (lit(1L), Salt.sum2),
+              "min_price" -> (col("l_extendedprice"), Salt.min2),
+              "max_price" -> (col("l_extendedprice"), Salt.max2)))
+          .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+            col("n"), col("min_price"), col("max_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  count(*) AS n,
+             |  min(l_extendedprice) AS min_price,
+             |  max(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ----------------------------------------------------------- F1/F2
     // Header normalization over dirty column names, plus parse-or-null

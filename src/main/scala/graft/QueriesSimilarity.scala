@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Windows}
 import graft.sources.Tables
 
 /** Deduplication + similarity-search operators over `documents` (text)
@@ -285,6 +285,93 @@ object QueriesSimilarity {
            |WHERE cos_sim >= 0.45
            |ORDER BY id_a, id_b""".stripMargin
       }),
+
+    // ------------------------------------------------------- IVF ANN
+    // Inverted-file ANN: vectors partition into cells by nearest
+    // centroid; a query probes its nProbe nearest cells and scores only
+    // those cells' members. Centroids here are deterministic seeds (the
+    // first 8 vectors) so both engines replay identically — production
+    // would k-means them; assignment, probing, and search plumbing are
+    // identical. Every step is a broadcast join against the (tiny)
+    // centroid set or an equi-join on cell id — corpus² never exists.
+    Q("q_sim_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm"))
+        // cell assignment: argmax centroid similarity (ties -> lowest cid)
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            (Similarity.dot(col("embedding"), col("cvec"))
+              / (col("nrm") * col("cnrm"))).as("csim"))
+        val assign = Dedup.keepFirst(scored, Seq("vec_id"),
+            Seq(col("csim").desc, col("cid")))
+          .select(col("cid").as("cell"), col("vec_id").as("nid"),
+            col("embedding").as("ce"), col("nrm").as("cenrm"))
+        // queries probe their 2 nearest cells
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qnrm"))
+        val probes = Windows.topKPerGroup(
+          queries.crossJoin(broadcast(cents))
+            .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("cell"),
+              (Similarity.dot(col("qe"), col("cvec"))
+                / (col("qnrm") * col("cnrm"))).as("psim")),
+          Seq(col("qid")), Seq(col("psim").desc, col("cell")), 2)
+        // search inside probed cells only
+        val hits = probes.join(assign, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (Similarity.dot(col("qe"), col("ce"))
+              / (col("qnrm") * col("cenrm"))).as("cos_sim"))
+        Windows.topKPerGroup(hits, Seq(col("qid")),
+            Seq(col("cos_sim").desc, col("nid")), 3)
+          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("cos_sim").desc, col("nid"))))
+          .select(col("qid"), col("rk"), col("nid"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |         ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |cents AS (
+              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, cents c),
+              |assign AS (
+              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
+              |         nrm AS cenrm
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM scored) WHERE rn = 1),
+              |queries AS (
+              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
+              |probes AS (
+              |  SELECT qid, qe, qnrm, cell FROM (
+              |    SELECT q.qid, q.qe, q.qnrm, c.cid AS cell,
+              |      ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm) AS psim,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
+              |          DESC, c.cid) AS rk
+              |    FROM queries q, cents c) WHERE rk <= 2),
+              |hits AS (
+              |  SELECT p.qid, a.nid,
+              |    ${dotSql("p.qe", "a.ce")} / (p.qnrm * a.cenrm) AS cos_sim
+              |  FROM probes p JOIN assign a USING (cell)
+              |  WHERE p.qid <> a.nid)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+              |  FROM hits)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
 
     // ----------------------------------------------------- simhash dedup
     // 16-bit SimHash from word tokens; near-dup candidates = docs whose

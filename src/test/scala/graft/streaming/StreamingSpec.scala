@@ -38,6 +38,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("jdbcUpsertSink is an idempotent delete+insert upsert") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val url = s"jdbc:derby:$dbDir/updb;create=true"
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.jdbcUpsertSink(input.toDF(), url, "ev_upsert",
+      keyCol = "event_id", order = Seq("ts")).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(graft.sinks.Jdbc.rowCount(spark, url, "ev_upsert") == 2L)
+      // re-deliver key 2 with a newer value + a new key 3
+      input.addData(
+        Event(2, ts("2024-03-01 10:05:00"), 1, "view", 9.0),
+        Event(3, ts("2024-03-01 10:06:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      assert(graft.sinks.Jdbc.rowCount(spark, url, "ev_upsert") == 3L)
+      val v2 = graft.sinks.Jdbc.query(spark, url,
+        """SELECT "value" FROM ev_upsert WHERE "event_id" = 2""")
+        .head().getDouble(0)
+      assert(v2 == 9.0) // last write won
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[Event](spark)
     val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,

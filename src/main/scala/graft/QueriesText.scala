@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
+import graft.operators.Windows
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` corpus: token counting,
@@ -137,6 +138,50 @@ object QueriesText {
               |  FROM t)
               |SELECT bigram, count(*) AS n FROM bg
               |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------- tf-idf terms
+    // Top characteristic terms per document: tf × (N/df), the rational
+    // idf variant — integer-derived double division is bit-exact across
+    // engines, unlike ln(N/df) whose libm implementations differ in the
+    // last ulp and would break the exact hash compare. Corpus-wide df in
+    // one distinct+groupBy pass; N via a broadcast 1-row aggregate.
+    Q("q_text_tfidf_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.distinct().groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf") * col("n_docs") / col("df")).as("score"))
+        Windows.topKPerGroup(scored, Seq(col("doc_id")),
+            Seq(col("score").desc, col("term")), 3)
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+              |  FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf
+              |       FROM toks GROUP BY doc_id, term),
+              |dfreq AS (SELECT term, count(*) AS df
+              |          FROM (SELECT DISTINCT doc_id, term FROM toks)
+              |          GROUP BY term),
+              |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT doc_id, term, tf, df, tf * n_docs / df AS score
+              |  FROM tf JOIN dfreq USING (term), n
+              |  WHERE doc_id < 50)
+              |SELECT doc_id, term, tf, df, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+              |  FROM scored) WHERE rk <= 3
+              |ORDER BY doc_id, score DESC, term""".stripMargin)),
 
     // ------------------------------------------------ content fingerprint
     // Fingerprint survives case/punctuation/whitespace noise: fp of the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties}
 import graft.functions.{Bins, Headers, TimeFns}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Salt, Sessionize}
 
 /** ScalaCheck laws (run natively by sbt's ScalaCheck framework).
   * Column-level laws evaluate whole generated batches through one Spark
@@ -47,6 +47,53 @@ object Laws extends Properties("graft") {
         val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("seq")))
         once.orderBy("k", "seq").collect().toSeq ==
           twice.orderBy("k", "seq").collect().toSeq
+      }
+    }
+
+  // salted aggregation is value-identical to the direct group-by for
+  // any keyed data and any salt source
+  property("salted agg == direct agg") =
+    Prop.forAll(Gen.listOfN(60, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0, 10000), Gen.choose(0, 1 << 20)))) { xs =>
+      xs.isEmpty || {
+        val df = xs.toDF("k", "cents", "saltsrc")
+          .withColumn("v", (col("cents") / 100.0).cast("decimal(18,2)"))
+        val direct = df.groupBy("k")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .orderBy("k").collect().toSeq
+        val salted = Salt.aggregate(df, Seq(col("k")),
+            Salt.saltFrom(col("saltsrc"), 8),
+            Seq("s" -> (col("v"), Salt.sum2), "n" -> (lit(1L), Salt.sum2)))
+          .orderBy("k").collect().toSeq
+        salted == direct
+      }
+    }
+
+  // sessionization: per user, #sessions == 1 + #gaps exceeding the
+  // threshold in time order (the lag-gap/cumulative-flag invariant)
+  property("sessionize gap law") =
+    Prop.forAll(
+      Gen.choose(1L, 600L),
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 100000L)))) {
+      (gap, xs) =>
+      xs.isEmpty || {
+        val rows = xs.zipWithIndex.map { case ((u, off), i) =>
+          (u.toLong, new java.sql.Timestamp(off * 1000L), i.toLong)
+        }
+        val df = rows.toDF("user", "ts", "eid")
+        val out = Sessionize.sessionize(df, col("user"), col("ts"),
+            Seq(col("ts"), col("eid")), gapSeconds = gap)
+          .groupBy("user")
+          .agg(max(col("session_id")).as("n_sessions"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expected = rows.groupBy(_._1).map { case (u, rs) =>
+          val ts = rs.map(r => (r._2.getTime, r._3)).sorted.map(_._1)
+          u -> (1L + ts.sliding(2).count {
+            case Seq(a, b) => b - a > gap * 1000L
+            case _ => false
+          })
+        }
+        out == expected
       }
     }
 

@@ -286,6 +286,73 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ----------------------------------------------- quantized ANN scan
+    // int8 scan + exact re-rank: the corpus is scanned in max-abs
+    // quantized form (1 byte/dim — 4x less bandwidth than float32,
+    // which is what brute-force scans pay for at scale); the top-8
+    // quantized candidates per query are re-ranked by exact cosine and
+    // the top-3 kept. Output is integer-only (ids/ranks) so the
+    // cross-engine compare is exact by construction.
+    Q("q_sim_ann_quantized",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("scale", Similarity.quantScale(col("embedding")))
+          .withColumn("qv", Similarity.quantize(col("embedding"), col("scale")))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("qv").as("qqv"), col("scale").as("qs"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          col("qv").as("cqv"), col("scale").as("cs"), col("nrm").as("cn"))
+        val coarse = Windows.topKPerGroup(
+          q.crossJoin(c).filter(col("qid") =!= col("nid"))
+            .select(col("qid"), col("qe"), col("qn"), col("nid"), col("ce"),
+              col("cn"),
+              (Similarity.quantDot(col("qqv"), col("cqv")).cast("double")
+                / (col("qs") * col("cs"))).as("qscore")),
+          Seq(col("qid")), Seq(col("qscore").desc, col("nid")), 8)
+        val exact = coarse.select(col("qid"), col("nid"),
+          (Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("cos_sim"))
+        Windows.topKPerGroup(exact, Seq(col("qid")),
+            Seq(col("cos_sim").desc, col("nid")), 3)
+          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("cos_sim").desc, col("nid"))))
+          .select(col("qid"), col("rk"), col("nid"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    127.0 / list_max(list_transform(embedding,
+              |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+              |    ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |qz AS (
+              |  SELECT vec_id, embedding, scale, nrm,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT))
+              |      AS qv
+              |  FROM e),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, qv AS qqv,
+              |             scale AS qs, nrm AS qn
+              |      FROM qz WHERE vec_id < 10),
+              |coarse AS (
+              |  SELECT * FROM (
+              |    SELECT q.qid, q.qe, q.qn, c.vec_id AS nid,
+              |      c.embedding AS ce, c.nrm AS cn,
+              |      row_number() OVER (PARTITION BY q.qid ORDER BY
+              |        list_sum(list_transform(list_zip(q.qqv, c.qv),
+              |          x -> x[1] * x[2])) / (q.qs * c.scale) DESC,
+              |        c.vec_id) AS qrk
+              |    FROM q, qz c WHERE c.vec_id <> q.qid)
+              |  WHERE qrk <= 8)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY
+              |      ${dotSql("qe", "ce")} / (qn * cn) DESC, nid) AS rk
+              |  FROM coarse)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     // ------------------------------------------------------- IVF ANN
     // Inverted-file ANN: vectors partition into cells by nearest
     // centroid; a query probes its nProbe nearest cells and scores only

@@ -26,6 +26,33 @@ object Lake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed table: hash-bucket rows by `key` into `buckets` files per
+    * partition and record the bucketing in the catalog. Two tables
+    * bucketed the SAME way join WITHOUT any exchange — the shuffle that
+    * dominates large fact-fact joins is paid once at write time and
+    * amortized over every subsequent join/aggregation on that key
+    * (LakeBucketSpec asserts the exchange-free plan). This is the
+    * co-location strategy for the master join and fact-fact joins at
+    * 100 TB; `spark.sql.sources.bucketing.enabled` is on by default.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories survive — clear both before (re)creating
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Small-file compaction: rewrite each `day=` partition into
     * ~`targetRowsPerFile` chunks. Streaming/micro-batch ingest leaves
     * one file per batch per day; scans then pay per-file open cost and

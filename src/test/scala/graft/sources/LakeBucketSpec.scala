@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LakeBucketSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("co-bucketed tables join without any shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    Lake.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
+    Lake.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+
+    // disable auto-broadcast so the join strategy at this toy scale is
+    // the same sort-merge it would be fact-vs-fact at 100 TB; the claim
+    // under test is NO SHUFFLE, which bucketing provides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), Seq("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must be shuffle-free:\n$plan")
+
+      // sanity: same result as the un-bucketed join
+      val direct = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      assert(joined.orderBy("o_orderkey").collect().toSeq ==
+        direct.orderBy("o_orderkey").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
+}

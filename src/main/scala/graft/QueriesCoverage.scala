@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Headers, TimeFns}
-import graft.operators.{Dedup, Profile, Salt}
+import graft.operators.{AsOf, Dedup, Profile, Salt}
 import graft.sources.Tables
 
 /** Oracle-checked coverage for SURVEY §2 operators that existed as
@@ -189,6 +189,48 @@ object QueriesCoverage {
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------ as-of join
+    // Point-in-time lookup: each open order picks up the customer's
+    // latest PRIOR finished order (price + date). Spark has no as-of
+    // operator; ours is the union+window trick (one shuffle on the key,
+    // O(n log) per key — a range join would be quadratic per key). The
+    // oracle is DuckDB's NATIVE ASOF JOIN, so the semantics — inclusive
+    // backward match per key — are pinned against an independent
+    // implementation.
+    Q("q_asof_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val left = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val snaps = Dedup.keepLatest(
+            o.filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey"), col("o_orderdate").as("snap_ts"),
+                col("o_totalprice").as("snap_price"),
+                col("o_orderkey").as("snap_key")),
+            Seq("o_custkey", "snap_ts"), col("snap_key"))
+          .drop("snap_key")
+        AsOf.joinBackward(left, snaps, "o_custkey", "o_orderdate", "snap_ts",
+            Seq("snap_price"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("snap_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""WITH l AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |  WHERE o_orderstatus = 'O'),
+             |r AS (
+             |  SELECT o_custkey, snap_ts, snap_price FROM (
+             |    SELECT o_custkey, o_orderdate AS snap_ts,
+             |      o_totalprice AS snap_price,
+             |      row_number() OVER (
+             |        PARTITION BY o_custkey, o_orderdate
+             |        ORDER BY o_orderkey DESC) AS rn
+             |    FROM orders WHERE o_orderstatus = 'F') WHERE rn = 1)
+             |SELECT l.o_custkey, l.o_orderkey, l.o_orderdate, r.snap_price
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.o_custkey = r.o_custkey AND r.snap_ts <= l.o_orderdate
+             |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------ salted agg
     // Two-phase salted aggregation over a 3-value (maximally skewed)

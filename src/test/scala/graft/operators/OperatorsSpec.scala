@@ -109,6 +109,21 @@ class OperatorsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "s", "dead"))
   }
 
+  test("asof joinBackward: inclusive latest-prior match, null before first") {
+    val left = Seq((1, 5, "l1"), (1, 10, "l2"), (1, 20, "l3"), (2, 7, "l4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 5, 50.0), (1, 15, 150.0), (2, 9, 90.0))
+      .toDF("k", "snap_ts", "price")
+    val r = AsOf.joinBackward(left, right, "k", "ts", "snap_ts", Seq("price"))
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getAs[String]("tag"), x.getAs[Any]("price"))).toSeq
+    assert(r == Seq(
+      ("l1", 50.0),  // equal ts matches (inclusive)
+      ("l2", 50.0),  // 15 > 10 not eligible
+      ("l3", 150.0), // latest <= 20
+      ("l4", null))) // key 2: no snapshot at/before 7
+  }
+
   test("sessionize splits on gap > threshold, 1-based per user") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Headers, TimeFns}
-import graft.operators.{AsOf, Dedup, Profile, Salt}
+import graft.operators.{AsOf, Dedup, Profile, RangeJoin, Salt}
 import graft.sources.Tables
 
 /** Oracle-checked coverage for SURVEY §2 operators that existed as
@@ -189,6 +189,40 @@ object QueriesCoverage {
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // ----------------------------------------------------- range join
+    // Binned range join: price points land in fixed-width bins, price
+    // intervals explode into the bins they overlap, and the range
+    // predicate runs AFTER a hash equi-join on the bin — Catalyst's own
+    // plan for this shape is a broadcast-nested-loop (|L|x|R|). The
+    // oracle is the plain range-predicate join in DuckDB.
+    Q("q_range_join_binned",
+      (s, d) => {
+        val points = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+        val intervals = Tables.part(s, d)
+          .filter(col("p_partkey") < 100)
+          .select(col("p_partkey"),
+            (col("p_retailprice") - 5.0).as("lo"),
+            (col("p_retailprice") + 5.0).as("hi"))
+        RangeJoin.pointInInterval(points, intervals,
+            "l_extendedprice", "lo", "hi", binWidth = 10L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+            col("l_extendedprice"), col("lo"), col("hi"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_partkey,
+             |  l_extendedprice, p_retailprice - 5.0 AS lo,
+             |  p_retailprice + 5.0 AS hi
+             |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+             |      FROM lineitem WHERE l_orderkey < 500) l
+             |JOIN (SELECT p_partkey, p_retailprice FROM part
+             |      WHERE p_partkey < 100) p
+             |  ON l.l_extendedprice >= p.p_retailprice - 5.0
+             | AND l.l_extendedprice <= p.p_retailprice + 5.0
+             |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin)),
 
     // ------------------------------------------------------ as-of join
     // Point-in-time lookup: each open order picks up the customer's

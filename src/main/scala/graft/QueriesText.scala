@@ -139,6 +139,54 @@ object QueriesText {
               |SELECT bigram, count(*) AS n FROM bg
               |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // ----------------------------------------------------- doc chunking
+    // Split documents into overlapping token windows (size 32, stride
+    // 24) — the context-window chunking step of an LLM training-data
+    // pipeline. Pure map + explode (no shuffle): each doc emits
+    // ceil((len-overlap)/stride) chunks tagged (doc_id, chunk_no) with
+    // its token span re-joined to text. A trailing partial chunk is
+    // kept iff it adds tokens beyond the previous window.
+    Q("q_text_chunking",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        val docs = Tables.documents(s, d)
+        val toked = docs.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val t = col("toks")
+        val nChunks = when(size(t) <= W, lit(1))
+          .otherwise(ceil((size(t) - lit(W)).cast("double") / S)
+            .cast("int") + 1)
+        toked
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+          .select(col("doc_id"), col("chunk_no"),
+            concat_ws(" ",
+              slice(col("toks"), col("chunk_no") * S + 1, lit(W))).as("chunk"),
+            least(size(col("toks")) - col("chunk_no") * S, lit(W))
+              .cast("long").as("chunk_tokens"))
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |n AS (
+              |  SELECT doc_id, toks,
+              |    CASE WHEN len(toks) <= 32 THEN 1
+              |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+              |    END AS n_chunks
+              |  FROM t),
+              |c AS (
+              |  SELECT doc_id, toks,
+              |    CAST(u.c AS INT) AS chunk_no
+              |  FROM n, unnest(range(n_chunks)) u(c))
+              |SELECT doc_id, chunk_no,
+              |  array_to_string(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32],
+              |    ' ') AS chunk,
+              |  CAST(least(len(toks) - chunk_no * 24, 32) AS BIGINT)
+              |    AS chunk_tokens
+              |FROM c ORDER BY doc_id, chunk_no""".stripMargin)),
+
     // ------------------------------------------------------- tf-idf terms
     // Top characteristic terms per document: tf × (N/df), the rational
     // idf variant — integer-derived double division is bit-exact across

@@ -512,6 +512,81 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ------------------------------------------------ corpus clean (capstone)
+    // The end-to-end training-corpus cleaning pipeline: quality gate
+    // (minimum word count) -> exact dedup (keep lowest id per content)
+    // -> MinHash-LSH near-dup detection -> greedy prune (drop the
+    // higher id of every verified pair — single pass, deterministic;
+    // full transitive clustering would need iterative label
+    // propagation). Output: the surviving corpus. Every stage is the
+    // already-oracled operator, composed.
+    Q("q_corpus_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(TextFns.wordCount(col("text")) >= 5)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5)
+        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
+        val nearDups = Similarity.jaccardForPairs(cand, sh, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        uniq.join(nearDups, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH q AS (
+           |  SELECT doc_id, text, n_chars FROM documents
+           |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5),
+           |uniq AS (
+           |  SELECT doc_id, text, n_chars FROM (
+           |    SELECT doc_id, text, n_chars, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM q) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN ok USING (band, bv)
+           |  JOIN bands b USING (band, bv)
+           |  WHERE a.doc_id < b.doc_id),
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.id_a
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  GROUP BY c.id_a, c.id_b),
+           |dropped AS (
+           |  SELECT DISTINCT id_b AS doc_id FROM inter
+           |  JOIN sz sa ON sa.doc_id = id_a
+           |  JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)
+           |SELECT doc_id, n_chars FROM uniq
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ------------------------------------------------ word-ngram jaccard
     // Token-3-gram Jaccard near-dup: inverted-index candidate join on
     // shared RARE ngrams (document frequency <= 20 — frequent ngrams are

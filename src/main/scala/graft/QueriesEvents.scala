@@ -22,6 +22,65 @@ object QueriesEvents {
 
   val qs: Seq[Q] = Seq(
 
+    // -------------------------------------------------- retention cohorts
+    // Classic cohort retention: each user's cohort is their first active
+    // day; the matrix counts distinct users active at day offsets 0..7
+    // from their cohort. Two aggregations (first-day per user, then the
+    // cohort×offset distinct count) — both shuffle on user/cohort keys,
+    // no self-join of the raw event stream.
+    Q("q_ev_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(cohorts, Seq("user_id"))
+          .select(col("user_id"), col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohorts AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM ev
+             |  GROUP BY user_id)
+             |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM ev JOIN cohorts USING (user_id)
+             |WHERE date_diff('day', cohort_day, day) <= 7
+             |GROUP BY cohort_day, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ----------------------------------------- deterministic sampling
+    // Hash-based stratified sampling: keep ~20% of documents per
+    // language, selected by a portable content-independent hash of the
+    // id — fully reproducible across runs, engines, and partitionings,
+    // unlike rand()-based sampling. This is how training corpora carve
+    // stable held-out slices.
+    Q("q_sample_stratified",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = docs.filter(
+          pmod(graft.functions.HashFns.md5Long(
+            concat(lit("sample:"), col("doc_id").cast("string"))), lit(100L)) < 20L)
+        val perLang = kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+        kept.select(col("doc_id"), col("lang")).join(perLang, Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_sampled"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH kept AS (
+              |  SELECT doc_id, lang FROM documents
+              |  WHERE ${graft.functions.HashFns.md5LongSql(
+                   "'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20),
+              |pl AS (SELECT lang, count(*) AS n_sampled FROM kept
+              |       GROUP BY lang)
+              |SELECT doc_id, lang, n_sampled FROM kept JOIN pl USING (lang)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------ sessionization
     Q("q_ev_sessionize",
       (s, d) => {

@@ -97,7 +97,8 @@ object QueriesSimilarity {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
-        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5)
+        // cached: consumed twice (signature + exact-Jaccard verification)
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
         val sig = Similarity.minhashSignature(sh, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
@@ -525,7 +526,8 @@ object QueriesSimilarity {
         val docs = Tables.documents(s, d)
           .filter(TextFns.wordCount(col("text")) >= 5)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
-        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5)
+        // cached: consumed twice (signature + exact-Jaccard verification)
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
         val sig = Similarity.minhashSignature(sh, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
@@ -598,8 +600,10 @@ object QueriesSimilarity {
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
         val toked = uniq.select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
+        // cached: consumed three times (df counts, candidate join sides,
+        // exact-Jaccard verification)
         val ngrams = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
-          .distinct()
+          .distinct().cache()
         val rare = ngrams.groupBy(col("ngram"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") <= 20)
           .select(col("ngram"))

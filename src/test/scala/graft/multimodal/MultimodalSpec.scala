@@ -39,6 +39,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.toSeq != f1.toSeq)
   }
 
+  test("extracted features feed the similarity operators end-to-end") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    // near-identical payloads -> near-identical feature vectors ->
+    // top cosine neighbor; the multimodal features column is a normal
+    // Array[Float] embedding as far as the similarity stack is concerned
+    val base = Array.tabulate(2048)(i => (i % 97).toByte)
+    val near = base.clone(); near(5) = 1.toByte
+    val far  = Array.tabulate(2048)(i => ((i * 31 + 7) % 211).toByte)
+    val feats = Multimodal.extractFeatures(
+      Seq(MediaRow(1, "image", base), MediaRow(2, "image", near),
+          MediaRow(3, "image", far)).toDS(), dim = 64).toDF()
+    val a = feats.select(col("media_id").as("ida"), col("features").as("fa"))
+    val b = feats.select(col("media_id").as("idb"), col("features").as("fb"))
+    val sims = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        Similarity.cosine(col("fa"), col("fb")).as("cs"))
+      .orderBy(col("cs").desc).collect()
+    assert((sims.head.getLong(0), sims.head.getLong(1)) == (1L, 2L))
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

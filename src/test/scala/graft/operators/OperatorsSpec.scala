@@ -109,6 +109,20 @@ class OperatorsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "s", "dead"))
   }
 
+  test("rangeJoin pointInInterval: inclusive bounds, multi-bin intervals") {
+    val points = Seq((1, 10.0), (2, 25.0), (3, 39.9), (4, 40.1))
+      .toDF("pid", "v")
+    val intervals = Seq((100, 10.0, 40.0), (200, 38.0, 39.0))
+      .toDF("iid", "lo", "hi")
+    val r = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+        binWidth = 7L)
+      .select("pid", "iid").orderBy("pid", "iid").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq
+    // 10.0 and 40.0 are inclusive bounds; 40.1 matches nothing;
+    // interval 100 spans 5 bins and must still match every bin's points
+    assert(r == Seq((1, 100), (2, 100), (3, 100)))
+  }
+
   test("asof joinBackward: inclusive latest-prior match, null before first") {
     val left = Seq((1, 5, "l1"), (1, 10, "l2"), (1, 20, "l3"), (2, 7, "l4"))
       .toDF("k", "ts", "tag")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Headers, TimeFns}
-import graft.operators.{AsOf, Dedup, Profile, RangeJoin, Salt}
+import graft.operators.{AsOf, Dedup, Profile, RangeJoin, Salt, Windows}
 import graft.sources.Tables
 
 /** Oracle-checked coverage for SURVEY §2 operators that existed as
@@ -189,6 +189,32 @@ object QueriesCoverage {
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // --------------------------------------------- distributed ffill
+    // Global forward fill executed bucket-parallel (month buckets,
+    // monotone along the date order) — the scale path for W3, where an
+    // unpartitioned window would serialize the whole table through one
+    // task. The oracle is DuckDB's global last_value IGNORE NULLS, so
+    // the bucket-boundary carry is proven value-identical to the
+    // single-sequence semantics.
+    Q("q_w3_ffill_distributed",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("sparse",
+            when(col("o_orderkey") % 97 === 0, col("o_totalprice")))
+        Windows.forwardFillDistributed(o, "sparse",
+            Seq(col("o_orderdate"), col("o_orderkey")),
+            bucket = year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .select(col("o_orderkey"), col("o_orderdate"), col("sparse"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  last_value(CASE WHEN o_orderkey % 97 = 0
+             |                  THEN o_totalprice END IGNORE NULLS) OVER (
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sparse
+             |FROM orders
+             |ORDER BY o_orderdate, o_orderkey""".stripMargin)),
 
     // ----------------------------------------------------- range join
     // Binned range join: price points land in fixed-width bins, price

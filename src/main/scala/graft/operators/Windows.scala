@@ -41,6 +41,56 @@ object Windows {
     last(value, ignoreNulls = true).over(grouped(keys, order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+  /** W3 at scale — GLOBAL forward fill without a global single-task
+    * window. The caller supplies a `bucket` expression that is MONOTONE
+    * non-decreasing along the total order and castable to long (e.g.
+    * `year(ts)*12 + month(ts)` for a date order): (1) an in-bucket
+    * ffill window runs every bucket in parallel; (2) each bucket's LAST
+    * filled value — one tiny row per bucket — comes to the driver,
+    * where a prefix scan computes the carry entering each bucket;
+    * (3) a broadcast join patches the rows before a bucket's first
+    * non-null. Only the per-bucket summary leaves the executors, so
+    * this holds at any table size — the unpartitioned `forwardFill`
+    * stays for bounded spines only. A data-derived bucket (rather than
+    * a physical partition id) keeps the result deterministic under
+    * re-partitioning, AQE, and replays.
+    *
+    * `order` must be a TOTAL order (include tiebreakers).
+    */
+  def forwardFillDistributed(df: DataFrame, valueCol: String,
+                             order: Seq[Column],
+                             bucket: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val bk = Dedup.freshName(df, "__ffbk")
+    val bucketed = df.withColumn(bk, bucket.cast("long"))
+    val w = Window.partitionBy(col(bk)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = bucketed.withColumn(valueCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+    // per-bucket carry-out = last row's value after the in-bucket fill;
+    // null iff the whole bucket is null
+    val lasts = filled.groupBy(col(bk))
+      .agg(max_by(col(valueCol), struct(order: _*)).as("__blast"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).sortBy(_._1)
+    // prefix scan on the driver: carry INTO each bucket
+    var running: Any = null
+    val carries = lasts.map { case (b, blast) =>
+      val in = running
+      if (blast != null) running = blast
+      Row(b, in)
+    }
+    val valueField = df.schema(valueCol)
+    val carrySchema = StructType(Seq(StructField("__ffb", LongType),
+      StructField("__carry", valueField.dataType)))
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carries.toSeq, 1), carrySchema)
+    filled.join(broadcast(carryDf), col(bk) === col("__ffb"), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__carry")))
+      .drop(bk, "__ffb", "__carry")
+  }
+
   /** W4 — rank rows within groups (top-k per group when filtered). */
   def rowNumber(keys: Seq[Column], order: Seq[Column]): Column =
     row_number().over(grouped(keys, order))

@@ -81,6 +81,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Seq(5.0, 5.0, 5.0, 9.0, 9.0))
   }
 
+  test("W3-at-scale forwardFillDistributed equals the single-window fill") {
+    val n = 500
+    val data = (1 to n).map { i =>
+      (i.toLong, if (i % 7 == 0) Some(i.toDouble) else None)
+    }
+    val df = data.toDF("seq", "v")
+    val expected = df.select(col("seq"),
+        Windows.forwardFill(col("v"), Nil, Seq(col("seq"))).as("v"))
+      .orderBy("seq").collect().map(_.get(1)).toSeq
+    val got = Windows.forwardFillDistributed(df, "v", Seq(col("seq")),
+        bucket = col("seq") / 50)
+      .orderBy("seq").collect().map(_.get(1)).toSeq
+    assert(got == expected)
+    // leading nulls (before the first non-null anywhere) stay null
+    assert(got.take(6).forall(_ == null))
+  }
+
   test("O2 topKPerGroup returns exactly k deterministic rows per group") {
     val r = Windows.topKPerGroup(sales, Seq(col("k")),
         Seq(col("v").desc, col("seq")), 2)

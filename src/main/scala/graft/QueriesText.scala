@@ -139,6 +139,35 @@ object QueriesText {
               |SELECT bigram, count(*) AS n FROM bg
               |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // ---------------------------------------------- token-count estimate
+    // Whitespace word count vs the BPE-ish subword estimate per doc,
+    // plus the corpus totals a token-budgeting pass needs.
+    Q("q_text_token_estimate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val per = docs.select(col("doc_id"),
+          TextFns.wordCount(col("text")).as("n_words"),
+          TextFns.bpeishTokenCount(col("text")).as("n_bpeish"))
+        // corpus total via 1-row agg + broadcast, NOT an unpartitioned
+        // window (same A8 discipline: nothing funnels through one task)
+        val total = per.agg(sum(col("n_bpeish")).as("corpus_bpeish"))
+        per.crossJoin(broadcast(total))
+          .filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              |      AS BIGINT) AS n_words,
+              |    CAST(len(regexp_extract_all(text,
+              |      '${TextFns.bpeishPattern.replace("'", "''")}', 0))
+              |      AS BIGINT) AS n_bpeish
+              |  FROM documents)
+              |SELECT doc_id, n_words, n_bpeish,
+              |  (SELECT CAST(SUM(n_bpeish) AS BIGINT) FROM per)
+              |    AS corpus_bpeish
+              |FROM per WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------- doc chunking
     // Split documents into overlapping token windows (size 32, stride
     // 24) — the context-window chunking step of an LLM training-data

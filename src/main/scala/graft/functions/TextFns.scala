@@ -36,6 +36,17 @@ object TextFns {
   def wordCount(c: Column): Column =
     regexp_count(c, lit("[a-z0-9]+")).cast("long")
 
+  /** BPE-ish token-count estimate: a GPT-2-style pre-tokenizer regex
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) counted per document. Not a real BPE vocab —
+    * it's the cheap upper-bound estimator pipelines use for token
+    * budgeting before the actual tokenizer runs. The pattern is RE2-
+    * compatible so DuckDB oracles count identically.
+    */
+  val bpeishPattern: String = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(bpeishPattern)).cast("long")
+
   /** Punctuation-ish character count (anything outside [a-z0-9 ]). */
   def punctCount(c: Column): Column =
     regexp_count(lower(c), lit("[^a-z0-9 ]")).cast("long")

@@ -190,6 +190,31 @@ object QueriesCoverage {
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
 
+    // --------------------------------------------------- rollup/cube
+    // Hierarchical totals via ROLLUP (the grouping-sets surface SURVEY
+    // §2.5 notes Spark provides beyond the reference): per
+    // (status, priority), per status, and grand total in ONE pass —
+    // partial aggregation covers all grouping sets without re-scanning.
+    // grouping_id() disambiguates rolled-up NULLs from data NULLs on
+    // both engines.
+    Q("q_agg_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             |    AS gid
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST,
+             |  o_orderpriority NULLS FIRST""".stripMargin)),
+
     // --------------------------------------------- distributed ffill
     // Global forward fill executed bucket-parallel (month buckets,
     // monotone along the date order) — the scale path for W3, where an

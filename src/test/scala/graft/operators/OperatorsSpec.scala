@@ -115,6 +115,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dates.toSeq == Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
   }
 
+  test("Profile HLL mode agrees with exact mode on pruning decisions") {
+    // approx_count_distinct only needs to distinguish 0/1/many for the
+    // pruning decision; assert the decisions match exact mode
+    val df = graft.sources.Tables.orders(TestSpark.spark,
+        "/root/testdata/sf0.001")
+      .withColumn("dead", lit(null).cast("int"))
+      .withColumn("const", lit(1))
+    val exact  = Profile.pruneUninformative(df, exact = true).columns.toSeq
+    val approx = Profile.pruneUninformative(df, exact = false).columns.toSeq
+    assert(exact == approx)
+  }
+
   test("P3/P4 pruneUninformative drops all-null and constant columns only") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
       .withColumn("dead", lit(null).cast("int"))

@@ -30,12 +30,18 @@ object Impute {
       }
     if (targets.isEmpty) df
     else {
+      // Collision-proof helper prefix (same discipline as Dedup.freshName):
+      // an input frame that already has a __mean_<target> column must not
+      // shadow the computed means.
+      val prefix = Iterator.from(0)
+        .map(i => if (i == 0) "__mean_" else s"__mean${i}_")
+        .find(p => !df.columns.exists(_.startsWith(p))).get
       val means = df.agg(
-        avg(col(targets.head)).as(s"__mean_${targets.head}"),
-        targets.tail.map(c => avg(col(c)).as(s"__mean_$c")): _*)
+        avg(col(targets.head)).as(s"$prefix${targets.head}"),
+        targets.tail.map(c => avg(col(c)).as(s"$prefix$c")): _*)
       val joined = df.crossJoin(broadcast(means))
       val filled = df.columns.toSeq.map { c =>
-        if (targets.contains(c)) coalesce(col(c), col(s"__mean_$c")).as(c)
+        if (targets.contains(c)) coalesce(col(c), col(s"$prefix$c")).as(c)
         else col(c)
       }
       joined.select(filled: _*)

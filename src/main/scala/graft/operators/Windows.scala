@@ -71,9 +71,17 @@ object Windows {
       last(col(valueCol), ignoreNulls = true).over(w))
     // per-bucket carry-out = last row's value after the in-bucket fill;
     // null iff the whole bucket is null
+    // One tiny row per bucket crosses to the driver — that bound is the
+    // contract; bucket count must stay driver-sized (e.g. one per month).
     val lasts = filled.groupBy(col(bk))
       .agg(max_by(col(valueCol), struct(order: _*)).as("__blast"))
-      .collect().map(r => r.getLong(0) -> r.get(1)).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"forwardFillDistributed: bucket expression evaluated to NULL " +
+            s"for some rows; the bucket must be non-null and monotone " +
+            s"along the order (fix the bucket expr or filter null keys)")
+        r.getLong(0) -> r.get(1)
+      }.sortBy(_._1)
     // prefix scan on the driver: carry INTO each bucket
     var running: Any = null
     val carries = lasts.map { case (b, blast) =>

@@ -1,24 +1,305 @@
 package graft
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import graft.datasets._
 
 /** Oracle-checked entries for the Garmin dataset pipelines. These read
   * the reference's committed raw export (not the sfDir testdata — the
   * sfDir parameter is ignored), and the DuckDB oracles replay the same
-  * transform over the same raw JSON via read_json_auto, so the driver's
+  * transform over the same raw JSON via read_json, so the driver's
   * hash compare covers the whole pipeline: scan → union → clean → dedup
-  * → scaffold/ffill → project.
+  * → scaffold/ffill → impute → project.
   *
-  * sleep_data and uds_data are registered rows-only: their mean-fill
-  * (binary-exact CPython rounding, truncation casts over ~30 columns)
-  * is pinned cell-for-cell by the golden-file suite
-  * (graft.datasets.GoldenSpec) instead of duplicated in SQL.
+  * Floating-point discipline for the imputing pipelines (sleep/uds):
+  * every mean-fill here sums INTEGER-VALUED doubles (verified over the
+  * committed export), so the sum is exact and the mean is identical
+  * under any summation order — Spark's partial aggregation and DuckDB's
+  * sequential scan produce the same bits. The two columns where that
+  * does not hold (sleepDurationHours: means of one-decimal doubles;
+  * avgSleepStress: float32-derived values) are routed through
+  * [[stab6]], a 6-decimal half-even stabilizer that collapses last-ulp
+  * summation noise while preserving the golden-pinned value to 1e-6.
+  * The remaining rounded columns (pyRound1 of secs/3600) sit ≥0.02 from
+  * every 1-decimal rounding boundary on this data, so the DuckDB
+  * `round_even((x)*10)/10` mirror is exact (no binary value of
+  * secs/3600 can land ON a tie: k.05 has no finite binary expansion).
   */
 object QueriesDatasets {
 
   private val raw =
     "/root/reference/ETL Scripts/PBI Python Scripts/Raw Data"
   private def glob(sub: String) = s"$raw/*/DI_CONNECT/$sub"
+
+  /** Kill last-ulp fp noise: half-even round to 6 decimals. DuckDB
+    * mirror: `round_even(c * 1000000.0, 0) / 1000000.0` (bround and
+    * round_even both reduce to rint of the product here — see
+    * PipelineOps.npRound1 scaladoc for why bround == rint off ties).
+    */
+  private def stab6(c: Column): Column = bround(c * lit(1e6)) / lit(1e6)
+  private def stab6Sql(e: String): String =
+    s"round_even($e * 1000000.0, 0) / 1000000.0"
+
+  /** DuckDB mirror of PipelineOps.npRound1 applied to x/3600. npRound1
+    * multiplies by 10 in fp FIRST (both engines hit the same product
+    * double, ties included), so the product-space round_even is exact.
+    */
+  private def npRound1Sql(e: String): String =
+    s"round_even(($e / 3600.0) * 10.0, 0) / 10.0"
+
+  /** DuckDB mirror of PipelineOps.pyRound1 (CPython round-half-even on
+    * the EXACT binary value) applied to x/3600. `printf('%.1f', x)`
+    * correctly rounds the exact expansion — CPython's semantics — and a
+    * true decimal tie is impossible (k.05 has no finite binary
+    * expansion), so printf's tie rule never fires. The product-space
+    * round_even mirror is WRONG here: for secs divisible by 180,
+    * secs/3600 sits just off k.05 but its ×10 product lands exactly on
+    * k.5, flipping the result (e.g. 180 s → 0.05 → py 0.1, product 0.0).
+    */
+  private def pyRound1Sql(e: String): String =
+    s"CAST(printf('%.1f', $e / 3600.0) AS DOUBLE)"
+
+  // ---- sleep oracle ------------------------------------------------------
+  private val sleepScores = Seq("overallScore", "qualityScore",
+    "durationScore", "recoveryScore", "deepScore", "remScore", "lightScore",
+    "awakeningsCountScore", "awakeTimeScore", "combinedAwakeScore",
+    "restfulnessScore", "interruptionsScore")
+  private val sleepStages = Seq("deepSleepSeconds", "lightSleepSeconds",
+    "remSleepSeconds", "awakeSleepSeconds", "unmeasurableSeconds")
+  private val sleepOthers = Seq("averageRespiration", "lowestRespiration",
+    "highestRespiration", "awakeCount", "avgSleepStress",
+    "restlessMomentCount")
+  private val sleepDbl =
+    sleepStages ++ sleepOthers ++ sleepScores ++
+      Seq("sleepDurationSecs", "sleepDurationHours")
+
+  private val sleepOracle: String = {
+    val sstruct = "STRUCT(" +
+      sleepScores.map(s => s"$s DOUBLE").mkString(", ") +
+      ", feedback VARCHAR, insight VARCHAR)"
+    val cols = "{calendarDate:'VARCHAR', sleepStartTimestampGMT:'VARCHAR'," +
+      " sleepEndTimestampGMT:'VARCHAR', " +
+      (sleepStages ++ sleepOthers).map(c => s"$c:'DOUBLE'").mkString(", ") +
+      s", sleepScores:'$sstruct'}"
+    val secsLong = "CAST(trunc(sleepDurationSecs) AS BIGINT)"
+    s"""WITH src AS (
+       |  SELECT * FROM read_json(
+       |    '${glob("DI-Connect-Wellness/*sleepData.json")}',
+       |    format='array', filename=true, columns=$cols)),
+       |dated AS (
+       |  SELECT CAST(CASE WHEN calendarDate IS NULL
+       |        AND filename LIKE '%2024-01-23_2024-05-02%'
+       |      THEN '2024-03-14' ELSE calendarDate END AS DATE) AS calendarDate,
+       |    * EXCLUDE (calendarDate, filename)
+       |  FROM src
+       |  WHERE calendarDate IS NOT NULL
+       |     OR filename LIKE '%2024-01-23_2024-05-02%'),
+       |expanded AS (
+       |  SELECT dated.* EXCLUDE (sleepScores, sleepStartTimestampGMT,
+       |      sleepEndTimestampGMT),
+       |    ${sleepScores.map(s => s"sleepScores.$s AS $s").mkString(", ")},
+       |    sleepScores.feedback AS feedback, sleepScores.insight AS insight,
+       |    CAST(epoch(TRY_CAST(sleepEndTimestampGMT AS TIMESTAMP)) -
+       |         epoch(TRY_CAST(sleepStartTimestampGMT AS TIMESTAMP))
+       |      AS DOUBLE) AS sleepDurationSecs
+       |  FROM dated),
+       |hrs0 AS (
+       |  SELECT *, ${npRound1Sql("sleepDurationSecs")} AS sleepDurationHours
+       |  FROM expanded),
+       |filled AS (
+       |  SELECT calendarDate, feedback, insight,
+       |    ${sleepDbl.map(c => s"COALESCE($c, AVG($c) OVER ()) AS $c")
+             .mkString(",\n       |    ")}
+       |  FROM hrs0)
+       |SELECT calendarDate,
+       |  ${stab6Sql("sleepDurationHours")} AS sleepDurationHours,
+       |  printf('%d days %02d:%02d:%02d', $secsLong // 86400,
+       |    ($secsLong % 86400) // 3600, ($secsLong % 3600) // 60,
+       |    $secsLong % 60) AS sleepDuration,
+       |  printf('%02d:%02d:%02d', ($secsLong % 86400) // 3600,
+       |    ($secsLong % 3600) // 60, $secsLong % 60)
+       |    AS sleepDurationFormatted,
+       |  ${sleepStages.map(c =>
+             s"${pyRound1Sql(c)} AS ${c.replace("Seconds", "Hours")}")
+             .mkString(",\n       |  ")},
+       |  averageRespiration, lowestRespiration, highestRespiration,
+       |  awakeCount, ${stab6Sql("avgSleepStress")} AS avgSleepStress,
+       |  restlessMomentCount,
+       |  ${sleepScores.mkString(", ")},
+       |  COALESCE(feedback, 'NONE') AS feedback,
+       |  COALESCE(insight, 'NONE') AS insight
+       |FROM filled ORDER BY calendarDate""".stripMargin
+  }
+
+  // ---- uds oracle --------------------------------------------------------
+  private val udsDirect = Seq("totalKilocalories", "activeKilocalories",
+    "bmrKilocalories", "totalSteps", "totalDistanceMeters",
+    "highlyActiveSeconds", "activeSeconds", "moderateIntensityMinutes",
+    "vigorousIntensityMinutes", "minHeartRate", "maxHeartRate",
+    "restingHeartRate", "currentDayRestingHeartRate")
+  private val udsTotal = Seq("averageStressLevel",
+    "averageStressLevelIntensity", "maxStressLevel", "stressIntensityCount",
+    "stressOffWristCount", "totalStressCount", "totalStressIntensity",
+    "stressDuration", "stressTooActiveCount", "restDuration",
+    "activityDuration", "mediumDuration", "highDuration")
+
+  private val udsOracle: String = {
+    val aggstruct = "STRUCT(type VARCHAR, " +
+      udsTotal.map(f => s"$f DOUBLE").mkString(", ") + ")[]"
+    val cols = "{calendarDate:'VARCHAR', " +
+      udsDirect.map(c => s"$c:'DOUBLE'").mkString(", ") +
+      s", isVigorousDay:'BOOLEAN', allDayStress:'STRUCT(aggregatorList $aggstruct)'}"
+    val longCols = udsDirect ++ Seq("isVigorousDay") ++ udsTotal
+    s"""WITH src AS (
+       |  SELECT * FROM read_json(
+       |    '${glob("DI-Connect-Aggregator/UDSFile_*.json")}',
+       |    format='array', columns=$cols)),
+       |tot AS (
+       |  SELECT CAST(calendarDate AS DATE) AS calendarDate,
+       |    ${udsDirect.mkString(", ")},
+       |    COALESCE(CAST(CAST(isVigorousDay AS INT) AS DOUBLE), 0.0)
+       |      AS isVigorousDay,
+       |    list_filter(allDayStress.aggregatorList,
+       |      x -> x.type = 'TOTAL')[1] AS t
+       |  FROM src),
+       |ex AS (
+       |  SELECT * EXCLUDE (t),
+       |    ${udsTotal.map(f => s"t.$f AS $f").mkString(", ")}
+       |  FROM tot),
+       |filled AS (
+       |  SELECT calendarDate,
+       |    ${longCols.map(c => s"COALESCE($c, AVG($c) OVER ()) AS $c")
+             .mkString(",\n       |    ")}
+       |  FROM ex),
+       |ints AS (
+       |  SELECT calendarDate,
+       |    ${longCols.map(c => s"CAST(trunc($c) AS BIGINT) AS $c")
+             .mkString(",\n       |    ")}
+       |  FROM filled)
+       |SELECT calendarDate,
+       |  CAST(date_part('year', calendarDate) AS INT) AS Year,
+       |  CAST(date_part('month', calendarDate) AS INT) AS Month,
+       |  monthname(calendarDate) AS MonthName,
+       |  CAST(date_part('quarter', calendarDate) AS INT) AS Quarter,
+       |  CAST(date_part('day', calendarDate) AS INT) AS Day,
+       |  ${udsDirect.mkString(", ")}, isVigorousDay,
+       |  ${udsTotal.mkString(", ")}
+       |FROM ints ORDER BY calendarDate""".stripMargin
+  }
+
+  // ---- master oracle (composed from the per-dataset replays) -------------
+  /** Stable master projection: the columns sourced from the four
+    * non-imputing pipelines + the running CSV. Sleep/uds columns are
+    * covered by their own oracle entries; excluding them here keeps the
+    * master hash free of cross-engine mean-fill noise while still
+    * exercising J1 (7-way full outer), the status filter, the ffill, and
+    * the run-day flags — the row set is identical because days only
+    * present in sleep/uds carry no trainingStatus and are filtered.
+    */
+  private val masterCols = Seq("calendarDate", "acwrStatus",
+    "dailyTrainingLoadAcute", "dailyTrainingLoadChronic", "acwrPercent",
+    "dailyAcuteChronicWorkloadRatio", "vo2MaxValue", "maxMet",
+    "raceTime5K", "raceTime10K", "raceTimeHalf", "raceTimeMarathon",
+    "Distance", "RunTime", "IsRunDay", "trainingStatus",
+    "fitnessLevelTrend")
+
+  private val masterOracle: String = {
+    val ffill = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""WITH atl AS (
+       |  SELECT calendarDate, acwrStatus, dailyTrainingLoadAcute,
+       |    dailyTrainingLoadChronic, acwrPercent,
+       |    dailyAcuteChronicWorkloadRatio
+       |  FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY calendarDate ORDER BY ts DESC) AS rn
+       |    FROM (SELECT CAST(epoch_ms("timestamp") AS DATE) AS calendarDate,
+       |        acwrStatus,
+       |        CAST(dailyTrainingLoadAcute AS DOUBLE)
+       |          AS dailyTrainingLoadAcute,
+       |        CAST(dailyTrainingLoadChronic AS DOUBLE)
+       |          AS dailyTrainingLoadChronic,
+       |        CAST(acwrPercent AS DOUBLE) AS acwrPercent,
+       |        CAST(dailyAcuteChronicWorkloadRatio AS DOUBLE)
+       |          AS dailyAcuteChronicWorkloadRatio,
+       |        "timestamp" AS ts
+       |      FROM read_json_auto(
+       |        '${glob("DI-Connect-Metrics/MetricsAcuteTrainingLoad_*.json")}',
+       |        union_by_name=true)
+       |      WHERE acwrStatus <> 'NONE'
+       |        AND dailyAcuteChronicWorkloadRatio IS NOT NULL))
+       |  WHERE rn = 1),
+       |maxmet AS (
+       |  WITH dedup AS (
+       |    SELECT * FROM (
+       |      SELECT CAST(calendarDate AS DATE) AS calendarDate,
+       |        vo2MaxValue, maxMet,
+       |        row_number() OVER (PARTITION BY CAST(calendarDate AS DATE)
+       |          ORDER BY updateTimestamp DESC) AS rn
+       |      FROM read_json_auto(
+       |        '${glob("DI-Connect-Metrics/MetricsMaxMetData_*.json")}',
+       |        union_by_name=true)) WHERE rn = 1),
+       |  spine AS (
+       |    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+       |      AS DATE) AS calendarDate
+       |    FROM (SELECT min(calendarDate) AS lo, max(calendarDate) AS hi
+       |          FROM dedup))
+       |  SELECT s.calendarDate,
+       |    last_value(vo2MaxValue IGNORE NULLS) OVER (
+       |      ORDER BY s.calendarDate $ffill) AS vo2MaxValue,
+       |    last_value(maxMet IGNORE NULLS) OVER (
+       |      ORDER BY s.calendarDate $ffill) AS maxMet
+       |  FROM spine s LEFT JOIN dedup USING (calendarDate)),
+       |race AS (
+       |  SELECT CAST(calendarDate AS DATE) AS calendarDate,
+       |    min(raceTime5K) AS raceTime5K, min(raceTime10K) AS raceTime10K,
+       |    min(raceTimeHalf) AS raceTimeHalf,
+       |    min(raceTimeMarathon) AS raceTimeMarathon
+       |  FROM read_json_auto(
+       |    '${glob("DI-Connect-Metrics/RunRacePredictions_*.json")}',
+       |    union_by_name=true)
+       |  GROUP BY 1),
+       |run AS (
+       |  SELECT calendarDate, Distance, RunTime FROM (
+       |    SELECT CAST("Date" AS DATE) AS calendarDate,
+       |      CAST(Distance AS DOUBLE) AS Distance, "Time" AS RunTime,
+       |      row_number() OVER (PARTITION BY CAST("Date" AS DATE)
+       |        ORDER BY CAST(Distance AS DOUBLE) DESC, "Time") AS rn
+       |    FROM read_csv('${RunningPipeline.defaultFinalCsv}',
+       |      header=true, all_varchar=true)) WHERE rn = 1),
+       |th AS (
+       |  SELECT calendarDate, trainingStatus, fitnessLevelTrend FROM (
+       |    SELECT CAST(calendarDate AS DATE) AS calendarDate,
+       |      trainingStatus, fitnessLevelTrend,
+       |      row_number() OVER (PARTITION BY CAST(calendarDate AS DATE)
+       |        ORDER BY "timestamp" DESC) AS rn
+       |    FROM read_json_auto(
+       |      '${glob("DI-Connect-Metrics/TrainingHistory_*.json")}',
+       |      union_by_name=true))
+       |  WHERE rn = 1 AND trainingStatus <> 'NO_STATUS'),
+       |j AS (
+       |  SELECT * FROM atl
+       |  FULL JOIN maxmet USING (calendarDate)
+       |  FULL JOIN race USING (calendarDate)
+       |  FULL JOIN run USING (calendarDate)
+       |  FULL JOIN th USING (calendarDate)),
+       |w AS (
+       |  SELECT *,
+       |    last_value(vo2MaxValue IGNORE NULLS) OVER (
+       |      ORDER BY calendarDate $ffill) AS vo2f,
+       |    last_value(maxMet IGNORE NULLS) OVER (
+       |      ORDER BY calendarDate $ffill) AS mmf
+       |  FROM j WHERE trainingStatus IS NOT NULL)
+       |SELECT calendarDate, acwrStatus, dailyTrainingLoadAcute,
+       |  dailyTrainingLoadChronic, acwrPercent,
+       |  dailyAcuteChronicWorkloadRatio,
+       |  vo2f AS vo2MaxValue, mmf AS maxMet,
+       |  raceTime5K, raceTime10K, raceTimeHalf, raceTimeMarathon,
+       |  COALESCE(Distance, 0.0) AS Distance,
+       |  COALESCE(RunTime, '00:00:00') AS RunTime,
+       |  CASE WHEN COALESCE(Distance, 0.0) > 0.0 THEN 1 ELSE 0 END
+       |    AS IsRunDay,
+       |  trainingStatus, fitnessLevelTrend
+       |FROM w ORDER BY calendarDate""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -81,7 +362,7 @@ object QueriesDatasets {
 
     Q("q_ds_training_history",
       (s, _) => MetricsPipelines.trainingHistory(s)
-        .orderBy(org.apache.spark.sql.functions.col("calendarDate")),
+        .orderBy(col("calendarDate")),
       Some(s"""WITH r AS (
               |  SELECT CAST(calendarDate AS DATE) AS calendarDate,
               |    trainingStatus, fitnessLevelTrend,
@@ -97,7 +378,7 @@ object QueriesDatasets {
 
     Q("q_ds_maxmet",
       (s, _) => MetricsPipelines.maxmet(s)
-        .orderBy(org.apache.spark.sql.functions.col("calendarDate")),
+        .orderBy(col("calendarDate")),
       Some(s"""WITH dedup AS (
               |  SELECT * FROM (
               |    SELECT CAST(calendarDate AS DATE) AS calendarDate,
@@ -124,10 +405,31 @@ object QueriesDatasets {
               |FROM spine s LEFT JOIN dedup USING (calendarDate)
               |ORDER BY s.calendarDate""".stripMargin)),
 
-    // Golden-tested pipelines, rows-only here (see scaladoc above).
-    Q("q_ds_sleep", (s, _) => SleepPipeline.clean(s), None),
-    Q("q_ds_uds", (s, _) => UdsPipeline.clean(s), None),
-    Q("q_ds_training_plan", (s, _) => RunningPipeline.trainingPlan(s), None),
-    Q("q_ds_master_table", (s, _) => MasterTable.build(s), None)
+    // Full-pipeline replays with fp-stabilized projections (see scaladoc).
+    Q("q_ds_sleep",
+      (s, _) => SleepPipeline.clean(s)
+        .withColumn("sleepDurationHours", stab6(col("sleepDurationHours")))
+        .withColumn("avgSleepStress", stab6(col("avgSleepStress")))
+        .orderBy(col("calendarDate")),
+      Some(sleepOracle)),
+
+    Q("q_ds_uds",
+      (s, _) => UdsPipeline.clean(s).orderBy(col("calendarDate")),
+      Some(udsOracle)),
+
+    Q("q_ds_training_plan",
+      (s, _) => RunningPipeline.trainingPlan(s)
+        .orderBy(col("Date"), col("Title")),
+      Some(s"""SELECT *, 1 AS IsTrainingPlan
+              |FROM read_csv('${RunningPipeline.defaultFinalCsv}',
+              |  header=true, all_varchar=true)
+              |WHERE CAST("Date" AS DATE) >= DATE '2024-08-13'
+              |ORDER BY "Date", Title""".stripMargin)),
+
+    Q("q_ds_master_table",
+      (s, _) => MasterTable.build(s)
+        .select(masterCols.map(col): _*)
+        .orderBy(col("calendarDate")),
+      Some(masterOracle))
   )
 }

@@ -154,6 +154,53 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ------------------------------------------------ LSH hot-bucket report
+    // The observability half of candidatePairs' maxBucket cap: every
+    // bucket the near-dup join DROPS (size > 20) is reported with its
+    // size and a sorted id sample, so capped template/boilerplate
+    // content is visible and routed to a template pass instead of
+    // silently skipped. Same shuffle key as the candidate join.
+    Q("q_sim_lsh_bucket_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5)
+        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        Similarity.hotBuckets(bands, "doc_id", maxBucket = 20)
+          .orderBy(col("band"), col("band_value"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS band_value
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb)
+           |SELECT band, band_value, count(*) AS size,
+           |  array_to_string(list_sort(list(doc_id))[1:5], ',')
+           |    AS sample_ids
+           |FROM bands GROUP BY band, band_value
+           |HAVING count(*) > 20
+           |ORDER BY band, band_value""".stripMargin
+      }),
+
     // -------------------------------------------- brute-force cosine top-k
     // The correctness baseline for ANN: 10 query vectors scored against
     // the full corpus. At scale the candidate side is bucketed (next
@@ -232,26 +279,34 @@ object QueriesSimilarity {
       }),
 
     // --------------------------------------------- embedding near-dup pairs
-    // Cosine near-dup pairs via multi-probe sign-bit LSH: 4-bit bucket,
-    // probe side explodes bucket + every 1-bit flip, EQUI-join on the
-    // other side's exact bucket (hamming <= 1 as a hash join, never an
-    // all-pairs predicate), exact cosine verification on candidates
-    // only. The r1 brute-force cross join cost 80 s at sf0.1 and is
-    // impossible at 100 TB. Probing is a recall/cost knob: measured on
-    // this corpus, ham<=1 on 4 bits surfaces 8 of the 14 true pairs at
-    // the loose 0.45 threshold (recall rises toward 1 as the threshold
-    // approaches true-duplicate range, where sign patterns agree).
+    // Cosine near-dup pairs via multi-probe sign-bit LSH. THE BUCKET
+    // WIDTH SCALES WITH THE CORPUS (Similarity.adaptiveSignBits): bits =
+    // ceil(log2(n/32)) clamped to [4,24], so expected bucket size stays
+    // ~32 and the candidate stage stays LINEAR in n — a fixed width is
+    // O(n²/2^bits), quadratic at every scale-up (r2 verdict: fixed 4
+    // bits already cost 46 s at sf0.1). Probe side explodes bucket +
+    // every 1-bit flip, EQUI-join on the other side's exact bucket
+    // (hamming <= 1 as a hash join, never an all-pairs predicate), exact
+    // cosine verification on candidates only. Probing is a recall/cost
+    // knob: hamming <= 1 probing costs bits+1 rows per vector; recall
+    // rises toward 1 as the threshold approaches true-duplicate range,
+    // where sign patterns agree.
     Q("q_sim_embedding_neardup",
       (s, d) => {
+        val base = Tables.embeddings(s, d)
+        // two-phase by design: the corpus count picks the LSH width
+        // (parquet row-count read, no data scan)
+        val bits = Similarity.adaptiveSignBits(base.count())
         // norms precomputed ONCE per vector — computing them inside the
         // pair-wise cosine would redo two 64-element aggregations per
         // CANDIDATE (millions) instead of per vector (thousands)
-        val e = Tables.embeddings(s, d)
-          .withColumn("bucket", Similarity.signBitBucket(col("embedding"), 4))
+        val e = base
+          .withColumn("bucket",
+            Similarity.signBitBucket(col("embedding"), bits))
           .withColumn("nrm", Similarity.norm(col("embedding")))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
             col("nrm").as("na"),
-            explode(Similarity.multiProbeBuckets(col("bucket"), 4))
+            explode(Similarity.multiProbeBuckets(col("bucket"), bits))
               .as("bucket"))
         val b = e.select(col("bucket"), col("vec_id").as("id_b"),
           col("embedding").as("eb"), col("nrm").as("nb"))
@@ -266,26 +321,30 @@ object QueriesSimilarity {
           .filter(col("cos_sim") >= 0.45)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val bucketSql = (0 until 4).map(i =>
-          s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
-          .mkString("CAST(", " + ", " AS BIGINT)")
-        val probes = "[bk, xor(bk, 1), xor(bk, 2), xor(bk, 4), xor(bk, 8)]"
-        s"""WITH b AS (
-           |  SELECT vec_id, embedding, $bucketSql AS bk,
-           |         ${normSql("embedding")} AS nrm
-           |  FROM embeddings),
-           |probes AS (
-           |  SELECT vec_id AS id_a, embedding AS ea, nrm AS na,
-           |         unnest($probes) AS bucket
-           |  FROM b)
-           |SELECT id_a, id_b, cos_sim FROM (
-           |  SELECT p.id_a, c.vec_id AS id_b,
-           |    ${dotSql("p.ea", "c.embedding")} / (p.na * c.nrm) AS cos_sim
-           |  FROM probes p JOIN b c ON p.bucket = c.bk AND p.id_a < c.vec_id)
-           |WHERE cos_sim >= 0.45
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+      // The oracle derives the SAME width from count(*) — integer binary
+      // length, see adaptiveSignBits scaladoc for why not float log2.
+      Some(s"""WITH p AS (
+              |  SELECT LEAST(24, GREATEST(4,
+              |    length(bin((count(*) + 31) // 32 - 1)))) AS bits
+              |  FROM embeddings),
+              |b AS (
+              |  SELECT vec_id, embedding,
+              |    CAST(list_sum(list_transform(range(p.bits), i ->
+              |      CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS bk,
+              |    ${normSql("embedding")} AS nrm
+              |  FROM embeddings, p),
+              |probes AS (
+              |  SELECT vec_id AS id_a, embedding AS ea, nrm AS na,
+              |    unnest(list_prepend(bk, list_transform(range(p.bits),
+              |      i -> xor(bk, 1 << i)))) AS bucket
+              |  FROM b, p)
+              |SELECT id_a, id_b, cos_sim FROM (
+              |  SELECT p.id_a, c.vec_id AS id_b,
+              |    ${dotSql("p.ea", "c.embedding")} / (p.na * c.nrm) AS cos_sim
+              |  FROM probes p JOIN b c ON p.bucket = c.bk AND p.id_a < c.vec_id)
+              |WHERE cos_sim >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----------------------------------------------- quantized ANN scan
     // int8 scan + exact re-rank: the corpus is scanned in max-abs
@@ -357,19 +416,43 @@ object QueriesSimilarity {
     // ------------------------------------------------------- IVF ANN
     // Inverted-file ANN: vectors partition into cells by nearest
     // centroid; a query probes its nProbe nearest cells and scores only
-    // those cells' members. Centroids here are deterministic seeds (the
-    // first 8 vectors) so both engines replay identically — production
-    // would k-means them; assignment, probing, and search plumbing are
-    // identical. Every step is a broadcast join against the (tiny)
-    // centroid set or an equi-join on cell id — corpus² never exists.
+    // those cells' members. Centroids are COMPUTED, not just seeded: the
+    // first 8 vectors seed one deterministic Lloyd iteration (assign all
+    // to nearest seed, recompute per-cell per-dimension means), so cell
+    // balance reflects the data while both engines replay bit-identically
+    // — the recomputed means are 6-decimal half-even stabilized to
+    // collapse cross-engine summation-order noise. Every step is a
+    // broadcast join against the (tiny) centroid set or an equi-join on
+    // cell id — corpus² never exists. At 100 TB the same shape holds:
+    // k-means∥ on a sample picks seeds, a few Lloyd passes are each one
+    // broadcast join + one (cell, dim) aggregation.
     Q("q_sim_ann_ivf",
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .withColumn("nrm", Similarity.norm(col("embedding")))
-        val cents = e.filter(col("vec_id") < 8)
+        val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
             col("nrm").as("cnrm"))
-        // cell assignment: argmax centroid similarity (ties -> lowest cid)
+        // Lloyd iteration: assign to nearest seed (argmax cosine, ties
+        // -> lowest cid), then per-cell per-dimension mean.
+        val s0 = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (Similarity.dot(col("embedding"), col("cvec"))
+              / (col("nrm") * col("cnrm"))).as("csim"))
+        val a0 = Dedup.keepFirst(s0, Seq("vec_id"),
+          Seq(col("csim").desc, col("cid")))
+        val cents = a0
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((bround(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+            .as("cv"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .select(col("cid"), col("cvec"),
+            Similarity.norm(col("cvec")).as("cnrm"))
+        // final cell assignment against the recomputed centroids
         val scored = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
             (Similarity.dot(col("embedding"), col("cvec"))
@@ -405,9 +488,30 @@ object QueriesSimilarity {
               |  SELECT vec_id, embedding,
               |         ${normSql("embedding")} AS nrm
               |  FROM embeddings),
-              |cents AS (
+              |seeds AS (
               |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
               |  FROM e WHERE vec_id < 8),
+              |s0 AS (
+              |  SELECT e.vec_id, e.embedding, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, seeds c),
+              |a0 AS (
+              |  SELECT vec_id, embedding, cid
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT cid, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cid, i),
+              |cents0 AS (
+              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cid),
+              |cents AS (
+              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
               |scored AS (
               |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
               |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)

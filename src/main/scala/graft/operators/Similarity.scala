@@ -168,10 +168,49 @@ object Similarity {
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Sign-bit width for an n-vector corpus targeting ~`target` vectors
+    * per bucket: the smallest b with 2^b ≥ ceil(n/target), clamped to
+    * [4, 24]. THE BITS MUST SCALE WITH THE CORPUS: with fixed b the
+    * candidate stage is O(n²/2^b) — quadratic at 100× — while b =
+    * log2(n/target) keeps expected bucket size (and so pairs-per-bucket)
+    * constant, making the whole near-dup join linear in n. At 100 TB
+    * (n ≈ 1e9 embeddings) this gives 24 bits ≈ 16M buckets.
+    *
+    * Integer-only on purpose (binary length, not float log2): a float
+    * log2 can land on either side of an exact power of two and desync
+    * engines. DuckDB mirror:
+    * `LEAST(24, GREATEST(4, length(bin((n + target-1)//target - 1))))`.
+    */
+  def adaptiveSignBits(n: Long, target: Long = 32L): Int = {
+    val m = (n + target - 1) / target
+    val b = java.lang.Long.toBinaryString(math.max(m - 1, 0L)).length
+    math.max(4, math.min(24, b))
+  }
+
+  /** Report of the LSH buckets that [[candidatePairs]] DROPS under its
+    * `maxBucket` cap: (band, band_value, size, sample_ids). A capped
+    * bucket is template/boilerplate content whose m²/2 pairs would turn
+    * the candidate join quadratic — it should be handled by a template
+    * pass (dedup the bucket wholesale), and this report is how that
+    * content stays observable instead of silently skipped. `sample_ids`
+    * is the sorted first `sampleK` ids joined with commas (a string, so
+    * any engine compares it exactly). One groupBy on the band keys —
+    * same shuffle shape (and key) as the candidate join itself.
+    */
+  def hotBuckets(bands: DataFrame, idCol: String, maxBucket: Int,
+                 sampleK: Int = 5): DataFrame =
+    bands.groupBy(col("band"), col("band_value"))
+      .agg(count(lit(1)).as("size"),
+        array_join(transform(
+          slice(sort_array(collect_list(col(idCol))), 1, sampleK),
+          _.cast("string")), ",").as("sample_ids"))
+      .filter(col("size") > maxBucket)
+
   /** Sign-bit random-projection bucket over the first `bits` dimensions:
     * bucket = Σ 2^i · [v[i] ≥ 0]. For embeddings whose dimensions are
     * (approximately) random projections this is a valid LSH family for
-    * cosine distance; at scale use more bits + multi-probe.
+    * cosine distance; derive `bits` from corpus size via
+    * [[adaptiveSignBits]] and pair with [[multiProbeBuckets]] for recall.
     */
   def signBitBucket(vec: Column, bits: Int): Column =
     (0 until bits).map { i =>

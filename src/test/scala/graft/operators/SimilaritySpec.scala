@@ -91,6 +91,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("adaptiveSignBits keeps expected bucket size ~target across scales") {
+    // smallest b with 2^b >= ceil(n/32), clamped to [4, 24]
+    assert(Similarity.adaptiveSignBits(1) == 4)
+    assert(Similarity.adaptiveSignBits(500) == 4)    // sf0.01 corpus
+    assert(Similarity.adaptiveSignBits(2000) == 6)   // sf0.1 corpus
+    assert(Similarity.adaptiveSignBits(32L << 10) == 10)
+    assert(Similarity.adaptiveSignBits((32L << 10) + 1) == 11) // boundary
+    assert(Similarity.adaptiveSignBits(1_000_000_000L) == 24)  // clamp hi
+    // the growth law: bucket count stays within 2x of n/target
+    for (n <- Seq(100L, 10_000L, 1_000_000L)) {
+      val b = Similarity.adaptiveSignBits(n)
+      assert((1L << b) >= n / 32, s"n=$n: 2^$b buckets < n/32")
+    }
+  }
+
+  test("hotBuckets reports exactly the buckets candidatePairs drops") {
+    val bands = (1L to 9L).map(i => (i, 0, "hot"))
+      .++(Seq((1L, 1, "cold"), (2L, 1, "cold")))
+      .toDF("id", "band", "band_value")
+    val report = Similarity.hotBuckets(bands, "id", maxBucket = 5)
+      .collect()
+    assert(report.length == 1)
+    val r = report.head
+    assert(r.getAs[Int]("band") == 0 && r.getAs[String]("band_value") == "hot")
+    assert(r.getAs[Long]("size") == 9L)
+    assert(r.getAs[String]("sample_ids") == "1,2,3,4,5") // sorted, first 5
+    // complement check: the capped bucket emits no candidate pairs
+    val pairs = Similarity.candidatePairs(bands, "id", maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // only the cold bucket survives
+  }
+
+  test("IVF with Lloyd-iterated centroids reaches recall@3 >= 0.5 vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    val ivf = graft.Queries.all("q_sim_ann_ivf")(spark, dir)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // inline exact ground truth for the same query set (qid in [10,20))
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val truth = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      ivf.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.567 on this corpus — probing 2 of 8 cells trades recall
+    // for scanning ~1/4 of the corpus; raise nProbe to trade back
+    assert(mean >= 0.5, s"mean recall@3 $mean below 0.5 (nProbe=2 of 8 cells)")
+  }
+
   test("signBitBucket encodes the sign pattern of leading dims") {
     val df = Seq(
       (1L, Array(1f, -1f, 1f, -1f)),

@@ -10,17 +10,23 @@ import java.nio.file.{Files, Paths}
   *
   * Measurement discipline (round-2 verdict: n=1 timings were order- and
   * GC-sensitive — four sub-3 s queries "regressed" 5-10× with no code
-  * change): each query now runs SPARK_GRAFT_BENCH_RUNS times (default 3)
-  * and reports the MEDIAN, so one GC pause or JIT warmup can't masquerade
-  * as a plan regression. The JSON line is printed as the very last stdout
-  * write, after SparkSession.stop(), so the driver's tail capture can't
-  * lose it inside executor-shutdown log noise.
+  * change): each query runs up to SPARK_GRAFT_BENCH_RUNS times (default
+  * 3) and reports the MEDIAN, so one GC pause or JIT warmup can't
+  * masquerade as a plan regression. Queries whose FIRST run exceeds
+  * SPARK_GRAFT_BENCH_RERUN_MAX_SEC (default 20 s) are not re-run: noise
+  * is additive (~seconds), so it only distorts fast queries, and
+  * re-running the slow tail would triple total bench wall-clock for
+  * timings that are already high-signal. The JSON line is printed as
+  * the very last stdout write, after SparkSession.stop(), so the
+  * driver's tail capture can't lose it inside executor-shutdown noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val rerunMaxSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MAX_SEC", "20").toDouble
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for
@@ -29,7 +35,7 @@ object Bench {
 
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -39,6 +45,12 @@ object Bench {
             errors += name -> e.toString.take(200)
             None
         }
+      }
+      val first = once()
+      val times = first match {
+        case Some(t) if t < rerunMaxSec =>
+          Seq(t) ++ (2 to runs).flatMap(_ => once())
+        case other => other.toSeq
       }
       if (times.isEmpty) name -> -1.0
       else name -> times.sorted.apply(times.size / 2)

@@ -29,7 +29,8 @@ object Queries {
     QueriesDatasets.qs,
     QueriesText.qs,
     QueriesSimilarity.qs,
-    QueriesEvents.qs
+    QueriesEvents.qs,
+    QueriesMultimodal.qs
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFns
+import graft.multimodal.Multimodal
+
+/** Oracle entry for the multimodal plumbing — the one extension group
+  * that had no CORRECTNESS evidence in round 2 (spec-only). The query
+  * runs the REAL pipeline end-to-end: binaryFile scan over a committed
+  * fixture dir → typed MediaRow dataset → partition-batched
+  * mapPartitions feature extraction → long-form (media_id, i, feature)
+  * projection. The DuckDB oracle replays it over the same files via
+  * read_blob: the fake decode is md5-over-byte-strides by construction
+  * (Multimodal.fakeDecodeFeatures scaladoc), so the engine-side mirror
+  * is hex slicing + HashFns.md5LongSql — nothing about the plumbing is
+  * mocked except the codec itself.
+  */
+object QueriesMultimodal {
+
+  private val fixtures = "/root/repo/src/test/resources/media"
+  private val dim = 8
+
+  val qs: Seq[Q] = Seq(
+    Q("q_mm_features",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "*.bin")
+          .select(
+            regexp_extract(col("path"), "media_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("image").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media, dim = dim).toDF()
+          .select(col("media_id"), col("n_bytes"),
+            posexplode(col("features")).as(Seq("i", "feature")))
+          .orderBy(col("media_id"), col("i"))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT CAST(regexp_extract(filename, 'media_(\\d+)', 1)
+              |           AS BIGINT) AS media_id,
+              |         size AS n_bytes, lower(hex(content)) AS h
+              |  FROM read_blob('$fixtures/*.bin')),
+              |strides AS (
+              |  SELECT media_id, n_bytes, CAST(i AS INT) AS i,
+              |    string_agg(substr(h, CAST(2 * (i + k * $dim) AS INT) + 1, 2),
+              |      '' ORDER BY k) AS shex
+              |  FROM src,
+              |    unnest(range($dim)) t(i),
+              |    unnest(range((n_bytes - i + ${dim - 1}) // $dim)) u(k)
+              |  GROUP BY media_id, n_bytes, i)
+              |SELECT media_id, n_bytes, i,
+              |  CAST((${HashFns.md5LongSql("'s' || i || ':' || shex")}
+              |    & 65535) / 32768.0 - 1.0 AS FLOAT) AS feature
+              |FROM strides ORDER BY media_id, i""".stripMargin))
+  )
+}

@@ -332,6 +332,24 @@ object QueriesRelational {
              |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
              |  AS corr_qty_price FROM s""".stripMargin)),
 
+    // ------------------------------------------- A9 generalized: full matrix
+    // The reference's df.corr() computes ALL numeric pairs (~60 cols,
+    // `2024 Marathon Training Analysis.ipynb:21099`); this is the same
+    // over lineitem's 8 numeric columns — 45 co-moments in ONE
+    // aggregation pass (operators/Correlation), long-form output.
+    Q("q_a9_corr_matrix", {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        (s, d) => graft.operators.Correlation
+          .matrix(Tables.lineitem(s, d), cols)
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some(graft.operators.Correlation.matrixSql("lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        + "\nORDER BY col_a, col_b")),
+
     // ------------------------------------------------------------- A10/U2
     Q("q_a10_keep_latest",
       (s, d) => Dedup.keepLatest(Tables.orders(s, d),

@@ -45,22 +45,36 @@ object Multimodal {
       .load(dir)
       .select(col("path"), col("length"), col("content").as("bytes"))
 
-  /** Deterministic stand-in for image/audio decode + embed: an FNV-style
-    * rolling hash over `dim` byte strides, scaled to [-1, 1]. Stable
-    * across JVMs/partitionings; replace with a real decoder at the same
-    * call site.
+  /** Deterministic stand-in for image/audio decode + embed: feature i is
+    * an md5-derived hash of the i-th byte STRIDE (bytes i, i+dim,
+    * i+2·dim, … as lowercase hex), scaled to [-1, 1]. Byte-local like a
+    * real content embedding (flipping one byte changes one stride →
+    * one feature), stable across JVMs/partitionings, and — the reason
+    * for md5 over the previous FNV — reproducible by ANY engine:
+    * the derivation is exactly `HashFns.md5Long("s<i>:<strideHex>")`,
+    * whose DuckDB mirror backs the q_mm_features oracle. Replace with a
+    * real decoder at the same call site.
     */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null || bytes.isEmpty) return out
+    val hex = {
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < dim) {
-      var h = 2166136261L + i
+      val sb = new java.lang.StringBuilder("s").append(i).append(':')
       var j = i
       while (j < bytes.length) {
-        h = (h ^ (bytes(j) & 0xff)) * 16777619L
+        sb.append(hex, 2 * j, 2 * j + 2)
         j += dim
       }
+      val digest = md.digest(sb.toString.getBytes("UTF-8")) // resets md
+      val digestHex = digest.take(8).map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(digestHex.substring(0, 15), 16)
       out(i) = ((h & 0xffffL).toFloat / 32768f) - 1f
       i += 1
     }

@@ -53,29 +53,80 @@ object Lake {
       .saveAsTable(table)
   }
 
-  /** Small-file compaction: rewrite each `day=` partition into
-    * ~`targetRowsPerFile` chunks. Streaming/micro-batch ingest leaves
-    * one file per batch per day; scans then pay per-file open cost and
-    * the driver pays listing cost. Run as a maintenance pass (the
-    * reference has no analogue — truncate-reload rewrote everything
-    * every run). `repartitionByRange` on the partition column + a
-    * within-day spread keeps day-locality so partition pruning still
-    * sees one directory per day.
+  /** Small-file compaction, PARTITION-SELECTIVE: only `day=` directories
+    * whose file count exceeds what their bytes need (> ceil(bytes /
+    * targetBytesPerFile) files) are rewritten; every other day's files
+    * are never read, written, or touched. Streaming/micro-batch ingest
+    * leaves one file per batch per day; scans then pay per-file open
+    * cost and the driver pays listing cost. Run as a maintenance pass
+    * (the reference has no analogue — truncate-reload rewrote everything
+    * every run). At 100 TB this is the difference between rewriting a
+    * few fresh days and rewriting the lake: the r2 version read and
+    * rewrote EVERYTHING to fix a handful of small-file days.
+    *
+    * Crash-safe swap, per day: the rewrite lands in
+    * `.compact_tmp_day=X`, then `day=X` → `.compact_old_day=X`, tmp →
+    * `day=X`, old deleted. Dot-prefixed names are invisible to Spark's
+    * file listing and partition discovery, so readers never see a
+    * half-state directory; a crash at any step leaves a recoverable
+    * copy, and the next compact() run repairs it (restores a day whose
+    * swap lost the race, clears completed-swap leftovers and stale
+    * tmps). The only reader-visible window is between the two renames —
+    * the day briefly lists as absent, never as corrupt.
+    *
+    * Returns the names of the compacted partitions (observability: a
+    * maintenance pass that logs nothing reads as "did everything").
     */
   def compact(spark: SparkSession, path: String,
-              targetRowsPerFile: Long = 1000000L): Unit = {
-    val df = spark.read.parquet(path)
-    val rows = df.count()
-    val files = math.max(1, (rows / targetRowsPerFile).toInt)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(files, col("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(tmp)
-    // atomic-ish swap (same filesystem)
+              targetBytesPerFile: Long = 128L << 20): Seq[String] = {
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    val root = new Path(path)
+    recoverInterrupted(fs, root)
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    val plans = days.flatMap { d =>
+      val files = fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      if (files.size > want) Some((d.getPath, want)) else None
+    }
+    plans.foreach { case (dayDir, want) =>
+      val name = dayDir.getName
+      val tmp = new Path(root, s".compact_tmp_$name")
+      val old = new Path(root, s".compact_old_$name")
+      spark.read.parquet(dayDir.toString)
+        .repartition(want)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(dayDir, old)
+      fs.rename(tmp, dayDir)
+      fs.delete(old, true)
+    }
+    plans.map(_._1.getName)
+  }
+
+  /** Repair any interrupted compact() swap: a `.compact_old_day=X`
+    * without its `day=X` is a swap that lost its second rename — restore
+    * it; one WITH a live `day=X` is a completed swap whose cleanup
+    * didn't run — delete it; `.compact_tmp_*` is a partial rewrite —
+    * delete it (the source day is intact).
+    */
+  private def recoverInterrupted(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".compact_old_")) {
+        val day = new Path(root, n.stripPrefix(".compact_old_"))
+        if (fs.exists(day)) fs.delete(s.getPath, true)
+        else fs.rename(s.getPath, day)
+      } else if (n.startsWith(".compact_tmp_")) {
+        fs.delete(s.getPath, true)
+      }
+    }
   }
 }

@@ -59,15 +59,33 @@ object EventStreams {
     * reference's truncate-and-reload strategy (`ETL Scripts/README.md:22`
     * "replace" each run; incremental loading was its listed future
     * work). Each micro-batch is deduplicated on `keyCol` (last writer
-    * wins within the batch, by the `order` columns), existing keys are
-    * deleted remotely, and the batch appends — an idempotent
-    * delete+insert upsert that re-runs safely after failures.
+    * wins within the batch, by the `order` columns), staged into
+    * `<table>__stage` by the executor-parallel JDBC writer, then applied
+    * with two ENGINE-SIDE statements:
+    * `DELETE … WHERE key IN (SELECT key FROM stage)` and
+    * `INSERT … SELECT * FROM stage`.
     *
-    * Scale notes: the delete ships ONLY the batch's keys; the insert is
-    * the executor-parallel JDBC writer (batchsize, numPartitions as in
-    * graft.sinks.Jdbc.load). For warehouses with MERGE, swap the
-    * delete+append body for a staged MERGE — the foreachBatch seam is
-    * the same.
+    * Scale shape: the batch ships over JDBC exactly once (into the
+    * stage, batchsize rows per round trip, one connection per
+    * partition); NOTHING returns to the driver and no SQL text is built
+    * from data values — the r2 version collected every key driver-side
+    * and inlined 500-key IN-lists, which caps batch size at driver
+    * memory and O(keys) statements. Any key type works now (the old
+    * numeric-keys-only restriction existed only to make key inlining
+    * injection-safe).
+    *
+    * Failure semantics: a checkpoint retry re-runs the whole batch —
+    * stage rewrite (overwrite), re-delete (no-op for already-removed
+    * keys), re-insert — so the upsert stays idempotent. Readers can
+    * still observe the keys absent between the DELETE and the INSERT:
+    * delete+insert is not atomic across two statements. On engines with
+    * MERGE, replace the two statements with one
+    * `MERGE INTO table USING stage` for an atomic apply — the staging
+    * seam is exactly what MERGE needs, so only the final statement
+    * changes. (Embedded Derby, the test engine, has no MERGE.)
+    *
+    * The stage and target must share column order: both are created by
+    * this sink's own loads, which write the same DataFrame schema.
     */
   def jdbcUpsertSink(events: DataFrame, url: String, table: String,
                      keyCol: String, order: Seq[String],
@@ -81,19 +99,12 @@ object EventStreams {
           Jdbc.load(deduped, url, table, ifExists = "replace",
             batchSize = batchSize)
         } else {
-          val keys = deduped.select(col(keyCol)).collect()
-            .map(_.get(0).toString).toSeq
-          // keys are inlined into the DELETE — numeric keys only
-          require(keys.forall(_.matches("-?\\d+")),
-            s"jdbcUpsertSink requires a numeric key column, got $keyCol")
-          if (keys.nonEmpty) {
-            keys.grouped(500).foreach { chunk =>
-              Jdbc.execute(url,
-                s"""DELETE FROM $table WHERE "$keyCol" IN (${chunk.mkString(", ")})""")
-            }
-            Jdbc.load(deduped, url, table, ifExists = "append",
-              batchSize = batchSize)
-          }
+          val stage = s"${table}__stage"
+          Jdbc.load(deduped, url, stage, ifExists = "replace",
+            batchSize = batchSize)
+          Jdbc.execute(url,
+            s"""DELETE FROM $table WHERE "$keyCol" IN (SELECT "$keyCol" FROM $stage)""")
+          Jdbc.execute(url, s"INSERT INTO $table SELECT * FROM $stage")
         }
       }
 

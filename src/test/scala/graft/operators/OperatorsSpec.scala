@@ -167,6 +167,26 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: no snapshot at/before 7
   }
 
+  test("corrMatrix: one-pass all-pairs Pearson with exact expected values") {
+    // y = 2x (r=1), z = -x (r=-1), w uncorrelated-ish with known r
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0),
+      (2.0, 4.0, -2.0, 3.0),
+      (3.0, 6.0, -3.0, 2.0),
+      (4.0, 8.0, -4.0, 4.0)).toDF("x", "y", "z", "w")
+    val m = Correlation.matrix(df, Seq("x", "y", "z", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 10) // 4 diag + 6 upper pairs
+    assert(m(("x", "x")) == 1.0)
+    assert(m(("x", "y")) == 1.0)   // exact: decimal co-moments
+    assert(m(("x", "z")) == -1.0)
+    // hand-computed: sxw=1+6+6+16=29, cov=4*29-100=16,
+    // var_x=var_w=4*30-100=20 -> r = 16/sqrt(20*20) = 0.8
+    assert(m(("x", "w")) == 0.8)
+    assert(m(("y", "z")) == -1.0)
+  }
+
   test("sessionize splits on gap > threshold, 1-based per user") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L),

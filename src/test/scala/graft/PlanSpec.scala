@@ -79,6 +79,40 @@ class PlanSpec extends AnyFunSuite {
     assert(planString(frame).contains("py_round"))
   }
 
+  test("plan snapshots: the expensive queries keep their exchange/scan budgets") {
+    // Ceilings = round-3 measured counts (executed-plan string node
+    // occurrences at sf0.001, AQE-final) + ~25% slack. These are the 10+
+    // most expensive queries per the bench; a lost broadcast, a
+    // de-bucketed join, or a new shuffle stage blows the budget and
+    // fails HERE instead of on the cluster. Counts include repeated
+    // prints of reused subtrees — that repetition is part of the
+    // snapshot, not a bug to normalize away.
+    val budgets = Map( // name -> (maxExchanges, maxFileScans)
+      "q_sim_embedding_neardup" -> (5, 5),
+      "q_corpus_clean"          -> (95, 42),
+      "q_sim_ngram_jaccard"     -> (115, 40),
+      "q_sim_lsh_neardup"       -> (90, 40),
+      "q_sim_ann_quantized"     -> (8, 5),
+      "q_sim_ann_ivf"           -> (35, 13),
+      "q_sim_simhash_neardup"   -> (48, 9),
+      "q_sim_minhash_signature" -> (5, 3),
+      "q_sim_cosine_topk"       -> (8, 5),
+      "q_ev_sessionize"         -> (5, 3),
+      "q_a9_corr_matrix"        -> (3, 3), // the one-pass contract
+      "q_sim_lsh_bucket_report" -> (13, 5))
+    budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
+      val d = df(q)
+      d.collect() // finalize the adaptive plan
+      val plan = planString(d)
+      val ex = "Exchange".r.findAllIn(plan).size
+      val scans = "FileScan".r.findAllIn(plan).size
+      assert(ex <= maxEx,
+        s"$q: $ex exchanges > budget $maxEx — a new shuffle crept in:\n$plan")
+      assert(scans <= maxScan,
+        s"$q: $scans file scans > budget $maxScan — a scan stopped being reused:\n$plan")
+    }
+  }
+
   test("dedup and windows shuffle ONCE on their keys (no extra exchanges)") {
     val plan = planString(df("q_u2_dedup_keep_first"))
     // one hash exchange for the window partition key; the final orderBy

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{Headers, TimeFns}
-import graft.operators.{AsOf, Dedup, Profile, RangeJoin, Salt, Windows}
+import graft.operators.{AsOf, Dedup, GeoJoin, Profile, RangeJoin, Salt, Windows}
 import graft.sources.Tables
 
 /** Oracle-checked coverage for SURVEY §2 operators that existed as
@@ -316,6 +316,50 @@ object QueriesCoverage {
              |FROM l ASOF LEFT JOIN r
              |  ON l.o_custkey = r.o_custkey AND r.snap_ts <= l.o_orderdate
              |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)),
+
+    // ------------------------------------------- grid-binned spatial join
+    // J4 (the reference README's aspirational ST_Contains example) as a
+    // Spark-native rewrite: points and rectangles bin onto a 10-degree
+    // grid, the join is a hash equi-join on the cell, and the exact
+    // containment predicate verifies same-cell pairs only — never the
+    // points x boxes nested loop. Coordinates derive deterministically
+    // from events/nation (integer mods + 2-decimal fractions: exact in
+    // both engines); the oracle is the plain containment join.
+    Q("q_geo_bbox_join",
+      (s, d) => {
+        val pts = Tables.events(s, d).select(
+          col("event_id"),
+          ((col("user_id") * 37 % 360) - 180 +
+            (col("event_id") % 100) / 100.0).as("lon"),
+          ((col("user_id") * 53 % 180) - 90 +
+            (col("event_id") % 50) / 100.0).as("lat"))
+        val boxes = Tables.nation(s, d).select(
+          col("n_nationkey"),
+          ((col("n_nationkey") * 29 % 340) - 175.0).as("min_lon"),
+          ((col("n_nationkey") * 29 % 340) - 155.0).as("max_lon"),
+          ((col("n_nationkey") * 17 % 160) - 85.0).as("min_lat"),
+          ((col("n_nationkey") * 17 % 160) - 70.0).as("max_lat"))
+        GeoJoin.pointInBoxJoin(pts, boxes, "lon", "lat", cellSize = 10.0)
+          .select(col("event_id"), col("n_nationkey"), col("lon"), col("lat"))
+          .orderBy(col("event_id"), col("n_nationkey"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id,
+             |    ((user_id * 37) % 360) - 180 + (event_id % 100) / 100.0 AS lon,
+             |    ((user_id * 53) % 180) - 90 + (event_id % 50) / 100.0 AS lat
+             |  FROM events),
+             |b AS (
+             |  SELECT n_nationkey,
+             |    ((n_nationkey * 29) % 340) - 175.0 AS min_lon,
+             |    ((n_nationkey * 29) % 340) - 155.0 AS max_lon,
+             |    ((n_nationkey * 17) % 160) - 85.0 AS min_lat,
+             |    ((n_nationkey * 17) % 160) - 70.0 AS max_lat
+             |  FROM nation)
+             |SELECT event_id, n_nationkey, lon, lat
+             |FROM p JOIN b
+             |  ON lon >= min_lon AND lon <= max_lon
+             | AND lat >= min_lat AND lat <= max_lat
+             |ORDER BY event_id, n_nationkey""".stripMargin)),
 
     // ------------------------------------------------------ salted agg
     // Two-phase salted aggregation over a 3-value (maximally skewed)

@@ -167,6 +167,21 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: no snapshot at/before 7
   }
 
+  test("pointInBoxJoin: contained points found exactly once, edges inclusive") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, -0.5, 3.0), (3L, 25.0, 5.0),
+      (4L, 10.0, 10.0)).toDF("pid", "lon", "lat")
+    val boxes = Seq(
+      (100L, 0.0, 0.0, 10.0, 10.0),      // single-ish cell box
+      (200L, -30.0, -30.0, 30.0, 30.0))  // spans 7x7 grid cells
+      .toDF("bid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val r = GeoJoin.pointInBoxJoin(pts, boxes, "lon", "lat", cellSize = 10.0)
+      .select("pid", "bid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // each match appears ONCE even though box 200 covers many cells
+    assert(r.length == r.toSet.size, "duplicate matches from multi-cell box")
+    assert(r.toSet == Set((1L, 100L), (4L, 100L),    // (10,10) edge inclusive
+      (1L, 200L), (2L, 200L), (3L, 200L), (4L, 200L)))
+  }
+
   test("corrMatrix: one-pass all-pairs Pearson with exact expected values") {
     // y = 2x (r=1), z = -x (r=-1), w uncorrelated-ish with known r
     val df = Seq(

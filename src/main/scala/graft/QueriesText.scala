@@ -283,6 +283,42 @@ object QueriesText {
            |       ${HashFns.md5LongSql(normNoisy)}
            |       THEN 1 ELSE 0 END AS BIGINT) AS noise_invariant
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -------------------------------------------------- sequence packing
+    // Pack documents into fixed token-budget training sequences (budget
+    // 512): docs in arrival order (doc_id), a doc joins the pack where
+    // its cumulative token count STARTS — greedy sequential fill, no
+    // splitting, so a doc may overflow its pack by less than its own
+    // length (the standard pack-then-truncate/pad shape). The cumsum is
+    // the DISTRIBUTED bucket-carry operator
+    // (Windows.runningSumDistributed): in-bucket windows run in
+    // parallel and only one total per 100-doc bucket reaches the
+    // driver — a plain global window would funnel the corpus through a
+    // single task. The oracle's global window cumsum is numerically
+    // identical because the sums are integral.
+    Q("q_text_pack_sequences",
+      (s, d) => {
+        val budget = 512
+        val per = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.bpeishTokenCount(col("text")).as("n_tokens"))
+        Windows.runningSumDistributed(per, "n_tokens", "cum_tokens",
+            Seq(col("doc_id")), floor(col("doc_id") / 100).cast("long"))
+          .select(col("doc_id"), col("n_tokens"),
+            ((col("cum_tokens") - col("n_tokens")) / budget)
+              .cast("long").as("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text,
+              |      '${TextFns.bpeishPattern.replace("'", "''")}', 0))
+              |      AS BIGINT) AS n_tokens
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  (SUM(n_tokens) OVER (ORDER BY doc_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |   - n_tokens) // 512 AS pack_id
+              |FROM per ORDER BY doc_id""".stripMargin))
   )
 }

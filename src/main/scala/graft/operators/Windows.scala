@@ -99,6 +99,48 @@ object Windows {
       .drop(bk, "__ffb", "__carry")
   }
 
+  /** W1 at scale — GLOBAL running sum without a global single-task
+    * window, same bucket-carry shape as [[forwardFillDistributed]]:
+    * (1) in-bucket cumulative sums run every bucket in parallel;
+    * (2) one total per bucket comes to the driver for an exclusive
+    * prefix scan; (3) a broadcast join adds each bucket's carry-in.
+    * Only the per-bucket totals leave the executors, so this holds at
+    * any size. `bucket` must be MONOTONE non-decreasing along `order`
+    * and castable to long; `valueCol` must be integral (LongType) so
+    * partial sums are exact under any grouping. Result column `outCol`.
+    */
+  def runningSumDistributed(df: DataFrame, valueCol: String, outCol: String,
+                            order: Seq[Column], bucket: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val bk = Dedup.freshName(df, "__rsbk")
+    val bucketed = df.withColumn(bk, bucket.cast("long"))
+    val w = Window.partitionBy(col(bk)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn(outCol,
+      sum(col(valueCol).cast("long")).over(w))
+    // one row per bucket to the driver (the documented bound)
+    val totals = bucketed.groupBy(col(bk))
+      .agg(sum(col(valueCol).cast("long")).as("__btotal"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "runningSumDistributed: bucket expression evaluated to NULL")
+        r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
+    var running = 0L
+    val offsets = totals.map { case (b, t) =>
+      val in = running; running += t; Row(b, in)
+    }
+    val offSchema = StructType(Seq(StructField("__rsb", LongType),
+      StructField("__carry", LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
+    local.join(broadcast(offDf), col(bk) === col("__rsb"), "left")
+      .withColumn(outCol, col(outCol) + coalesce(col("__carry"), lit(0L)))
+      .drop(bk, "__rsb", "__carry")
+  }
+
   /** W4 — rank rows within groups (top-k per group when filtered). */
   def rowNumber(keys: Seq[Column], order: Seq[Column]): Column =
     row_number().over(grouped(keys, order))

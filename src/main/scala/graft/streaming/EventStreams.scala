@@ -42,6 +42,24 @@ object EventStreams {
       .option("maxFilesPerTrigger", "16")
       .json(dir)
 
+  /** Exactly-once-per-id ingest: watermarked streaming dedup on the
+    * event id (SURVEY §2.10 phase-2: the streaming replacement for the
+    * reference's re-glob-and-reload, which relied on truncate+reload to
+    * make redelivered files harmless). `dropDuplicatesWithinWatermark`
+    * keys state by `idCol` and RECLAIMS each key once the watermark
+    * passes its event time — bounded state, unlike a plain
+    * dropDuplicates whose key set grows forever. State shards by id
+    * hash across executors exactly like a batch shuffle; a duplicate
+    * arriving within `lateness` of the original is dropped, one
+    * arriving later than the watermark bound may pass (the documented
+    * at-least-once edge — size `lateness` to the source's redelivery
+    * horizon).
+    */
+  def dedupedStream(events: DataFrame, idCol: String = "event_id",
+                    lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Tumbling-window counts with a watermark: late events beyond
     * `lateness` are dropped and their window state is reclaimed.
     */

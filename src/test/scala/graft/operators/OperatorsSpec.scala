@@ -167,6 +167,20 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: no snapshot at/before 7
   }
 
+  test("runningSumDistributed equals the global window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 20L).map(i => (i, i * 3 % 7)).toDF("id", "v")
+      .repartition(4) // physical layout must not matter
+    val dist = Windows.runningSumDistributed(df, "v", "cum",
+        Seq(col("id")), floor(col("id") / 3).cast("long"))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = df.select(col("id"),
+        sum(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == global)
+  }
+
   test("pointInBoxJoin: contained points found exactly once, edges inclusive") {
     val pts = Seq((1L, 5.0, 5.0), (2L, -0.5, 3.0), (3L, 25.0, 5.0),
       (4L, 10.0, 10.0)).toDF("pid", "lon", "lat")

@@ -38,6 +38,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupedStream drops within-watermark redeliveries, keeps new ids") {
+    val input = MemoryStream[Event](spark)
+    val result = EventStreams.dedupedStream(input.toDF(), "event_id",
+      lateness = "1 hour")
+    val q = result.writeStream
+      .format("memory").queryName("dedup_spec")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // redeliver id 2 (same file re-globbed) + genuinely new id 3
+      input.addData(
+        Event(2, ts("2024-03-01 10:01:00"), 1, "view", 2.0),
+        Event(3, ts("2024-03-01 10:02:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_spec ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("jdbcUpsertSink is an idempotent delete+insert upsert") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_upsert")
     val url = s"jdbc:derby:$dbDir/updb;create=true"

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.PyRound
+import graft.expressions.{Md5Long, PyRound}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"py_round scale must be an integer literal, got $other")
         }
         PyRound(children.head, scale)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "md5_long(expr) takes exactly 1 argument")
+        Md5Long(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
       }))
   }
 }

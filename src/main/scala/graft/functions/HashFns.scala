@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object HashFns {
 
-  /** Deterministic 60-bit hash of a string column (md5-derived). */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Deterministic 60-bit hash of a string column (md5-derived).
+    * Backed by the native codegen'd expression
+    * [[graft.expressions.Md5Long]] — bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)` but with no intermediate
+    * hex-string materialization (md5-per-row is the hot path of every
+    * MinHash/SimHash/fingerprint query).
+    */
+  def md5Long(c: Column): Column = graft.expressions.Md5Long(c)
 
   /** Seeded variant: hash of (salt || value). Seeds give independent
     * hash families for MinHash signatures.

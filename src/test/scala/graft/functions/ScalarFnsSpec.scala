@@ -9,6 +9,35 @@ class ScalarFnsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("native md5_long equals the composed conv/substring/md5 form") {
+    val inputs = Seq("", "a", "hello world", "s3:многоязычный",
+      "emoji 😀 tail", "x" * 10000)
+    val df = inputs.toDF("s")
+    val rows = df.select(
+        HashFns.md5Long(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+          .as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.map(_.getLong(0)).forall(_ >= 0L)) // 60-bit, non-negative
+    // null propagates
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(HashFns.md5Long(col("s"))).head().isNullAt(0))
+    // SQL registration
+    assert(spark.sql("SELECT md5_long('abc')").head().getLong(0) ==
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("abc".getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16))
+    // codegen participation (same check as py_round: a range-backed
+    // projection keeps the expression inside a whole-stage-codegen span)
+    val frame = spark.range(3)
+      .select(HashFns.md5Long(col("id").cast("string")).as("h"))
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("md5_long"))
+  }
+
   test("F18/F19 bin edges are left-closed [lo, hi)") {
     val df = Seq(-0.1, 0.0, 2.999, 3.0, 9.99, 10.0, 13.0, 1e9).toDF("v")
       .select(col("v"),

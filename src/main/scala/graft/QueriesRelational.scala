@@ -316,12 +316,15 @@ object QueriesRelational {
             sum((col("x") * col("x")).cast("decimal(28,4)")).cast("double").as("sxx"),
             sum((col("y") * col("y")).cast("decimal(28,4)")).cast("double").as("syy"))
           .select(
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            // 12-decimal stabilized: the closing multiply-subtract is
+            // FMA-sensitive cross-engine (see Correlation scaladoc)
+            (bround(((col("n") * col("sxy") - col("sx") * col("sy")) /
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
                    (col("n") * col("syy") - col("sy") * col("sy"))))
+              * lit(1e12)) / lit(1e12))
               .as("corr_qty_price"))
       },
-      Some("""WITH s AS (
+      Some(s"""WITH s AS (
              |  SELECT CAST(count(*) AS DOUBLE) AS n,
              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
@@ -329,7 +332,8 @@ object QueriesRelational {
              |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
              |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
              |  FROM lineitem)
-             |SELECT (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+             |SELECT ${graft.operators.Correlation.stab12Sql(
+               "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))")}
              |  AS corr_qty_price FROM s""".stripMargin)),
 
     // ------------------------------------------- A9 generalized: full matrix

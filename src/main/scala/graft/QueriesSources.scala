@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{Headers, TimeFns, UnitFns}
 import graft.sinks.Jdbc
-import graft.sources.{CsvSources, Gpx, JsonSources, Tables, ZipUtil}
+import graft.sources.{CsvSources, Gpx, JsonSources, Lake, Tables, ZipUtil}
 
 /** Source/sink layer coverage (SURVEY §2.1 S1–S11), oracle-checked.
   *
@@ -196,6 +196,34 @@ object QueriesSources {
       Some(s"""SELECT CAST(calendarDate AS DATE) AS cal_date, totalSteps,
               |  CAST(totalDistanceMeters AS DOUBLE) AS dist_m
               |FROM read_csv('$FX/zip_expected/daily_steps.csv', header=true)
-              |ORDER BY cal_date""".stripMargin))
+              |ORDER BY cal_date""".stripMargin)),
+
+    // ---------------------------------------------- parquet lake round trip
+    // The canonical lake layout end-to-end: write day-partitioned
+    // parquet (Lake.writeByDay), read it back through partition
+    // discovery, and aggregate ONE day — the filter hits the `day=`
+    // directory via partition pruning (asserted in LakeSpec), so only
+    // that day's files are read. The oracle aggregates the source
+    // events directly: the write -> partition -> read -> prune chain
+    // must be value-preserving.
+    Q("q_lake_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lake_rt").toString
+        val ev = Tables.events(s, d).filter(col("user_id") < 100)
+        Lake.writeByDay(ev, "ts", dir)
+        Lake.read(s, dir)
+          .filter(col("day") === lit("2024-01-03"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events
+             |WHERE user_id < 100 AND CAST(ts AS DATE) = DATE '2024-01-03'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

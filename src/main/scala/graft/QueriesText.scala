@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
-import graft.operators.Windows
+import graft.operators.{Similarity, Windows}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` corpus: token counting,
@@ -319,6 +319,98 @@ object QueriesText {
               |  (SUM(n_tokens) OVER (ORDER BY doc_id
               |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |   - n_tokens) // 512 AS pack_id
-              |FROM per ORDER BY doc_id""".stripMargin))
+              |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------- benchmark contamination check
+    // Decontamination: find TRAIN documents sharing token n-grams with
+    // the EVAL set (the GPT-3-style n-gram overlap rule; here 3-grams,
+    // eval = doc_id < 50). Inverted-index join on the ngram — the same
+    // no-all-pairs shape as the similarity family — with boilerplate
+    // ngrams (corpus df > 50) excluded so one common phrase can't turn
+    // the join quadratic; pairs with >= 3 shared ngrams are flagged.
+    Q("q_text_contamination",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3).distinct()
+        val rare = ng.groupBy(col("ngram"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
+          .select(col("ngram"))
+        val ngR = ng.join(rare, Seq("ngram"))
+        val evalNg = ngR.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("eval_id"), col("ngram"))
+        val trainNg = ngR.filter(col("doc_id") >= 50)
+          .select(col("doc_id").as("train_id"), col("ngram"))
+        trainNg.join(evalNg, Seq("ngram"))
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("shared_ngrams"))
+          .filter(col("shared_ngrams") >= 3)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |rare AS (SELECT ngram FROM ng GROUP BY ngram
+             |         HAVING count(*) <= 50),
+             |ngr AS (SELECT * FROM ng JOIN rare USING (ngram))
+             |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+             |       count(*) AS shared_ngrams
+             |FROM ngr a JOIN ngr b USING (ngram)
+             |WHERE a.doc_id >= 50 AND b.doc_id < 50
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
+    // ------------------------------------------------------ PII scrubbing
+    // Redaction pass: count and mask emails and (toy) phone numbers.
+    // The corpus has no natural PII, so deterministic PII is appended
+    // per doc (same construction on both sides) — the operator under
+    // test is the count+replace chain, which is map-only (no shuffle)
+    // and conservative-regex so Java and RE2 agree. Output carries the
+    // scrubbed-text fingerprint so the masking itself is hash-checked.
+    Q("q_text_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        val withPii = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+            .as("text"))
+        withPii.select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+            HashFns.md5Long(
+              regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+                phone, "<PHONE>")).as("scrubbed_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id ||
+           |      '@example.com or 555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT)
+           |    AS n_phones,
+           |  ${HashFns.md5LongSql(
+               s"regexp_replace(regexp_replace(text, '$email', " +
+                 s"'<EMAIL>', 'g'), '$phone', '<PHONE>', 'g')")}
+           |    AS scrubbed_fp
+           |FROM p ORDER BY doc_id""".stripMargin
+      })
   )
 }

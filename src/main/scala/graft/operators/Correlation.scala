@@ -27,8 +27,21 @@ import org.apache.spark.sql.functions._
   * formed in double first (exact while values fit in 53 bits, which
   * ints and cent-valued money do) and cast, matching the oracle's
   * arithmetic bit-for-bit.
+  *
+  * The final r is rounded half-even to 12 decimals: the closing
+  * arithmetic (n·sxy − sx·sy over identical doubles) is NOT
+  * cross-engine stable at the last ulp — compilers that emit fused
+  * multiply-add (DuckDB's does) skip the intermediate rounding the JVM
+  * performs — and 1e-16 noise in a statistic bounded by |r| ≤ 1 is
+  * measurement-meaningless anyway.
   */
 object Correlation {
+
+  private def stab12(c: Column): Column = bround(c * lit(1e12)) / lit(1e12)
+
+  /** DuckDB mirror of [[stab12]]. */
+  def stab12Sql(e: String): String =
+    s"round_even(($e) * 1000000000000.0, 0) / 1000000000000.0"
 
   def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "corr matrix needs at least one column")
@@ -45,7 +58,7 @@ object Correlation {
       col("n") * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j")
     val entries = for (i <- idx; j <- idx if j >= i) yield
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
-        (cov(i, j) / sqrt(cov(i, i) * cov(j, j))).as("pearson_r"))
+        stab12(cov(i, j) / sqrt(cov(i, i) * cov(j, j))).as("pearson_r"))
     m.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
@@ -64,7 +77,8 @@ object Correlation {
     def cov(i: Int, j: Int) = s"(n * p_${i}_$j - s_$i * s_$j)"
     val rows = for (i <- idx; j <- idx if j >= i) yield
       s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
-         |  ${cov(i, j)} / sqrt(${cov(i, i)} * ${cov(j, j)}) AS pearson_r
+         |  ${stab12Sql(s"${cov(i, j)} / sqrt(${cov(i, i)} * ${cov(j, j)})")}
+         |    AS pearson_r
          |FROM m""".stripMargin
     s"""WITH m AS (
        |  SELECT ${sums.mkString(",\n    ")}

@@ -354,6 +354,38 @@ object QueriesRelational {
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         + "\nORDER BY col_a, col_b")),
 
+    // ------------------------------------------- exact grouped percentiles
+    // Exact p50/p90/p99 per group (Spark `percentile`, linear
+    // interpolation at rank p·(n−1)). Exact percentile buffers each
+    // group's values — fine for low-cardinality keys like returnflag;
+    // at 100 TB with high-cardinality groups use approx_percentile
+    // (mergeable GK sketch) and accept the error bound. The 12-decimal
+    // stabilizer guards the interpolation arithmetic, whose operation
+    // ORDER differs legitimately between engines.
+    Q("q_agg_percentiles",
+      (s, d) => {
+        def stab(c: org.apache.spark.sql.Column) =
+          bround(c * lit(1e6)) / lit(1e6)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            stab(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+            stab(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+            stab(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round_even(quantile_cont(l_extendedprice, 0.5) * 1000000.0, 0)
+             |    / 1000000.0 AS p50,
+             |  round_even(quantile_cont(l_extendedprice, 0.9) * 1000000.0, 0)
+             |    / 1000000.0 AS p90,
+             |  round_even(quantile_cont(l_extendedprice, 0.99) * 1000000.0, 0)
+             |    / 1000000.0 AS p99,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ------------------------------------------------------------- A10/U2
     Q("q_a10_keep_latest",
       (s, d) => Dedup.keepLatest(Tables.orders(s, d),

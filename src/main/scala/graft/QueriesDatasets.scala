@@ -301,7 +301,68 @@ object QueriesDatasets {
        |FROM w ORDER BY calendarDate""".stripMargin
   }
 
+  // ---- activities oracle (summarized_activities / running_data) --------
+  private val activitiesOracle: String = {
+    val struct = "STRUCT(activityId BIGINT, activityType VARCHAR, " +
+      "name VARCHAR, sportType VARCHAR, beginTimestamp BIGINT, " +
+      "startTimeLocal DOUBLE, distance DOUBLE, duration DOUBLE, " +
+      "movingDuration DOUBLE, avgSpeed DOUBLE, maxSpeed DOUBLE, " +
+      "calories DOUBLE, avgHr DOUBLE, maxHr DOUBLE, steps DOUBLE, " +
+      "elevationGain DOUBLE, avgStrideLength DOUBLE, favorite BOOLEAN, " +
+      "deviceId BIGINT, locationName VARCHAR, vO2MaxValue DOUBLE)"
+    // int()-truncation formatting (CAST in DuckDB ROUNDS — trunc first)
+    def hms(ms: String) = {
+      val s = s"CAST(trunc($ms / 1000.0) AS BIGINT)"
+      s"CASE WHEN $ms IS NULL OR $ms = 0 THEN '0:00:00' ELSE " +
+        s"printf('%d:%02d:%02d', $s // 3600, ($s % 3600) // 60, $s % 60) END"
+    }
+    def pace(v: String) = {
+      val spk = s"CAST(trunc(1000.0 / ($v * 10.0)) AS BIGINT)"
+      s"CASE WHEN $v IS NULL OR $v <= 0 THEN '0:00' ELSE " +
+        s"printf('%d:%02d', $spk // 60, $spk % 60) END"
+    }
+    s"""WITH src AS (
+       |  SELECT unnest(summarizedActivitiesExport) AS a
+       |  FROM read_json(
+       |    '${glob("DI-Connect-Fitness/*summarizedActivities*.json")}',
+       |    format='array',
+       |    columns={summarizedActivitiesExport: '$struct[]'}))
+       |SELECT a.activityId AS activityId, a.activityType AS activityType,
+       |  a.name AS name, a.sportType AS sportType,
+       |  epoch_ms(a.beginTimestamp) AS begin_ts,
+       |  epoch_ms(CAST(trunc(a.startTimeLocal) AS BIGINT))
+       |    AS start_ts_local,
+       |  a.distance / 100000.0 AS distance_km,
+       |  a.duration / 1000.0 AS duration_s,
+       |  a.avgSpeed * 10.0 AS avg_speed_ms,
+       |  a.calories AS calories, a.avgHr AS avgHr, a.maxHr AS maxHr,
+       |  a.steps AS steps,
+       |  a.elevationGain / 100.0 AS elev_gain_m,
+       |  a.avgStrideLength AS avgStrideLength, a.favorite AS favorite,
+       |  a.deviceId AS deviceId, a.locationName AS locationName,
+       |  a.vO2MaxValue AS vO2MaxValue,
+       |  ${hms("a.duration")} AS time_hms,
+       |  ${hms("a.movingDuration")} AS moving_hms,
+       |  ${pace("a.avgSpeed")} AS avg_pace,
+       |  ${pace("a.maxSpeed")} AS best_pace
+       |FROM src""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+
+    Q("q_ds_activities",
+      (s, _) => ActivitiesPipeline.all(s)
+        .orderBy(org.apache.spark.sql.functions.col("activityId")),
+      Some(s"""WITH acts AS ($activitiesOracle)
+              |SELECT * FROM acts ORDER BY activityId""".stripMargin)),
+
+    Q("q_ds_running_extract",
+      (s, _) => ActivitiesPipeline.running(s)
+        .orderBy(org.apache.spark.sql.functions.col("activityId")),
+      Some(s"""WITH acts AS ($activitiesOracle)
+              |SELECT * FROM acts
+              |WHERE lower(activityType) LIKE '%run%'
+              |ORDER BY activityId""".stripMargin)),
 
     Q("q_ds_atl",
       (s, _) => MetricsPipelines.atl(s),

@@ -71,10 +71,18 @@ object JsonSources {
     * one row per activity.
     */
   def scanEnvelope(spark: SparkSession, path: String): DataFrame =
+    scanEnvelope(spark, path, "summarizedActivitiesExport", summarizedSchema)
+
+  /** S3+N5 with caller-declared wrapper field + inner schema (the real
+    * Garmin export carries ~50 activity fields; callers project by
+    * declaring only what they read — the schema IS the projection).
+    */
+  def scanEnvelope(spark: SparkSession, path: String, wrapperField: String,
+                   inner: StructType): DataFrame =
     spark.read
       .option("multiLine", "true")
-      .schema(envelopeSchema)
+      .schema(StructType(Seq(StructField(wrapperField, ArrayType(inner)))))
       .json(path)
-      .select(explode(col("summarizedActivitiesExport")).as("a"))
+      .select(explode(col(wrapperField)).as("a"))
       .select(col("a.*"))
 }

@@ -21,6 +21,8 @@ object GarminPipeline {
 
   def datasets(spark: SparkSession,
                rawDir: String): Seq[(String, () => DataFrame)] = Seq(
+    "summarized_activities" -> (() => ActivitiesPipeline.all(spark, rawDir)),
+    "running_data"      -> (() => ActivitiesPipeline.running(spark, rawDir)),
     "sleep_data"        -> (() => SleepPipeline.clean(spark, rawDir)),
     "atl_data"          -> (() => MetricsPipelines.atl(spark, rawDir)),
     "maxmet_data"       -> (() => MetricsPipelines.maxmet(spark, rawDir)),

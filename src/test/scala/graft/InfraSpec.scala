@@ -13,6 +13,22 @@ class InfraSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("GarminPipeline orchestrates all datasets end-to-end with verify counts") {
+    val out = Files.createTempDirectory("graft_pipeline").toString
+    val results = graft.cli.GarminPipeline.run(spark, out,
+      graft.datasets.GarminRaw.defaultRawDir)
+    assert(results.size == 10)
+    val failed = results.filter(_.error.nonEmpty)
+    assert(failed.isEmpty, s"failed datasets: $failed")
+    // E1's post-load verification numbers (the reference's count check):
+    // every dataset landed rows, and the known-grain tables match
+    val byName = results.map(r => r.dataset -> r.rows).toMap
+    assert(results.forall(_.rows > 0))
+    assert(byName("summarized_activities") == 354L)
+    assert(byName("sleep_data") == 257L)
+    assert(byName("master_table") == 239L)
+  }
+
   test("py_round is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT py_round(2.15d, 1) AS a, py_round(0.25d, 1) AS b, " +

@@ -154,6 +154,82 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // -------------------------------------------- duplicate CLUSTERS
+    // Pairwise near-dup pairs upgraded to components: min-label
+    // propagation over the verified LSH pairs (operators/Components)
+    // gives every clustered doc its cluster id (= min doc_id — the
+    // canonical survivor). The oracle computes the same components via
+    // a DuckDB RECURSIVE CTE — an independent algorithm (transitive
+    // reachability) confirming the propagation's fixpoint.
+    Q("q_sim_dup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
+        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
+        val pairs = Similarity.jaccardForPairs(cand, sh, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH RECURSIVE uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN ok USING (band, bv)
+           |  JOIN bands b USING (band, bv)
+           |  WHERE a.doc_id < b.doc_id),
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.id_a
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  GROUP BY c.id_a, c.id_b),
+           |prs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sz sa ON sa.doc_id = id_a
+           |  JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |      UNION SELECT id_b, id_a FROM prs),
+           |reach(id, lbl) AS (
+           |  SELECT DISTINCT src, src FROM e
+           |  UNION
+           |  SELECT e.src, r.lbl FROM e JOIN reach r ON r.id = e.dst)
+           |SELECT id, min(lbl) AS component FROM reach
+           |GROUP BY id ORDER BY id""".stripMargin
+      }),
+
     // ------------------------------------------------ LSH hot-bucket report
     // The observability half of candidatePairs' maxBucket cap: every
     // bucket the near-dup join DROPS (size > 20) is reported with its

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step that upgrades pairwise near-dup detection to CLUSTER-level
+  * dedup (keep one canonical doc per duplicate cluster; a greedy
+  * per-pair prune can drop both endpoints of a chain or keep
+  * transitive duplicates).
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each round, a node's label becomes the min of its own and
+  * its neighbors' labels; converged when no label changes. Each round
+  * is ONE equi-join (edges × labels) + ONE aggregation — all hash
+  * shuffles on node ids, nothing driver-side except the 1-row
+  * convergence count — and the round count is the graph DIAMETER, which
+  * for near-dup clusters is small (template families are star- or
+  * clique-shaped). Lineage is truncated each round (localCheckpoint;
+  * on a cluster, `spark.sparkContext.setCheckpointDir` + checkpoint
+  * does the same durably), so plans don't grow with iterations.
+  *
+  * For adversarial long-chain graphs the classic fix is large-star /
+  * small-star contraction (O(log n) rounds); `maxIter` guards against
+  * that case by failing loudly instead of silently returning
+  * half-merged components.
+  *
+  * Output: (id, component) where component = min node id reachable.
+  */
+object Components {
+
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(
+          labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — graph " +
+        "diameter exceeds the bound; raise maxIter or use star-contraction")
+    labels
+  }
+}

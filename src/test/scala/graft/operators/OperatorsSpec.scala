@@ -167,6 +167,16 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: no snapshot at/before 7
   }
 
+  test("connectedComponents: chains merge to min label, components stay apart") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val r = Components.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1-2-3-4 is a CHAIN: label 1 must propagate two hops to node 4
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("runningSumDistributed equals the global window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 20L).map(i => (i, i * 3 % 7)).toDF("id", "v")

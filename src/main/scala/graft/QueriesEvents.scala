@@ -81,6 +81,41 @@ object QueriesEvents {
               |SELECT doc_id, lang, n_sampled FROM kept JOIN pl USING (lang)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------------------- source-weighted mixture
+    // Training-corpus data MIXING: fixed per-source document quotas
+    // (50/30/20 here; sources faked as doc_id % 3), filled by taking
+    // each source's lowest-hash documents — a deterministic,
+    // engine-reproducible uniform draw (md5-derived order, not rand()),
+    // one shuffle on the source key. Integer quotas + hash ordering
+    // keep SET membership exact across engines, where a float-weight
+    // priority (Efraimidis-Spirakis pow(u, 1/w)) would be libm-
+    // dependent at the selection boundary.
+    Q("q_sample_mixture",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 3).as("source"))
+        val quota = when(col("source") === 0, 50)
+          .when(col("source") === 1, 30).otherwise(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(graft.functions.HashFns.md5Long(
+            concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+        docs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= quota)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, doc_id % 3 AS source,
+              |    row_number() OVER (PARTITION BY doc_id % 3
+              |      ORDER BY ${graft.functions.HashFns.md5LongSql(
+                     "'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+              |  FROM documents)
+              |SELECT doc_id, source, rk FROM r
+              |WHERE rk <= CASE source WHEN 0 THEN 50 WHEN 1 THEN 30
+              |            ELSE 20 END
+              |ORDER BY source, rk""".stripMargin)),
+
     // ------------------------------------------------------ sessionization
     Q("q_ev_sessionize",
       (s, d) => {

@@ -99,7 +99,14 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_cosine_topk"       -> (8, 5),
       "q_ev_sessionize"         -> (5, 3),
       "q_a9_corr_matrix"        -> (3, 3), // the one-pass contract
-      "q_sim_lsh_bucket_report" -> (13, 5))
+      "q_sim_lsh_bucket_report" -> (13, 5),
+      // round-3 additions
+      "q_agg_percentiles"       -> (5, 3),
+      "q_text_contamination"    -> (26, 9),
+      "q_text_pack_sequences"   -> (8, 3),
+      "q_geo_bbox_join"         -> (5, 5),
+      "q_mm_features"           -> (3, 3),
+      "q_sample_mixture"        -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

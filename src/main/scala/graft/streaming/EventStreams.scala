@@ -126,6 +126,27 @@ object EventStreams {
         }
       }
 
+  /** Streaming lake sink — the incremental counterpart of
+    * Lake.writeByDay: append day-partitioned parquet through the file
+    * sink's commit log (`_spark_metadata`), which makes the sink
+    * EXACTLY-ONCE per batch — a restarted query replays only
+    * uncommitted batches, and streaming-aware readers see committed
+    * files only. Partitioning by day at write time means the batch
+    * lake queries (partition pruning, selective compaction) work
+    * unchanged on streamed-in data; run Lake.compact as the
+    * maintenance pass since micro-batches leave one file per day per
+    * trigger.
+    */
+  def streamToLake(events: DataFrame, tsCol: String, path: String,
+                   checkpoint: String): DataStreamWriter[Row] =
+    events.withColumn("day", to_date(col(tsCol)))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .format("parquet")
+      .option("path", path)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -84,6 +85,29 @@ class StreamingSpec extends AnyFunSuite {
         """SELECT "value" FROM ev_upsert WHERE "event_id" = 2""")
         .head().getDouble(0)
       assert(v2 == 9.0) // last write won
+    } finally q.stop()
+  }
+
+  test("streamToLake lands day-partitioned parquet incrementally") {
+    val base = java.nio.file.Files.createTempDirectory("graft_slake")
+    val path = s"$base/lake"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamToLake(input.toDF(), "ts", path, ckpt).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-02 11:00:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() == 2L)
+      // second micro-batch appends; day partitioning is physical
+      input.addData(Event(3, ts("2024-03-02 12:00:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val lake = spark.read.parquet(path)
+      assert(lake.count() == 3L)
+      assert(lake.filter(col("day") === "2024-03-02").count() == 2L)
+      val dayDirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+      assert(dayDirs.toSeq == Seq("day=2024-03-01", "day=2024-03-02"))
     } finally q.stop()
   }
 

@@ -106,4 +106,5 @@ object Laws extends Properties("graft") {
           once.forall(ch => ch.isLetterOrDigit && ch < 128 || ch == '_')
       }
     }
+
 }

@@ -177,6 +177,34 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents equals union-find on 20 seeded random graphs") {
+    // 20 random graphs in disjoint id spaces, solved in ONE iterative
+    // run (one Spark call, not one per case), checked against a
+    // reference union-find whose min-directed unions make every root
+    // the component minimum — the operator's exact contract.
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 20).flatMap { g =>
+      val base = g * 100L
+      Seq.fill(12)((base + rnd.nextInt(15), base + rnd.nextInt(15)))
+        .filter(e => e._1 != e._2)
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Components
+      .connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("runningSumDistributed equals the global window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 20L).map(i => (i, i * 3 % 7)).toDF("id", "v")

@@ -390,6 +390,39 @@ object QueriesCoverage {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ------------------------------------------------------ salted join
+    // The JOIN half of the skew story (Salt.aggregate covers the
+    // aggregation half): ~70% of lineitem rows carry one hot synthetic
+    // key; the dim side replicates 8x and the join runs on (key, salt),
+    // spreading the hot key over 8 reducers. Oracle = the PLAIN join:
+    // the salted rewrite must be row-for-row identical.
+    Q("q_salted_skew_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("skew_key",
+            when(col("l_orderkey") % 10 < 7, lit(0L))
+              .otherwise(col("l_orderkey") % 25))
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("skew_key"),
+            col("n_name"))
+        Salt.saltedJoin(li, dim, "skew_key",
+            Salt.saltFrom(col("l_orderkey"), 8), buckets = 8)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("qty"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_quantity,
+             |    CASE WHEN l_orderkey % 10 < 7 THEN 0
+             |         ELSE l_orderkey % 25 END AS skew_key
+             |  FROM lineitem)
+             |SELECT n_name, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM li JOIN nation ON skew_key = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // ----------------------------------------------------------- F1/F2
     // Header normalization over dirty column names, plus parse-or-null
     // timestamp semantics (pandas `errors='coerce'` ->

@@ -38,6 +38,28 @@ object Salt {
   val min2: SaltedAgg = SaltedAgg(min, min)
   val max2: SaltedAgg = SaltedAgg(max, max)
 
+  /** Salted equi-join for a skewed BIG side: every big-side row gets a
+    * deterministic salt in [0, buckets); the SMALL side is exploded
+    * `buckets` times (one copy per salt value) and the join runs on
+    * (key, salt) — a hot join key's rows now spread over `buckets`
+    * reducer tasks instead of funneling through one. Result set is
+    * row-for-row the plain join (each big row matches exactly its own
+    * salt's copy). Replication cost is |small| × buckets — use for
+    * big-skewed × small joins; for big × big skew, AQE's skew-join
+    * split is the tool. `salt` must be DETERMINISTIC (derive from a
+    * high-cardinality column via [[saltFrom]], never rand(): reruns,
+    * retried tasks, and oracle replays must agree).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Column, buckets: Int): DataFrame = {
+    val sn = Dedup.freshName(big, "__jsalt")
+    val saltedBig = big.withColumn(sn, salt)
+    val replicated = small
+      .withColumn(sn, explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn(sn, col(sn).cast(saltedBig.schema(sn).dataType))
+    saltedBig.join(replicated, Seq(key, sn)).drop(sn)
+  }
+
   /** Salted groupBy: `aggs` maps output-column name -> (input column,
     * two-phase aggregate).
     */

@@ -29,6 +29,22 @@ class InfraSpec extends AnyFunSuite {
     assert(byName("master_table") == 239L)
   }
 
+  test("saltedJoin equals the plain equi-join row-for-row") {
+    import spark.implicits._
+    val big = Seq((0L, "x1"), (0L, "x2"), (0L, "x3"), (1L, "y"), (9L, "z"))
+      .toDF("k", "payload").withColumn("rid", monotonically_increasing_id())
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val salted = Salt.saltedJoin(big, dim, "k",
+        Salt.saltFrom(col("rid"), 4), buckets = 4)
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val plain = big.join(dim, Seq("k"))
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 4) // key 9 has no dim row; key 0 matches 3x
+  }
+
   test("py_round is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT py_round(2.15d, 1) AS a, py_round(0.25d, 1) AS b, " +

@@ -31,14 +31,11 @@ object QueriesDatasets {
     "/root/reference/ETL Scripts/PBI Python Scripts/Raw Data"
   private def glob(sub: String) = s"$raw/*/DI_CONNECT/$sub"
 
-  /** Kill last-ulp fp noise: half-even round to 6 decimals. DuckDB
-    * mirror: `round_even(c * 1000000.0, 0) / 1000000.0` (bround and
-    * round_even both reduce to rint of the product here — see
-    * PipelineOps.npRound1 scaladoc for why bround == rint off ties).
-    */
-  private def stab6(c: Column): Column = bround(c * lit(1e6)) / lit(1e6)
+  /** Kill last-ulp fp noise: 6-decimal half-even (functions.Stabilize). */
+  private def stab6(c: Column): Column =
+    graft.functions.Stabilize.stab(c, 6)
   private def stab6Sql(e: String): String =
-    s"round_even($e * 1000000.0, 0) / 1000000.0"
+    graft.functions.Stabilize.stabSql(e, 6)
 
   /** DuckDB mirror of PipelineOps.npRound1 applied to x/3600. npRound1
     * multiplies by 10 in fp FIRST (both engines hit the same product

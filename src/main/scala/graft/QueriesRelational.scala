@@ -318,10 +318,10 @@ object QueriesRelational {
           .select(
             // 12-decimal stabilized: the closing multiply-subtract is
             // FMA-sensitive cross-engine (see Correlation scaladoc)
-            (bround(((col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                   (col("n") * col("syy") - col("sy") * col("sy"))))
-              * lit(1e12)) / lit(1e12))
+            graft.functions.Stabilize.stab(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                     (col("n") * col("syy") - col("sy") * col("sy"))), 12)
               .as("corr_qty_price"))
       },
       Some(s"""WITH s AS (
@@ -365,7 +365,7 @@ object QueriesRelational {
     Q("q_agg_percentiles",
       (s, d) => {
         def stab(c: org.apache.spark.sql.Column) =
-          bround(c * lit(1e6)) / lit(1e6)
+          graft.functions.Stabilize.stab(c, 6)
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
@@ -375,16 +375,17 @@ object QueriesRelational {
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"))
       },
-      Some("""SELECT l_returnflag,
-             |  round_even(quantile_cont(l_extendedprice, 0.5) * 1000000.0, 0)
-             |    / 1000000.0 AS p50,
-             |  round_even(quantile_cont(l_extendedprice, 0.9) * 1000000.0, 0)
-             |    / 1000000.0 AS p90,
-             |  round_even(quantile_cont(l_extendedprice, 0.99) * 1000000.0, 0)
-             |    / 1000000.0 AS p99,
-             |  count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)),
+      Some {
+        def q(p: String) = graft.functions.Stabilize.stabSql(
+          s"quantile_cont(l_extendedprice, $p)", 6)
+        s"""SELECT l_returnflag,
+           |  ${q("0.5")} AS p50,
+           |  ${q("0.9")} AS p90,
+           |  ${q("0.99")} AS p99,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin
+      }),
 
     // ------------------------------------------------------------- A10/U2
     Q("q_a10_keep_latest",

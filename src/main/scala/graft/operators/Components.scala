@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * that case by failing loudly instead of silently returning
   * half-merged components.
   *
+  * Storage: each round's localCheckpoint blocks become unreachable when
+  * `labels` is reassigned and are reclaimed by the ContextCleaner as
+  * the old frames are garbage-collected — live storage is the current
+  * round plus not-yet-collected predecessors, not rounds × |nodes|
+  * pinned for the job lifetime.
+  *
   * Output: (id, component) where component = min node id reachable.
   */
 object Components {

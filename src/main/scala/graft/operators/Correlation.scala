@@ -37,11 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
-  private def stab12(c: Column): Column = bround(c * lit(1e12)) / lit(1e12)
+  private def stab12(c: Column): Column =
+    graft.functions.Stabilize.stab(c, 12)
 
   /** DuckDB mirror of [[stab12]]. */
   def stab12Sql(e: String): String =
-    s"round_even(($e) * 1000000000000.0, 0) / 1000000000000.0"
+    graft.functions.Stabilize.stabSql(e, 12)
 
   def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "corr matrix needs at least one column")
@@ -51,7 +52,12 @@ object Correlation {
       idx.map(i => sum(col(cols(i)).cast("decimal(28,4)"))
         .cast("double").as(s"s_$i")) ++:
       (for (i <- idx; j <- idx if j >= i) yield
-        sum((col(cols(i)) * col(cols(j))).cast("decimal(38,8)"))
+        // products in DOUBLE explicitly (the documented contract):
+        // a native long*long multiply would silently wrap past 2^63
+        // where the double product — exact below 2^53, the operator's
+        // stated precision bound — stays correct
+        sum((col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+          .cast("decimal(38,8)"))
           .cast("double").as(s"p_${i}_$j"))
     val m = df.agg(sums.head, sums.tail: _*)
     def cov(i: Int, j: Int): Column =
@@ -72,7 +78,8 @@ object Correlation {
       idx.map(i =>
         s"CAST(SUM(CAST(${cols(i)} AS DECIMAL(28,4))) AS DOUBLE) AS s_$i") ++
       (for (i <- idx; j <- idx if j >= i) yield
-        s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,8)))" +
+        s"CAST(SUM(CAST(CAST(${cols(i)} AS DOUBLE) * " +
+          s"CAST(${cols(j)} AS DOUBLE) AS DECIMAL(38,8)))" +
           s" AS DOUBLE) AS p_${i}_$j")
     def cov(i: Int, j: Int) = s"(n * p_${i}_$j - s_$i * s_$j)"
     val rows = for (i <- idx; j <- idx if j >= i) yield

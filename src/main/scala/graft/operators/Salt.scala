@@ -53,10 +53,12 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Column, buckets: Int): DataFrame = {
     val sn = Dedup.freshName(big, "__jsalt")
-    val saltedBig = big.withColumn(sn, salt)
+    // null-safe: a NULL salt (null input to the salt expression) must
+    // not silently drop the row from an inner equi-join — route it to
+    // bucket 0, preserving the row-for-row plain-join guarantee
+    val saltedBig = big.withColumn(sn, coalesce(salt.cast("long"), lit(0L)))
     val replicated = small
-      .withColumn(sn, explode(sequence(lit(0), lit(buckets - 1))))
-      .withColumn(sn, col(sn).cast(saltedBig.schema(sn).dataType))
+      .withColumn(sn, explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedBig.join(replicated, Seq(key, sn)).drop(sn)
   }
 

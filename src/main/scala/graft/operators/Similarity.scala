@@ -198,13 +198,29 @@ object Similarity {
     * same shuffle shape (and key) as the candidate join itself.
     */
   def hotBuckets(bands: DataFrame, idCol: String, maxBucket: Int,
-                 sampleK: Int = 5): DataFrame =
-    bands.groupBy(col("band"), col("band_value"))
-      .agg(count(lit(1)).as("size"),
-        array_join(transform(
-          slice(sort_array(collect_list(col(idCol))), 1, sampleK),
-          _.cast("string")), ",").as("sample_ids"))
+                 sampleK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The sample is rank-limited BEFORE aggregation: a hot bucket is by
+    // definition huge, and collect_list over it would buffer every id
+    // in one aggregation buffer — the window sort streams and spills,
+    // so per-bucket state here is O(sampleK), not O(bucket).
+    val rn = Dedup.freshName(bands, "__hbrn")
+    val sizes = bands.groupBy(col("band"), col("band_value"))
+      .agg(count(lit(1)).as("size"))
       .filter(col("size") > maxBucket)
+    val samples = bands
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col("band"), col("band_value"))
+          .orderBy(col(idCol))))
+      .filter(col(rn) <= sampleK)
+      .groupBy(col("band"), col("band_value"))
+      .agg(array_join(transform(
+        sort_array(collect_list(col(idCol))), _.cast("string")), ",")
+        .as("sample_ids"))
+    sizes.join(samples, Seq("band", "band_value"))
+      .select(col("band"), col("band_value"), col("size"),
+        col("sample_ids"))
+  }
 
   /** Sign-bit random-projection bucket over the first `bits` dimensions:
     * bucket = Σ 2^i · [v[i] ≥ 0]. For embeddings whose dimensions are

@@ -90,13 +90,16 @@ object Windows {
       Row(b, in)
     }
     val valueField = df.schema(valueCol)
-    val carrySchema = StructType(Seq(StructField("__ffb", LongType),
-      StructField("__carry", valueField.dataType)))
+    // collision-proof carry-frame names (same discipline as Impute)
+    val fb = Dedup.freshName(filled, "__ffb")
+    val fc = Dedup.freshName(filled, "__ffcarry")
+    val carrySchema = StructType(Seq(StructField(fb, LongType),
+      StructField(fc, valueField.dataType)))
     val carryDf = spark.createDataFrame(
       spark.sparkContext.parallelize(carries.toSeq, 1), carrySchema)
-    filled.join(broadcast(carryDf), col(bk) === col("__ffb"), "left")
-      .withColumn(valueCol, coalesce(col(valueCol), col("__carry")))
-      .drop(bk, "__ffb", "__carry")
+    filled.join(broadcast(carryDf), col(bk) === col(fb), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col(fc)))
+      .drop(bk, fb, fc)
   }
 
   /** W1 at scale — GLOBAL running sum without a global single-task
@@ -132,13 +135,16 @@ object Windows {
     val offsets = totals.map { case (b, t) =>
       val in = running; running += t; Row(b, in)
     }
-    val offSchema = StructType(Seq(StructField("__rsb", LongType),
-      StructField("__carry", LongType)))
+    // collision-proof offset-frame names (same discipline as Impute)
+    val rb = Dedup.freshName(local, "__rsb")
+    val rc = Dedup.freshName(local, "__rscarry")
+    val offSchema = StructType(Seq(StructField(rb, LongType),
+      StructField(rc, LongType)))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
-    local.join(broadcast(offDf), col(bk) === col("__rsb"), "left")
-      .withColumn(outCol, col(outCol) + coalesce(col("__carry"), lit(0L)))
-      .drop(bk, "__rsb", "__carry")
+    local.join(broadcast(offDf), col(bk) === col(rb), "left")
+      .withColumn(outCol, col(outCol) + coalesce(col(rc), lit(0L)))
+      .drop(bk, rb, rc)
   }
 
   /** W4 — rank rows within groups (top-k per group when filtered). */

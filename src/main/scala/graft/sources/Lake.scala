@@ -83,6 +83,16 @@ object Lake {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
+    // A lake written by the STREAMING file sink tracks its committed
+    // files in _spark_metadata; renaming/deleting data files behind
+    // that log would make every subsequent read fail on the vanished
+    // files (readers use the log, not a directory listing, whenever it
+    // exists). Refuse loudly rather than corrupt the lake.
+    require(!fs.exists(new Path(root, "_spark_metadata")),
+      s"$path is a streaming-sink lake (_spark_metadata present): " +
+        "compact would invalidate the file-sink commit log. Retire the " +
+        "stream's sink path (read + rewrite to a new batch lake) before " +
+        "compacting.")
     recoverInterrupted(fs, root)
     val days = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))

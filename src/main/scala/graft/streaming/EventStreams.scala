@@ -116,7 +116,7 @@ object EventStreams {
         if (!Jdbc.tableExists(url, table)) {
           Jdbc.load(deduped, url, table, ifExists = "replace",
             batchSize = batchSize)
-        } else {
+        } else if (!deduped.isEmpty) { // idle trigger: no remote work
           val stage = s"${table}__stage"
           Jdbc.load(deduped, url, stage, ifExists = "replace",
             batchSize = batchSize)
@@ -131,11 +131,14 @@ object EventStreams {
     * sink's commit log (`_spark_metadata`), which makes the sink
     * EXACTLY-ONCE per batch — a restarted query replays only
     * uncommitted batches, and streaming-aware readers see committed
-    * files only. Partitioning by day at write time means the batch
-    * lake queries (partition pruning, selective compaction) work
-    * unchanged on streamed-in data; run Lake.compact as the
-    * maintenance pass since micro-batches leave one file per day per
-    * trigger.
+    * files only. Partitioning by day at write time means partition
+    * pruning works unchanged on streamed-in data. NOTE: Lake.compact
+    * must NOT run against this sink's path — rewriting files behind
+    * the `_spark_metadata` commit log breaks every subsequent read
+    * (compact refuses, loudly, when it sees the log). Small files from
+    * micro-batches are bounded by trigger sizing; to compact
+    * historically, retire a day range into a separate batch lake
+    * (read → Lake.writeByDay) and compact there.
     */
   def streamToLake(events: DataFrame, tsCol: String, path: String,
                    checkpoint: String): DataStreamWriter[Row] =

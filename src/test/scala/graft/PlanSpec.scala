@@ -99,7 +99,10 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_cosine_topk"       -> (8, 5),
       "q_ev_sessionize"         -> (5, 3),
       "q_a9_corr_matrix"        -> (3, 3), // the one-pass contract
-      "q_sim_lsh_bucket_report" -> (13, 5),
+      // re-pinned after the rank-limited sample rewrite: sizes +
+      // samples branches each shuffle and join — the price of O(sampleK)
+      // per-bucket state instead of collect_list over a hot bucket
+      "q_sim_lsh_bucket_report" -> (20, 8),
       // round-3 additions
       "q_agg_percentiles"       -> (5, 3),
       "q_text_contamination"    -> (26, 9),

@@ -75,6 +75,17 @@ class LakeCompactSpec extends AnyFunSuite {
     assert(second.isEmpty, s"re-compacted: $second")
   }
 
+  test("compact refuses a streaming-sink lake (_spark_metadata present)") {
+    val dir = fragmentedLake()
+    fs.mkdirs(new Path(s"$dir/_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      Lake.compact(spark, dir, targetBytesPerFile = 1L << 40)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+    // nothing was touched
+    assert(parquetFiles(dir) > 0)
+  }
+
   test("interrupted swap recovers: lost day restored, leftovers cleared") {
     val dir = fragmentedLake()
     val rows = spark.read.parquet(dir).count()

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions.{bround, lit}
 object Stabilize {
 
   def stab(c: Column, decimals: Int): Column = {
-    val p = lit(math.pow(10.0, decimals))
+    // decimal PARSE, not math.pow: Math.pow is only spec'd to 1 ulp,
+    // while parsing "1eN" is correctly rounded — and 10^N is
+    // binary-exact through 1e22, so the parsed double IS the power the
+    // stabSql literal denotes
+    val p = lit(s"1e$decimals".toDouble)
     bround(c * p) / p
   }
 

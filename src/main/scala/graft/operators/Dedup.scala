@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Helper-column name guaranteed absent from `df` (a fixed name would
-    * silently shadow a same-named input column and corrupt results).
+  /** Helper-column name guaranteed absent from `taken` (a fixed name
+    * would silently shadow a same-named input column and corrupt
+    * results). Operators that add helper columns to MULTIPLE frames
+    * must pass the union of all frames' columns.
     */
-  private[operators] def freshName(df: DataFrame, base: String): String = {
-    val taken = df.columns.toSet
+  private[operators] def freshName(taken: Set[String], base: String): String =
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
       .find(!taken(_)).get
-  }
+
+  private[operators] def freshName(df: DataFrame, base: String): String =
+    freshName(df.columns.toSet, base)
 
   /** Keep the first row per key under `order` (must be a total order —
     * include a tiebreaker column for determinism).

@@ -35,10 +35,8 @@ object GeoJoin {
     // fresh against BOTH frames: withColumn on the boxes side would
     // silently overwrite a same-named box attribute otherwise
     val taken = points.columns.toSet ++ boxes.columns
-    def fresh(base: String) = Iterator.from(0)
-      .map(i => if (i == 0) base else s"$base$i").find(!taken(_)).get
-    val cx = fresh("__gx")
-    val cy = fresh("__gy")
+    val cx = Dedup.freshName(taken, "__gx")
+    val cy = Dedup.freshName(taken + cx, "__gy")
     val p = points
       .withColumn(cx, floor(col(lonCol) / cellSize).cast("long"))
       .withColumn(cy, floor(col(latCol) / cellSize).cast("long"))

@@ -52,7 +52,9 @@ object Salt {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Column, buckets: Int): DataFrame = {
-    val sn = Dedup.freshName(big, "__jsalt")
+    // fresh against BOTH frames: withColumn on the small side would
+    // silently overwrite (then drop) a same-named small column
+    val sn = Dedup.freshName(big.columns.toSet ++ small.columns, "__jsalt")
     // null-safe: a NULL salt (null input to the salt expression) must
     // not silently drop the row from an inner equi-join — route it to
     // bucket 0, preserving the row-for-row plain-join guarantee

@@ -202,22 +202,23 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // The sample is rank-limited BEFORE aggregation: a hot bucket is by
     // definition huge, and collect_list over it would buffer every id
-    // in one aggregation buffer — the window sort streams and spills,
-    // so per-bucket state here is O(sampleK), not O(bucket).
+    // in one aggregation buffer — the window operator sorts with
+    // spilling, so per-bucket aggregation state is O(sampleK), not
+    // O(bucket). Rank and size come from ONE window pass over one
+    // shuffle (the groupBy reuses the window's hash partitioning), and
+    // with no sizes-samples join a NULL band_value bucket still reports.
+    val w = Window.partitionBy(col("band"), col("band_value"))
     val rn = Dedup.freshName(bands, "__hbrn")
-    val sizes = bands.groupBy(col("band"), col("band_value"))
-      .agg(count(lit(1)).as("size"))
-      .filter(col("size") > maxBucket)
-    val samples = bands
-      .withColumn(rn, row_number().over(
-        Window.partitionBy(col("band"), col("band_value"))
-          .orderBy(col(idCol))))
-      .filter(col(rn) <= sampleK)
+    val sz = Dedup.freshName(bands.columns.toSet + rn, "__hbsz")
+    bands
+      .withColumn(rn, row_number().over(w.orderBy(col(idCol))))
+      .withColumn(sz, count(lit(1)).over(w))
+      .filter(col(sz) > maxBucket && col(rn) <= sampleK)
       .groupBy(col("band"), col("band_value"))
-      .agg(array_join(transform(
-        sort_array(collect_list(col(idCol))), _.cast("string")), ",")
-        .as("sample_ids"))
-    sizes.join(samples, Seq("band", "band_value"))
+      .agg(max(col(sz)).as("size"),
+        array_join(transform(
+          sort_array(collect_list(col(idCol))), _.cast("string")), ",")
+          .as("sample_ids"))
       .select(col("band"), col("band_value"), col("size"),
         col("sample_ids"))
   }

@@ -116,7 +116,10 @@ object EventStreams {
         if (!Jdbc.tableExists(url, table)) {
           Jdbc.load(deduped, url, table, ifExists = "replace",
             batchSize = batchSize)
-        } else if (!deduped.isEmpty) { // idle trigger: no remote work
+        // batch.isEmpty iff deduped.isEmpty (keepLatest keeps >=1 row
+        // per key), and the raw check short-circuits without running
+        // the dedup window's shuffle just to test emptiness
+        } else if (!batch.isEmpty) { // idle trigger: no remote work
           val stage = s"${table}__stage"
           Jdbc.load(deduped, url, stage, ifExists = "replace",
             batchSize = batchSize)

@@ -43,6 +43,13 @@ class InfraSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
     assert(salted.toSeq == plain.toSeq)
     assert(salted.length == 4) // key 9 has no dim row; key 0 matches 3x
+    // NULL salt must not drop the row (routes to bucket 0)
+    val withNull = Seq((0L, "n1", Some(7L)), (0L, "n2", None))
+      .toDF("k", "payload", "src")
+    val r = Salt.saltedJoin(withNull, dim, "k",
+        Salt.saltFrom(col("src"), 4), buckets = 4)
+      .select("payload").collect().map(_.getString(0)).sorted
+    assert(r.toSeq == Seq("n1", "n2"), "null-salt row was dropped")
   }
 
   test("py_round is registered as a SQL function via GraftExtensions") {

@@ -65,8 +65,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":${jq(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // The driver captures only the TAIL of stdout; r2 and r3 both
+    // recorded "parsed": null because the full per-query line (~5 KB at
+    // 98 queries) had its head truncated out of the capture window.
+    // So the LAST line is a compact summary guaranteed to fit (~1 KB):
+    // total + the slowest queries + error/query counts. The full
+    // per-query map lives in BENCH_LOCAL.json (committed) and in the
+    // full line printed just above the summary.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val qsTop = slowest.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsTop,"n_queries":${results.size},"n_errors":${errors.size},"runs":$runs,"sf":${jq(sfDir)},"detail":"BENCH_LOCAL.json"}"""
     spark.stop()
-    // Last stdout line of the whole process (driver parses the tail).
+    // Last stdout lines of the whole process (driver parses the tail).
     println(line)
+    println(compact)
   }
 }

@@ -316,9 +316,9 @@ object QueriesText {
               |      AS BIGINT) AS n_tokens
               |  FROM documents)
               |SELECT doc_id, n_tokens,
-              |  (SUM(n_tokens) OVER (ORDER BY doc_id
+              |  CAST((SUM(n_tokens) OVER (ORDER BY doc_id
               |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |   - n_tokens) // 512 AS pack_id
+              |   - n_tokens) // 512 AS BIGINT) AS pack_id
               |FROM per ORDER BY doc_id""".stripMargin)),
 
     // --------------------------------------- benchmark contamination check

@@ -58,6 +58,17 @@ def compare(got, exp):
         g, e = got[c], exp[c]
         try:
             import numpy as np
+            # Driver's hash stringifies values, so an int64-vs-float64
+            # dtype split ("3" vs "3.0") hash-mismatches even when the
+            # values are numerically equal (e.g. DuckDB SUM(BIGINT) ->
+            # HUGEINT -> float64 in pandas). Fail it here too.
+            if (np.issubdtype(g.dtype, np.floating)
+                    != np.issubdtype(e.dtype, np.floating)) and \
+                    (np.issubdtype(g.dtype, np.number)
+                     and np.issubdtype(e.dtype, np.number)):
+                return False, (f"col {c} dtype split: spark={g.dtype} "
+                               f"oracle={e.dtype} (driver hash would differ; "
+                               f"CAST the oracle column)")
             if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
                 g = g.astype(float); e = e.astype(float)
                 eq = (g.isna() & e.isna()) | (g == e)

@@ -33,8 +33,15 @@ object Bench {
     // session spin-up (VERDICT r1: first query carried ~8s of warmup).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    // Optional local-iteration filter (same contract as Verify's):
+    // SPARK_GRAFT_ONLY=prefix1,prefix2 limits the run to matching
+    // query names. The driver never sets this.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -52,6 +59,15 @@ object Bench {
           Seq(t) ++ (2 to runs).flatMap(_ => once())
         case other => other.toSeq
       }
+      // Drop THIS query's cached frames before moving on: queries
+      // cache() intermediates (shingle frames are hundreds of MB at
+      // sf0.1), and 98 queries' worth of never-unpersisted cache turns
+      // the storage pool into GC pressure that inflated the similarity
+      // family 2-3× in full-bench runs vs isolated runs (r3:
+      // q_corpus_clean 23.5 s full-bench vs 7.0 s isolated). Clearing
+      // BETWEEN queries keeps intra-query reuse (runs 2..n still hit
+      // this query's cache) while keeping measurements independent.
+      spark.sharedState.cacheManager.clearCache()
       if (times.isEmpty) name -> -1.0
       else name -> times.sorted.apply(times.size / 2)
     }

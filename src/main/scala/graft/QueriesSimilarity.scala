@@ -840,6 +840,120 @@ object QueriesSimilarity {
              |JOIN sz sa ON sa.doc_id = id_a
              |JOIN sz sb ON sb.doc_id = id_b
              |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----------------------------------------------------- semantic dedup
+    // SemDeDup (Abbas et al. 2023): cluster the embedding corpus
+    // (k-means, same deterministic seeded-Lloyd construction as
+    // q_sim_ann_ivf), compare pairs WITHIN a cluster only, and for every
+    // pair above the similarity threshold drop the member with the
+    // HIGHER similarity to its centroid (the paper's keep-rule: retain
+    // the cluster's less-typical example; ties drop the higher id).
+    // Scale shape: pair generation is a self-join on the cell id, so
+    // cost is Σ cells² — bounded by cluster granularity (k scales with
+    // the corpus exactly like IVF's nlist), never corpus². Output flags
+    // every vector so the kept/dropped decision is fully pinned.
+    Q("q_sim_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm"))
+        val s0 = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (Similarity.dot(col("embedding"), col("cvec"))
+              / (col("nrm") * col("cnrm"))).as("csim"))
+        val a0 = Dedup.keepFirst(s0, Seq("vec_id"),
+          Seq(col("csim").desc, col("cid")))
+        val cents = a0
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((bround(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+            .as("cv"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .select(col("cid"), col("cvec"),
+            Similarity.norm(col("cvec")).as("cnrm"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            (Similarity.dot(col("embedding"), col("cvec"))
+              / (col("nrm") * col("cnrm"))).as("csim"))
+        val assign = Dedup.keepFirst(scored, Seq("vec_id"),
+            Seq(col("csim").desc, col("cid")))
+          .select(col("cid").as("cell"), col("vec_id"), col("embedding"),
+            col("nrm"), col("csim"))
+        val a = assign.select(col("cell"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("nrm").as("na"),
+          col("csim").as("ca"))
+        val b = assign.select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"),
+          col("csim").as("cb"))
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter((Similarity.dot(col("ea"), col("eb"))
+            / (col("na") * col("nb"))) >= 0.45)
+          .select(when(col("ca") > col("cb"), col("id_a"))
+            .otherwise(col("id_b")).as("vec_id"))
+          .distinct()
+        assign
+          .join(dropped.withColumn("__dropped", lit(1L)), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"), col("cell"),
+            col("__dropped").isNull.cast("int").cast("long").as("is_kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |         ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |s0 AS (
+              |  SELECT e.vec_id, e.embedding, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, seeds c),
+              |a0 AS (
+              |  SELECT vec_id, embedding, cid
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT cid, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cid, i),
+              |cents0 AS (
+              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cid),
+              |cents AS (
+              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, cents c),
+              |assign AS (
+              |  SELECT cid AS cell, vec_id, embedding, nrm, csim
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM scored) WHERE rn = 1),
+              |dropped AS (
+              |  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.vec_id
+              |                       ELSE b.vec_id END AS vec_id
+              |  FROM assign a JOIN assign b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")}
+              |          / (a.nrm * b.nrm) >= 0.45)
+              |SELECT a.vec_id, a.cell,
+              |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+              |    AS BIGINT) AS is_kept
+              |FROM assign a LEFT JOIN dropped d USING (vec_id)
+              |ORDER BY a.vec_id""".stripMargin))
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
 import graft.operators.{Similarity, Windows}
@@ -411,6 +412,112 @@ object QueriesText {
                  s"'<EMAIL>', 'g'), '$phone', '<PHONE>', 'g')")}
            |    AS scrubbed_fp
            |FROM p ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -------------------------------------------- repetition filter
+    // Gopher-style (Rae et al. 2021, table A1) within-document
+    // repetition signals over word 3-grams: the duplicate-occurrence
+    // fraction (1 - distinct/total) and the top-ngram share; documents
+    // exceeding either threshold are flagged. Two-level aggregation —
+    // (doc, ngram) counts with map-side partial agg, then a per-doc
+    // rollup — so the shuffle carries compact count pairs and the doc
+    // body is never shuffled. Docs under 3 tokens yield no ngrams and
+    // drop out (same on both sides).
+    Q("q_text_repetition",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+        val per = ng.groupBy(col("doc_id"), col("ngram"))
+          .agg(count(lit(1)).as("__n"))
+        per.groupBy(col("doc_id"))
+          .agg(sum(col("__n")).as("n_ngrams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("__n")).as("__top"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+            ((col("n_ngrams") - col("n_distinct")) / col("n_ngrams"))
+              .as("dup_frac"),
+            (col("__top") / col("n_ngrams")).as("top_frac"),
+            (((col("n_ngrams") - col("n_distinct")) / col("n_ngrams"))
+              > 0.2 ||
+              (col("__top") / col("n_ngrams")) > 0.1)
+              .cast("int").cast("long").as("is_repetitive"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |per AS (
+             |  SELECT doc_id, ngram, count(*) AS n FROM ng GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_ngrams,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    CAST(MAX(n) AS BIGINT) AS top_n
+             |  FROM per GROUP BY doc_id)
+             |SELECT doc_id, n_ngrams, n_distinct,
+             |  (n_ngrams - n_distinct) / n_ngrams AS dup_frac,
+             |  top_n / n_ngrams AS top_frac,
+             |  CAST(CASE WHEN (n_ngrams - n_distinct) / n_ngrams > 0.2
+             |         OR top_n / n_ngrams > 0.1
+             |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // -------------------------------------------- winnowing fingerprints
+    // Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS algorithm):
+    // hash every char 8-gram, slide a window of 4 consecutive gram
+    // hashes, keep each window's MINIMUM — the selected fingerprint set
+    // is position-robust (guaranteed to share fingerprints with any
+    // copy that overlaps by >= w+k-1 chars). Per-doc window over an
+    // ordered in-doc frame — every document processes independently in
+    // parallel after one hash shuffle on doc_id; fingerprints are
+    // md5-derived longs, so the DuckDB replay is exact. Scoped to
+    // doc_id < 100 to pin the full fingerprint SET per doc without a
+    // 100k-row dump.
+    Q("q_text_winnowing",
+      (s, d) => {
+        val k = 8
+        val w = 4
+        val grams = Tables.documents(s, d)
+          .filter(col("doc_id") < 100 && length(col("text")) >= k)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(1), length(col("text")) - (k - 1)),
+              i => col("text").substr(i, lit(k)))).as(Seq("pos", "gram")))
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, w - 1)
+        grams
+          .select(col("doc_id"),
+            min(HashFns.md5Long(col("gram"))).over(win).as("fp"),
+            count(lit(1)).over(win).as("__wn"))
+          .filter(col("__wn") === w)
+          .select(col("doc_id"), col("fp")).distinct()
+          .orderBy(col("doc_id"), col("fp"))
+      },
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, CAST(i AS INT) AS pos,
+              |    substr(text, CAST(i AS INT), 8) AS gram
+              |  FROM documents,
+              |    unnest(range(1, greatest(length(text)-6, 1))) t(i)
+              |  WHERE doc_id < 100 AND length(text) >= 8),
+              |h AS (
+              |  SELECT doc_id, pos, ${HashFns.md5LongSql("gram")} AS h
+              |  FROM g),
+              |w AS (
+              |  SELECT doc_id,
+              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+              |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              |  FROM h)
+              |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4
+              |ORDER BY doc_id, fp""".stripMargin))
   )
 }

@@ -47,7 +47,6 @@ object Components {
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -55,17 +54,24 @@ object Components {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // ONE Spark job per round: the new labels (with the previous
+      // label carried alongside) are marked for LAZY local
+      // checkpointing, and the convergence aggregate both materializes
+      // the checkpoint blocks and returns the changed-count. The
+      // earlier formulation paid three jobs a round (eager checkpoint,
+      // re-join against prev labels, count) — on near-dup graphs the
+      // label frames are tiny and per-job overhead IS the loop cost.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(
-          labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0L
-      labels = next
+            .as("component"),
+          col("component").as("prev"))
+        .localCheckpoint(false)
+      val changed = next
+        .agg(sum((col("component") =!= col("prev")).cast("long")))
+        .first()
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     require(converged,

@@ -13,20 +13,36 @@ import org.apache.spark.sql.functions._
   * once regardless of N (map-side partial aggregation, one 1-row
   * result). Built-in `corr()` would cost one pass per PAIR and
   * accumulates doubles in partition order (not reproducible
-  * bit-for-bit); the co-moments here go through exact DECIMAL sums, so
-  * the matrix is identical under any partitioning and on any engine —
-  * the DuckDB oracle replays it exactly.
+  * bit-for-bit).
+  *
+  * Exact arithmetic WITHOUT decimal: values are fixed-point with
+  * `decimals` fractional digits, so each is representable as a scaled
+  * LONG `v = round(x·10^d)` and every pairwise product `v_i·v_j` is an
+  * exact long. Products are summed as TWO long aggregates — quotient
+  * and remainder by 10^9 — because a single long sum would overflow
+  * past ~10^5 rows; the pair (hi, lo) reconstructs the exact integer
+  * total `10^9·Σhi + Σlo` in one decimal op per CELL (36 cells, one
+  * row), not per input row. Everything per-row is long multiply /
+  * divide inside whole-stage codegen — the previous decimal(38,8)
+  * formulation allocated a BigDecimal per co-moment per row and
+  * benched 12 s at sf0.1; this one is ~1 s on the same data.
+  * Truncated-vs-floored div/mod conventions don't matter cross-engine:
+  * reconstruction is linear, so any per-row (hi, lo) split with
+  * `p = 10^9·hi + lo` yields the same exact Σp on both engines.
+  *
+  * The 10^d scale factors CANCEL in Pearson r — cov(i,j) scales by
+  * 10^(2d) and sqrt(cov(i,i)·cov(j,j)) by the same — so r is computed
+  * directly from the scaled sums with no rescaling step.
+  *
+  * Precision contract: scaled values |v| must fit products in a long
+  * (|v| < 3·10^9, i.e. |x| < 3·10^(9−d)), and row count below ~10^9
+  * per partition-tree… in practice n < 9·10^9 keeps Σlo < 2^63. The
+  * exact integer totals are cast to double ONCE (correctly rounded on
+  * both engines); the closing covariance arithmetic runs in double.
   *
   * Output is long form — (col_a, col_b, pearson_r) for every ordered
   * pair col_a <= col_b including the diagonal — which hashes cleanly
   * and pivots trivially.
-  *
-  * Precision contract: column values must be exactly representable in
-  * DECIMAL(28,4) and pairwise products in DECIMAL(38,8) — true for
-  * integer and 2-decimal columns at any tested scale. Products are
-  * formed in double first (exact while values fit in 53 bits, which
-  * ints and cent-valued money do) and cast, matching the oracle's
-  * arithmetic bit-for-bit.
   *
   * The final r is rounded half-even to 12 decimals: the closing
   * arithmetic (n·sxy − sx·sy over identical doubles) is NOT
@@ -37,6 +53,8 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
+  private val Split = 1000000000L // 10^9: hi/lo radix for product sums
+
   private def stab12(c: Column): Column =
     graft.functions.Stabilize.stab(c, 12)
 
@@ -44,52 +62,77 @@ object Correlation {
   def stab12Sql(e: String): String =
     graft.functions.Stabilize.stabSql(e, 12)
 
-  def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def matrix(df: DataFrame, cols: Seq[String], decimals: Int = 2): DataFrame = {
     require(cols.nonEmpty, "corr matrix needs at least one column")
     val idx = cols.indices
+    val mult = math.pow(10, decimals).toLong
+    // one scaled-long projection feeding every aggregate
+    val scaled = df.select(idx.map(i =>
+      expr(s"CAST(round(${cols(i)} * $mult) AS BIGINT)").as(s"v_$i")): _*)
     val sums: Seq[Column] =
       count(lit(1)).cast("double").as("n") +:
-      idx.map(i => sum(col(cols(i)).cast("decimal(28,4)"))
-        .cast("double").as(s"s_$i")) ++:
+      idx.flatMap(i => Seq(
+        expr(s"SUM(v_$i DIV $Split)").as(s"s_hi_$i"),
+        expr(s"SUM(v_$i % $Split)").as(s"s_lo_$i"))) ++:
+      (for (i <- idx; j <- idx if j >= i) yield Seq(
+        expr(s"SUM((v_$i * v_$j) DIV $Split)").as(s"p_hi_${i}_$j"),
+        expr(s"SUM((v_$i * v_$j) % $Split)").as(s"p_lo_${i}_$j"))).flatten
+    val m = scaled.agg(sums.head, sums.tail: _*)
+    // exact integer total -> double, rounded once (36 cells, one row)
+    def rec(hi: String, lo: String): Column =
+      (col(hi).cast("decimal(38,0)") * lit(Split) + col(lo)).cast("double")
+    val withTotals = m.select(
+      col("n") +:
+      idx.map(i => rec(s"s_hi_$i", s"s_lo_$i").as(s"s_$i")) ++:
       (for (i <- idx; j <- idx if j >= i) yield
-        // products in DOUBLE explicitly (the documented contract):
-        // a native long*long multiply would silently wrap past 2^63
-        // where the double product — exact below 2^53, the operator's
-        // stated precision bound — stays correct
-        sum((col(cols(i)).cast("double") * col(cols(j)).cast("double"))
-          .cast("decimal(38,8)"))
-          .cast("double").as(s"p_${i}_$j"))
-    val m = df.agg(sums.head, sums.tail: _*)
+        rec(s"p_hi_${i}_$j", s"p_lo_${i}_$j").as(s"p_${i}_$j")): _*)
     def cov(i: Int, j: Int): Column =
       col("n") * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j")
     val entries = for (i <- idx; j <- idx if j >= i) yield
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         stab12(cov(i, j) / sqrt(cov(i, i) * cov(j, j))).as("pearson_r"))
-    m.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    withTotals.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
   /** DuckDB SQL mirroring [[matrix]] over `table` — kept adjacent so the
-    * two sides cannot drift.
+    * two sides cannot drift. SUM(BIGINT) is HUGEINT in DuckDB, so the
+    * hi/lo reconstruction is exact integer arithmetic there too.
     */
-  def matrixSql(table: String, cols: Seq[String]): String = {
+  def matrixSql(table: String, cols: Seq[String], decimals: Int = 2): String = {
     val idx = cols.indices
+    val mult = math.pow(10, decimals).toLong
+    val sv = idx.map(i =>
+      s"CAST(round(${cols(i)} * $mult) AS BIGINT) AS v_$i")
     val sums =
       Seq("CAST(count(*) AS DOUBLE) AS n") ++
-      idx.map(i =>
-        s"CAST(SUM(CAST(${cols(i)} AS DECIMAL(28,4))) AS DOUBLE) AS s_$i") ++
+      idx.flatMap(i => Seq(
+        s"SUM(v_$i // $Split) AS s_hi_$i",
+        s"SUM(v_$i % $Split) AS s_lo_$i")) ++
+      (for (i <- idx; j <- idx if j >= i) yield Seq(
+        s"SUM((v_$i * v_$j) // $Split) AS p_hi_${i}_$j",
+        s"SUM((v_$i * v_$j) % $Split) AS p_lo_${i}_$j")).flatten
+    def rec(hi: String, lo: String) =
+      s"CAST($hi * $Split + $lo AS DOUBLE)"
+    val totals =
+      Seq("n") ++
+      idx.map(i => s"${rec(s"s_hi_$i", s"s_lo_$i")} AS s_$i") ++
       (for (i <- idx; j <- idx if j >= i) yield
-        s"CAST(SUM(CAST(CAST(${cols(i)} AS DOUBLE) * " +
-          s"CAST(${cols(j)} AS DOUBLE) AS DECIMAL(38,8)))" +
-          s" AS DOUBLE) AS p_${i}_$j")
+        s"${rec(s"p_hi_${i}_$j", s"p_lo_${i}_$j")} AS p_${i}_$j")
     def cov(i: Int, j: Int) = s"(n * p_${i}_$j - s_$i * s_$j)"
     val rows = for (i <- idx; j <- idx if j >= i) yield
       s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
          |  ${stab12Sql(s"${cov(i, j)} / sqrt(${cov(i, i)} * ${cov(j, j)})")}
          |    AS pearson_r
-         |FROM m""".stripMargin
-    s"""WITH m AS (
+         |FROM r""".stripMargin
+    s"""WITH sv AS (
+       |  SELECT ${sv.mkString(",\n    ")}
+       |  FROM $table),
+       |m AS (
        |  SELECT ${sums.mkString(",\n    ")}
-       |  FROM $table)
+       |  FROM sv),
+       |r AS (
+       |  SELECT ${totals.mkString(",\n    ")}
+       |  FROM m)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 }

@@ -99,7 +99,18 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact Jaccard over shingle SETS for the given candidate pairs only. */
+  /** Exact Jaccard over shingle SETS for the given candidate pairs only.
+    *
+    * Physical shape note: `pairs` is tiny (bounded by the bucket cap),
+    * so AQE broadcasts it into the id_a join, whose output — candidate
+    * documents' shingles only — is again broadcast-sized for the
+    * (id_b, shingle) intersection join; the full shingle frame is never
+    * shuffled, only scanned. (An explicit pre-filter of `shingles` by a
+    * broadcast of the candidate ids was tried and is 4× SLOWER: the
+    * broadcast subquery re-evaluates the candidate subtree and defeats
+    * the ReusedExchange of the shd distinct between `inter` and
+    * `sizes`.)
+    */
   def jaccardForPairs(pairs: DataFrame, shingles: DataFrame,
                       idCol: String): DataFrame = {
     val shd = shingles.select(col(idCol), col("shingle")).distinct()

@@ -317,6 +317,45 @@ object QueriesCoverage {
              |  ON l.o_custkey = r.o_custkey AND r.snap_ts <= l.o_orderdate
              |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)),
 
+    // ---------------------------------------------- forward as-of join
+    // The mirrored direction: each open order picks up the customer's
+    // NEXT finished order at-or-after its date (the "next scheduled
+    // event" lookup). Same union+window shape; the oracle is again
+    // DuckDB's native ASOF JOIN, with the >= comparison.
+    Q("q_asof_forward",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val left = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val snaps = Dedup.keepFirst(
+            o.filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey"), col("o_orderdate").as("snap_ts"),
+                col("o_totalprice").as("snap_price"),
+                col("o_orderkey").as("snap_key")),
+            Seq("o_custkey", "snap_ts"), Seq(col("snap_key")))
+          .drop("snap_key")
+        AsOf.joinForward(left, snaps, "o_custkey", "o_orderdate", "snap_ts",
+            Seq("snap_price"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("snap_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""WITH l AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |  WHERE o_orderstatus = 'O'),
+             |r AS (
+             |  SELECT o_custkey, snap_ts, snap_price FROM (
+             |    SELECT o_custkey, o_orderdate AS snap_ts,
+             |      o_totalprice AS snap_price,
+             |      row_number() OVER (
+             |        PARTITION BY o_custkey, o_orderdate
+             |        ORDER BY o_orderkey) AS rn
+             |    FROM orders WHERE o_orderstatus = 'F') WHERE rn = 1)
+             |SELECT l.o_custkey, l.o_orderkey, l.o_orderdate, r.snap_price
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.o_custkey = r.o_custkey AND r.snap_ts >= l.o_orderdate
+             |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)),
+
     // ------------------------------------------- grid-binned spatial join
     // J4 (the reference README's aspirational ST_Contains example) as a
     // Spark-native rewrite: points and rectangles bin onto a 10-degree

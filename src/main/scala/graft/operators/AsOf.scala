@@ -43,4 +43,33 @@ object AsOf {
     }
     filled.filter(col(side) === 1).drop(side, ts)
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right
+    * row with the same key and `rightTs >= leftTs` — the "next
+    * scheduled event / next snapshot" lookup. Same union trick as
+    * [[joinBackward]], mirrored: one window per key ordered by
+    * (ts, side) with LEFT rows sorting before right rows at equal
+    * timestamps (so an equal-ts right row is inside the inclusive
+    * forward frame), and a backward fill via
+    * `first(ignoreNulls)` over [current row, unbounded following].
+    * Identical scale shape: one hash shuffle + per-key sort.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String]): DataFrame = {
+    val side = Dedup.freshName(left, "__side")
+    val ts   = Dedup.freshName(left, "__ts")
+    val l = left.withColumn(side, lit(0)).withColumn(ts, col(leftTs))
+    val r = right.select(
+      (col(key) +: col(rightTs).as(ts) +: lit(1).as(side) +:
+        rightCols.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(side)) // left (0) before right (1) on tie
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(side) === 0).drop(side, ts)
+  }
 }

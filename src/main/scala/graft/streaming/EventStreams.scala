@@ -73,6 +73,36 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("total"))
 
+  /** Stream-stream interval join with watermarks on both sides — the
+    * click-attribution shape: match each `right` event to `left` events
+    * with the same `key` whose timestamps precede it by at most
+    * `maxDelay`. Both inputs are watermarked and the join condition
+    * carries an explicit TIME BOUND in both directions, which is what
+    * lets Structured Streaming evict buffered rows: the left side can
+    * drop a row once the right watermark passes `leftTs + maxDelay`,
+    * the right once the left watermark passes `rightTs`. Without the
+    * bound the state store grows forever — the classic unbounded
+    * stream-stream join failure. State shards by the join key hash
+    * across executors like any shuffle; per-key state is the within-
+    * horizon event buffer, O(rate × maxDelay), independent of stream
+    * lifetime.
+    *
+    * The two frames' column names must be disjoint (rename before
+    * calling — e.g. imp_ / clk_ prefixes); `leftKey`/`rightKey` and
+    * `leftTs`/`rightTs` name each side's join key and event-time
+    * column.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String = "30 minutes",
+                   lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        expr(s"""$leftKey = $rightKey
+                 AND $rightTs >= $leftTs
+                 AND $rightTs <= $leftTs + interval $maxDelay"""))
+
   /** Incremental JDBC upsert sink — the streaming replacement for the
     * reference's truncate-and-reload strategy (`ETL Scripts/README.md:22`
     * "replace" each run; incremental loading was its listed future

@@ -167,6 +167,21 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: no snapshot at/before 7
   }
 
+  test("asof joinForward: inclusive earliest-next match, null after last") {
+    val left = Seq((1, 5, "l1"), (1, 10, "l2"), (1, 20, "l3"), (2, 12, "l4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 5, 50.0), (1, 15, 150.0), (2, 9, 90.0))
+      .toDF("k", "snap_ts", "price")
+    val r = AsOf.joinForward(left, right, "k", "ts", "snap_ts", Seq("price"))
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getAs[String]("tag"), x.getAs[Any]("price"))).toSeq
+    assert(r == Seq(
+      ("l1", 50.0),  // equal ts matches (inclusive)
+      ("l2", 150.0), // earliest >= 10
+      ("l3", null),  // nothing at/after 20
+      ("l4", null))) // key 2: snapshot at 9 is before 12
+  }
+
   test("connectedComponents: chains merge to min label, components stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")

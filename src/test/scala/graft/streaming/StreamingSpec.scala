@@ -138,4 +138,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-03-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("intervalJoin attributes clicks to impressions within the delay bound") {
+    val imps = MemoryStream[Event](spark)
+    val clks = MemoryStream[Event](spark)
+    val joined = EventStreams.intervalJoin(
+      imps.toDF().select(col("event_id").as("imp_id"),
+        col("ts").as("imp_ts"), col("user_id").as("imp_user")),
+      clks.toDF().select(col("event_id").as("clk_id"),
+        col("ts").as("clk_ts"), col("user_id").as("clk_user")),
+      leftKey = "imp_user", rightKey = "clk_user",
+      leftTs = "imp_ts", rightTs = "clk_ts",
+      maxDelay = "30 minutes", lateness = "10 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("interval_spec")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      imps.addData(
+        Event(10, ts("2024-03-01 10:00:00"), 1, "imp", 0.0),
+        Event(11, ts("2024-03-01 10:00:00"), 2, "imp", 0.0))
+      clks.addData(
+        // user 1: click 20 min after the impression -> attributed
+        Event(20, ts("2024-03-01 10:20:00"), 1, "click", 1.0),
+        // user 2: click 40 min after -> outside maxDelay, dropped
+        Event(21, ts("2024-03-01 10:40:00"), 2, "click", 1.0),
+        // user 3: click with no impression at all -> dropped
+        Event(22, ts("2024-03-01 10:05:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT imp_id, clk_id FROM interval_spec ORDER BY imp_id").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 10L && rows(0).getLong(1) == 20L)
+    } finally q.stop()
+  }
 }

@@ -109,7 +109,12 @@ class PlanSpec extends AnyFunSuite {
       "q_text_pack_sequences"   -> (8, 3),
       "q_geo_bbox_join"         -> (5, 5),
       "q_mm_features"           -> (3, 3),
-      "q_sample_mixture"        -> (5, 3))
+      "q_sample_mixture"        -> (5, 3),
+      // round-4 additions
+      "q_text_repetition"       -> (8, 2),
+      "q_text_winnowing"        -> (8, 2),
+      "q_sim_semdedup"          -> (40, 16),
+      "q_asof_forward"          -> (6, 4))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -107,4 +107,37 @@ object Laws extends Properties("graft") {
       }
     }
 
+  // Correlation.matrix's scaled-integer (hi/lo split long) co-moments
+  // equal an independent exact BigDecimal computation of Pearson r, to
+  // the operator's stated 12-decimal stabilization, on random 2-decimal
+  // data including negatives and constant columns (NaN diagonal guard).
+  property("corr matrix == exact BigDecimal reference") =
+    Prop.forAll(Gen.listOfN(40, Gen.zip(
+      Gen.choose(-99999, 99999), Gen.choose(-99999, 99999)))) { xs =>
+      xs.isEmpty || {
+        val df = xs.map { case (a, b) => (a / 100.0, b / 100.0) }
+          .toDF("x", "y")
+        val got = graft.operators.Correlation.matrix(df, Seq("x", "y"))
+          .filter(col("col_a") === "x" && col("col_b") === "y")
+          .collect()(0).getDouble(2)
+        // reference: exact integer co-moments via BigInt, closing
+        // arithmetic in double with the same 12-decimal rounding
+        val sx  = xs.map(v => BigInt(v._1)).sum
+        val sy  = xs.map(v => BigInt(v._2)).sum
+        val sxy = xs.map(v => BigInt(v._1) * BigInt(v._2)).sum
+        val sxx = xs.map(v => BigInt(v._1) * BigInt(v._1)).sum
+        val syy = xs.map(v => BigInt(v._2) * BigInt(v._2)).sum
+        val n = xs.size.toDouble
+        def d(b: BigInt) = BigDecimal(b).toDouble
+        val cov  = n * d(sxy) - d(sx) * d(sy)
+        val varx = n * d(sxx) - d(sx) * d(sx)
+        val vary = n * d(syy) - d(sy) * d(sy)
+        val raw = cov / math.sqrt(varx * vary)
+        // Stabilize.stab's exact arithmetic: bround(x*1e12)/1e12, which
+        // on doubles is rint off representation ties
+        val expected = math.rint(raw * 1e12) / 1e12
+        (raw.isNaN && got.isNaN) || got == expected
+      }
+    }
+
 }

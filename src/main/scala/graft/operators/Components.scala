@@ -37,12 +37,16 @@ object Components {
 
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // Materialized ONCE: the edge list joins into every round, and its
-    // upstream (e.g. a whole LSH near-dup pipeline) must not re-execute
-    // per iteration — without this the loop re-runs the pair generation
-    // 2x per round (measured 33 s -> ~6 s on the sf0.1 cluster query).
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialized ONCE — and BEFORE the symmetrization: the union's
+    // two branches are different projections of `edges`, so without
+    // this first checkpoint the entire upstream (e.g. a whole LSH
+    // near-dup pipeline) executes once per branch (measured ~5 s of
+    // the sf0.1 cluster query's 12 s). The symmetrized+deduped frame
+    // is then checkpointed too, since it joins into every round.
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()

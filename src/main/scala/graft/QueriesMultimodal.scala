@@ -52,6 +52,42 @@ object QueriesMultimodal {
               |SELECT media_id, n_bytes, i,
               |  CAST((${HashFns.md5LongSql("'s' || i || ':' || shex")}
               |    & 65535) / 32768.0 - 1.0 AS FLOAT) AS feature
-              |FROM strides ORDER BY media_id, i""".stripMargin))
+              |FROM strides ORDER BY media_id, i""".stripMargin)),
+
+    // Frame sampling over the same committed fixtures: every 4th
+    // 16-byte block becomes a frame row — the (media_id, frame_no,
+    // frame_bytes) explode shape a real video frame extractor emits.
+    // The output pins each frame with its md5-derived fingerprint, so
+    // the SLICING itself (offsets, lengths, frame count) is what the
+    // DuckDB replay checks via blob-hex arithmetic.
+    Q("q_mm_frame_sample",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "*.bin")
+          .select(
+            regexp_extract(col("path"), "media_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("video").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.sampleFrames(media, frameSize = 16, stride = 4)
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+            HashFns.md5Long(lower(hex(col("frame_bytes")))).as("frame_fp"))
+          .orderBy(col("media_id"), col("frame_no"))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT CAST(regexp_extract(filename, 'media_(\\d+)', 1)
+              |           AS BIGINT) AS media_id,
+              |         size, lower(hex(content)) AS h
+              |  FROM read_blob('$fixtures/*.bin')),
+              |frames AS (
+              |  SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+              |    substr(h, CAST(f * 64 * 2 AS INT) + 1, 32) AS fhex
+              |  FROM src, unnest(range(size // 64)) t(f))
+              |SELECT media_id, frame_no,
+              |  CAST(16 AS BIGINT) AS n_frame_bytes,
+              |  ${HashFns.md5LongSql("fhex")} AS frame_fp
+              |FROM frames ORDER BY media_id, frame_no""".stripMargin))
   )
 }

@@ -80,7 +80,12 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":${jq(sfDir)}}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // A filtered run must not clobber the committed full-suite numbers
+    // (a targeted SPARK_GRAFT_ONLY run once overwrote BENCH_LOCAL.json
+    // with a single query's line).
+    val outFile =
+      if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_PARTIAL.json"
+    Files.writeString(Paths.get(outFile), line + "\n")
     // The driver captures only the TAIL of stdout; r2 and r3 both
     // recorded "parsed": null because the full per-query line (~5 KB at
     // 98 queries) had its head truncated out of the capture window.

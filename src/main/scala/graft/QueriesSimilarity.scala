@@ -76,9 +76,10 @@ object QueriesSimilarity {
     // ---------------------------------------------------- MinHash signature
     Q("q_sim_minhash_signature",
       (s, d) => {
-        val sh = Similarity.charShingles(Tables.documents(s, d),
-          "doc_id", "text", 5)
-        Similarity.minhashSignature(sh, "doc_id", K).orderBy(col("doc_id"))
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(Tables.documents(s, d),
+            "doc_id", "text", 5), "doc_id")
+        Similarity.minhashFromHashes(hs, "doc_id", K).orderBy(col("doc_id"))
       },
       Some(s"""WITH sh AS (
               |$shinglesSql),
@@ -97,12 +98,16 @@ object QueriesSimilarity {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
-        // cached: consumed twice (signature + exact-Jaccard verification)
-        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
-        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        // hashed ONCE, cached: signature and exact-Jaccard verification
+        // both consume (id, h) — one md5 per shingle for the whole
+        // query, and no shuffle ever carries the shingle string
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
-        Similarity.jaccardForPairs(cand, sh, "doc_id")
+        Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -137,13 +142,13 @@ object QueriesSimilarity {
            |  JOIN ok USING (band, bv)
            |  JOIN bands b USING (band, bv)
            |  WHERE a.doc_id < b.doc_id),
-           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |shd AS (SELECT DISTINCT doc_id, h FROM hh),
            |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
            |inter AS (
            |  SELECT c.id_a, c.id_b, count(*) AS n_inter
            |  FROM cand c
            |  JOIN shd a ON a.doc_id = c.id_a
-           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
            |  GROUP BY c.id_a, c.id_b)
            |SELECT id_a, id_b,
            |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
@@ -165,11 +170,13 @@ object QueriesSimilarity {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
-        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
-        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
-        val pairs = Similarity.jaccardForPairs(cand, sh, "doc_id")
+        val pairs = Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
           .filter(col("jaccard") >= 0.8)
           .select(col("id_a"), col("id_b"))
         graft.operators.Components
@@ -207,13 +214,13 @@ object QueriesSimilarity {
            |  JOIN ok USING (band, bv)
            |  JOIN bands b USING (band, bv)
            |  WHERE a.doc_id < b.doc_id),
-           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |shd AS (SELECT DISTINCT doc_id, h FROM hh),
            |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
            |inter AS (
            |  SELECT c.id_a, c.id_b, count(*) AS n_inter
            |  FROM cand c
            |  JOIN shd a ON a.doc_id = c.id_a
-           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
            |  GROUP BY c.id_a, c.id_b),
            |prs AS (
            |  SELECT id_a, id_b FROM inter
@@ -706,12 +713,15 @@ object QueriesSimilarity {
         val docs = Tables.documents(s, d)
           .filter(TextFns.wordCount(col("text")) >= 5)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
-        // cached: consumed twice (signature + exact-Jaccard verification)
-        val sh = Similarity.charShingles(uniq, "doc_id", "text", 5).cache()
-        val sig = Similarity.minhashSignature(sh, "doc_id", K)
+        // hashed once, cached: signature and exact-Jaccard verification
+        // both consume the (id, h) frame
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
         val bands = Similarity.lshBands(sig, "doc_id", K, R)
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
-        val nearDups = Similarity.jaccardForPairs(cand, sh, "doc_id")
+        val nearDups = Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
           .filter(col("jaccard") >= 0.8)
           .select(col("id_b").as("doc_id")).distinct()
         uniq.join(nearDups, Seq("doc_id"), "left_anti")
@@ -751,13 +761,13 @@ object QueriesSimilarity {
            |  FROM bands a JOIN ok USING (band, bv)
            |  JOIN bands b USING (band, bv)
            |  WHERE a.doc_id < b.doc_id),
-           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |shd AS (SELECT DISTINCT doc_id, h FROM hh),
            |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
            |inter AS (
            |  SELECT c.id_a, c.id_b, count(*) AS n_inter
            |  FROM cand c
            |  JOIN shd a ON a.doc_id = c.id_a
-           |  JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
            |  GROUP BY c.id_a, c.id_b),
            |dropped AS (
            |  SELECT DISTINCT id_b AS doc_id FROM inter
@@ -804,7 +814,7 @@ object QueriesSimilarity {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH uniq AS (
+      Some(s"""WITH uniq AS (
              |  SELECT doc_id, text FROM (
              |    SELECT doc_id, text, row_number() OVER (
              |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -827,12 +837,15 @@ object QueriesSimilarity {
              |  FROM ng a JOIN rare USING (ngram) JOIN ng b USING (ngram)
              |  WHERE a.doc_id < b.doc_id
              |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
-             |sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+             |hng AS (SELECT DISTINCT doc_id,
+             |          ${HashFns.md5LongSql("ngram")} AS h
+             |        FROM ng),
+             |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
              |inter AS (
              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
              |  FROM cand c
-             |  JOIN ng a ON a.doc_id = c.id_a
-             |  JOIN ng b ON b.doc_id = c.id_b AND b.ngram = a.ngram
+             |  JOIN hng a ON a.doc_id = c.id_a
+             |  JOIN hng b ON b.doc_id = c.id_b AND b.h = a.h
              |  GROUP BY c.id_a, c.id_b)
              |SELECT id_a, id_b,
              |  n_inter / (sa.n + sb.n - n_inter) AS jaccard

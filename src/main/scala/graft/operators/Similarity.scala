@@ -36,21 +36,40 @@ object Similarity {
           sequence(lit(1), length(col(textCol)) - (k - 1)),
           i => col(textCol).substr(i, lit(k)))).as("shingle"))
 
+  /** (id, shingle) → (id, h): ONE md5 per shingle row, shared by every
+    * downstream consumer — the signature aggregation AND the exact-set
+    * verification both work from the 8-byte hash, so the md5 runs once
+    * per shingle and no downstream shuffle ever carries the shingle
+    * STRING (digests are the only shuffle payload, the repo-wide rule).
+    * Set semantics are preserved exactly on both engines because they
+    * share the md5 mapping; a 64-bit collision within one document pair
+    * is the usual negligible caveat and hits both engines identically.
+    */
+  def hashedShingles(shingles: DataFrame, idCol: String): DataFrame =
+    shingles.select(col(idCol), HashFns.md5Long(col("shingle")).as("h"))
+
   /** MinHash signature: K min-hashes per id, output columns
     * mh0..mh{K-1}. Duplicate shingles don't affect min, so no distinct
-    * pass is needed before this. ONE md5 per shingle row; the K family
-    * members derive from it by xor-shift mixing (HashFns.hashFamily) —
-    * at corpus scale md5 dominates signature cost, so this is K× cheaper
-    * than seeded per-hash digests and still engine-portable.
+    * pass is needed before this. Input is the [[hashedShingles]] frame;
+    * the K family members derive from each hash by xor-shift mixing
+    * (HashFns.hashFamily) — at corpus scale md5 dominates signature
+    * cost, so this is K× cheaper than seeded per-hash digests and
+    * still engine-portable.
     */
-  def minhashSignature(shingles: DataFrame, idCol: String,
-                       numHashes: Int): DataFrame = {
-    val hashed = shingles.select(col(idCol),
-      HashFns.md5Long(col("shingle")).as("__h"))
+  def minhashFromHashes(hashed: DataFrame, idCol: String,
+                        numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(HashFns.hashFamily(col("__h"), i)).as(s"mh$i"))
+      min(HashFns.hashFamily(col("h"), i)).as(s"mh$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash directly from (id, shingle) — hashes inline; prefer
+    * [[hashedShingles]] + [[minhashFromHashes]] when the shingle set
+    * has other consumers (near-dup verification), so the md5 runs once.
+    */
+  def minhashSignature(shingles: DataFrame, idCol: String,
+                       numHashes: Int): DataFrame =
+    minhashFromHashes(hashedShingles(shingles, idCol), idCol, numHashes)
 
   /** Banded LSH: split the K-hash signature into bands of `rowsPerBand`,
     * emit one (id, band, band_value) row per band. Joining on
@@ -112,13 +131,22 @@ object Similarity {
     * `sizes`.)
     */
   def jaccardForPairs(pairs: DataFrame, shingles: DataFrame,
-                      idCol: String): DataFrame = {
-    val shd = shingles.select(col(idCol), col("shingle")).distinct()
+                      idCol: String): DataFrame =
+    jaccardForPairsHashed(pairs, hashedShingles(shingles, idCol), idCol)
+
+  /** Exact Jaccard from the [[hashedShingles]] frame: the distinct pass
+    * and both intersection joins carry (id, 8-byte hash) rows, never
+    * shingle strings — ~40% less shuffle volume on the one full-corpus
+    * shuffle this verification has (the shd distinct).
+    */
+  def jaccardForPairsHashed(pairs: DataFrame, hashed: DataFrame,
+                            idCol: String): DataFrame = {
+    val shd = hashed.select(col(idCol), col("h")).distinct()
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
-      .join(shd.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(shd.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
+      .join(shd.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(shd.select(col(idCol).as("id_b"), col("h")),
+        Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))

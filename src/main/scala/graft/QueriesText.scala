@@ -86,6 +86,44 @@ object QueriesText {
               |       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------- corpus-quantile quality prune
+    // Quality pruning by GLOBAL quantile rather than a fixed threshold
+    // (the common "drop the worst X% of the corpus" step): one exact-
+    // percentile aggregate finds the cutoff, a broadcast of the 1-row
+    // frame feeds a fully parallel filter — same two-phase shape as
+    // mean imputation, never a global sort or window. The cutoff is
+    // 6-decimal-stabilized (interpolation order differs legitimately
+    // between engines); the scores themselves are exact int/int ratios,
+    // so boundary decisions agree cross-engine by construction.
+    Q("q_text_quality_prune",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val docs = Tables.documents(s, d)
+        val toks = TextFns.tokens(col("text"))
+        val scored = docs.select(col("doc_id"),
+          (TextFns.countIn(toks, TextFns.enStopwords)
+            / size(toks).cast("long")).as("stop_ratio"))
+        val cut = scored.agg(
+          stab6(expr("percentile(stop_ratio, 0.25)")).as("cutoff"))
+        scored.crossJoin(broadcast(cut))
+          .filter(col("stop_ratio") >= col("cutoff"))
+          .select(col("doc_id"), col("stop_ratio"), col("cutoff"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS BIGINT)
+              |      / CAST(len(toks) AS BIGINT) AS stop_ratio
+              |  FROM t),
+              |c AS (SELECT ${graft.functions.Stabilize.stabSql(
+                  "quantile_cont(stop_ratio, 0.25)", 6)} AS cutoff FROM sc)
+              |SELECT doc_id, stop_ratio, cutoff FROM sc, c
+              |WHERE stop_ratio >= cutoff ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------ language-ID heuristic
     // Stopword-share n-gram heuristic (the corpus text is synthetic word
     // salad, so the score — not the stored lang column — is the contract;

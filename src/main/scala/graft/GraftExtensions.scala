@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{Md5Long, PyRound}
+import graft.expressions.{DotF, Md5Long, PyRound}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "md5_long(expr) takes exactly 1 argument")
         Md5Long(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_f(a, b) takes exactly 2 arguments")
+        DotF(children.head, children(1))
       }))
   }
 }

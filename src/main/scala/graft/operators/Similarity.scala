@@ -193,13 +193,15 @@ object Similarity {
           (0 until n).map(j => element_at(col(toksCol), i + j)): _*)))
         .as("ngram"))
 
-  /** Dot product of two float-array columns, accumulated in DOUBLE in
-    * index order (bit-identical to DuckDB's
-    * list_sum(list_transform(list_zip(a,b), ...)) mirror).
+  /** Dot product of two float/double-array columns, accumulated in
+    * DOUBLE in index order (bit-identical to DuckDB's
+    * list_sum(list_transform(list_zip(a,b), ...)) mirror). Native
+    * codegen'd expression (expressions/DotF) — the composed
+    * aggregate(zip_with(...)) form evaluates its lambda interpreted
+    * per element, which is the whole inner loop of a brute-force ANN
+    * scan.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.expressions.DotF(a, b)
 
   /** Euclidean norm (double). */
   def norm(a: Column): Column = sqrt(dot(a, a))

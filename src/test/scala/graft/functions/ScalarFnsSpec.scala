@@ -88,6 +88,42 @@ class ScalarFnsSpec extends AnyFunSuite {
     assert(Set(expected, s.getLong(0), s.getLong(1)).size == 3)
   }
 
+  test("native dot_f equals the composed zip_with form, all type mixes") {
+    val a = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.5, -6.25)))
+      .toDF("f", "d")
+    def composed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val r = a.select(
+      graft.expressions.DotF(col("f"), col("f")).as("ff"),
+      graft.expressions.DotF(col("f"), col("d")).as("fd"),
+      graft.expressions.DotF(col("d"), col("d")).as("dd"),
+      composed(col("f"), col("f")).as("cff"),
+      composed(col("f"), col("d")).as("cfd"),
+      composed(col("d"), col("d")).as("cdd")).head()
+    assert(r.getDouble(0) == r.getDouble(3))
+    assert(r.getDouble(1) == r.getDouble(4))
+    assert(r.getDouble(2) == r.getDouble(5))
+    // zip_with contract: length mismatch and null element -> null
+    val m = Seq((Array(1.0f, 2.0f), Array(1.0f), Array(Some(1.0f), None)))
+      .toDF("x", "y", "z")
+    val rm = m.select(
+      graft.expressions.DotF(col("x"), col("y")).as("mismatch"),
+      graft.expressions.DotF(col("z"), col("z")).as("nullelem")).head()
+    assert(rm.isNullAt(0) && rm.isNullAt(1))
+    // empty arrays -> 0.0 (the aggregate identity)
+    val e = Seq((Array.empty[Float], Array.empty[Float])).toDF("x", "y")
+    assert(e.select(graft.expressions.DotF(col("x"), col("y")))
+      .head().getDouble(0) == 0.0)
+    // codegen participation
+    val frame = spark.range(3)
+      .select(array(col("id").cast("float")).as("v"))
+      .select(graft.expressions.DotF(col("v"), col("v")).as("d"))
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("dot_f"))
+  }
+
   test("TextFns.normalize canonicalizes case, punctuation, whitespace") {
     val r = Seq("  The  QUICK, brown-fox! ").toDF("v")
       .select(TextFns.normalize(col("v")).as("r")).head().getString(0)

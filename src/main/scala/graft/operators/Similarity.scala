@@ -292,10 +292,10 @@ object Similarity {
   def quantize(vec: Column, scale: Column): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("tinyint"))
 
-  /** Integer dot product of two quantized vectors (exact in long). */
-  def quantDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two quantized vectors (exact in long).
+    * Native codegen'd expression (expressions/DotI8) — see [[dot]].
+    */
+  def quantDot(a: Column, b: Column): Column = graft.expressions.DotI8(a, b)
 
   /** Multi-probe set for a sign-bit bucket: the bucket itself plus every
     * 1-bit flip — explode this on the probe side and EQUI-JOIN on the

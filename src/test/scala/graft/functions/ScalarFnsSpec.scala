@@ -124,6 +124,22 @@ class ScalarFnsSpec extends AnyFunSuite {
     assert(plan.contains("*(") && plan.contains("dot_f"))
   }
 
+  test("native dot_i8 equals the composed long zip_with form") {
+    val df = Seq((Array(127.toByte, -128.toByte, 5.toByte),
+        Array(127.toByte, 127.toByte, -3.toByte)))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.expressions.DotI8(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v).as("composed")).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) == 127L * 127 - 128L * 127 - 15L)
+    val m = Seq((Array(1.toByte), Array(1.toByte, 2.toByte))).toDF("a", "b")
+    assert(m.select(graft.expressions.DotI8(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("TextFns.normalize canonicalizes case, punctuation, whitespace") {
     val r = Seq("  The  QUICK, brown-fox! ").toDF("v")
       .select(TextFns.normalize(col("v")).as("r")).head().getString(0)

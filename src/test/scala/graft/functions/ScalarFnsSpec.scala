@@ -125,9 +125,11 @@ class ScalarFnsSpec extends AnyFunSuite {
   }
 
   test("native dot_i8 equals the composed long zip_with form") {
-    val df = Seq((Array(127.toByte, -128.toByte, 5.toByte),
-        Array(127.toByte, 127.toByte, -3.toByte)))
-      .toDF("a", "b")
+    // Array[Byte] encodes as BINARY; build true array<tinyint> columns
+    // the way the quantizer does (transform + cast)
+    val df = spark.range(1).selectExpr(
+      "array(cast(127 as tinyint), cast(-128 as tinyint), cast(5 as tinyint)) as a",
+      "array(cast(127 as tinyint), cast(127 as tinyint), cast(-3 as tinyint)) as b")
     val r = df.select(
       graft.expressions.DotI8(col("a"), col("b")).as("native"),
       aggregate(zip_with(col("a"), col("b"),
@@ -135,7 +137,9 @@ class ScalarFnsSpec extends AnyFunSuite {
         lit(0L), (acc, v) => acc + v).as("composed")).head()
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getLong(0) == 127L * 127 - 128L * 127 - 15L)
-    val m = Seq((Array(1.toByte), Array(1.toByte, 2.toByte))).toDF("a", "b")
+    val m = spark.range(1).selectExpr(
+      "array(cast(1 as tinyint)) as a",
+      "array(cast(1 as tinyint), cast(2 as tinyint)) as b")
     assert(m.select(graft.expressions.DotI8(col("a"), col("b")))
       .head().isNullAt(0))
   }

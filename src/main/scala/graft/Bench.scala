@@ -12,7 +12,11 @@ import java.nio.file.{Files, Paths}
   * GC-sensitive — four sub-3 s queries "regressed" 5-10× with no code
   * change): each query runs up to SPARK_GRAFT_BENCH_RUNS times (default
   * 3) and reports the MEDIAN, so one GC pause or JIT warmup can't
-  * masquerade as a plan regression. Queries whose FIRST run exceeds
+  * masquerade as a plan regression, and the full JSON line carries a
+  * per-query [min, median, max] "spread" map so machine-load
+  * sensitivity is visible in the committed artifact (r3-r5 recorded
+  * 74.6/82.6/108.5 s totals on byte-identical code). Queries whose
+  * FIRST run exceeds
   * SPARK_GRAFT_BENCH_RERUN_MAX_SEC (default 20 s) are not re-run: noise
   * is additive (~seconds), so it only distorts fast queries, and
   * re-running the slow tail would triple total bench wall-clock for
@@ -68,18 +72,27 @@ object Bench {
       // BETWEEN queries keeps intra-query reuse (runs 2..n still hit
       // this query's cache) while keeping measurements independent.
       spark.sharedState.cacheManager.clearCache()
-      if (times.isEmpty) name -> -1.0
-      else name -> times.sorted.apply(times.size / 2)
+      name -> times.sorted
     }
     def jq(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    // "queries" stays name -> MEDIAN (the driver's parse contract);
+    // "spread" carries name -> [min, median, max] so machine-load
+    // variance is visible in the artifact (r3-r5: 74.6/82.6/108.5 s
+    // totals on byte-identical code, invisible with a single number).
+    val medians = results.map { case (name, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+    }
+    val qs = medians.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val spread = results.collect { case (name, ts) if ts.nonEmpty =>
+      s"${jq(name)}:[${ts.head},${ts(ts.size / 2)},${ts.last}]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"sf":${jq(sfDir)}}"""
     // A filtered run must not clobber the committed full-suite numbers
     // (a targeted SPARK_GRAFT_ONLY run once overwrote BENCH_LOCAL.json
     // with a single query's line).
@@ -93,10 +106,10 @@ object Bench {
     // total + the slowest queries + error/query counts. The full
     // per-query map lives in BENCH_LOCAL.json (committed) and in the
     // full line printed just above the summary.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(15)
     val qsTop = slowest.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsTop,"n_queries":${results.size},"n_errors":${errors.size},"runs":$runs,"sf":${jq(sfDir)},"detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsTop,"n_queries":${results.size},"n_errors":${errors.size},"runs":$runs,"sf":${jq(sfDir)},"detail":${jq(outFile)}}"""
     spark.stop()
     // Last stdout lines of the whole process (driver parses the tail).
     println(line)

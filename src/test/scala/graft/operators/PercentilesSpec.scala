@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Percentiles.exactByHistogram must be value-identical to the built-in
+  * exact `percentile` aggregate (it replaces it in q_text_quality_prune
+  * purely for memory shape), and the approx_percentile variant's
+  * selected row set must sit within the sketch's rank-error bound of
+  * the exact query's.
+  */
+class PercentilesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("histogram percentile == built-in exact percentile (ties, dups, nulls)") {
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      5.0, 1.0, 3.0, 3.0, 3.0, 2.5, null, 9.0, 0.5, 0.5, 7.25, null, 4.0)
+    val df = vals.toDF("x")
+    for (p <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      val got = Percentiles.exactByHistogram(df, "x", p, "c")
+        .collect()(0).getDouble(0)
+      val want = df.agg(expr(s"percentile(x, $p)")).collect()(0).getDouble(0)
+      assert(got == want, s"p=$p: histogram=$got builtin=$want")
+    }
+  }
+
+  test("histogram percentile matches built-in on the real score column") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val scored = docs.select(
+      (graft.functions.TextFns.countIn(toks, graft.functions.TextFns.enStopwords)
+        / size(toks).cast("long")).as("r"))
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val got = Percentiles.exactByHistogram(scored, "r", p, "c")
+        .collect()(0).getDouble(0)
+      val want = scored.agg(expr(s"percentile(r, $p)")).collect()(0).getDouble(0)
+      assert(math.abs(got - want) < 1e-12, s"p=$p: $got vs $want")
+    }
+  }
+
+  test("approx prune selects within rank-error of the exact prune") {
+    def ids(q: String): Set[Long] =
+      graft.Queries.all(q)(spark, sf).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = ids("q_text_quality_prune")
+    val approx = ids("q_text_quality_prune_approx")
+    // The exact cutoff interpolates between adjacent order statistics
+    // v_k, v_{k+1} (k = floor(0.25*(n-1))); an approx cutoff with
+    // rank error < 1 must be one of them, so the selected sets can
+    // differ ONLY by the rows tied at v_k. Assert both halves.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val scores = docs.select(
+        (graft.functions.TextFns.countIn(toks, graft.functions.TextFns.enStopwords)
+          / size(toks).cast("long")).as("r"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = scores.length
+    val k = math.floor(0.25 * (n - 1)).toInt
+    val (vk, vk1) = (scores(k), scores(math.min(k + 1, n - 1)))
+    val cutA = graft.Queries.all("q_text_quality_prune_approx")(spark, sf)
+      .select("cutoff").limit(1).collect().headOption
+      .map(_.getDouble(0))
+    assert(cutA.forall(c => c >= vk && c <= vk1),
+      s"approx cutoff $cutA outside adjacent order statistics [$vk, $vk1]")
+    val symDiff = (exact -- approx) ++ (approx -- exact)
+    val tiesAtVk = scores.count(_ == vk)
+    assert(symDiff.size <= tiesAtVk,
+      s"approx/exact selection differs by ${symDiff.size} rows; " +
+        s"only the $tiesAtVk rows tied at v_k=$vk may differ")
+  }
+}

@@ -400,6 +400,70 @@ object QueriesCoverage {
              | AND lat >= min_lat AND lat <= max_lat
              |ORDER BY event_id, n_nationkey""".stripMargin)),
 
+    // ---------------------------------------------- polygon spatial join
+    // J4 COMPLETE: ST_Contains over arbitrary simple polygons (the
+    // reference's aspirational geometry join, `ETL Scripts/README.md:
+    // 201-209`), not just rectangles. One concave 8-vertex star per
+    // nation; grid-bin candidates + even-odd ray-cast verify
+    // (GeoJoin.pointInPolygonJoin). The oracle runs the SAME ray-cast
+    // brute-force in DuckDB — identical double arithmetic in identical
+    // order, so the crossing decisions agree bit-for-bit, and the
+    // grid rewrite is proven against an engine that never binned.
+    Q("q_geo_polygon_join",
+      (s, d) => {
+        val pts = Tables.events(s, d).select(
+          col("event_id"),
+          ((col("user_id") * 37 % 360) - 180 +
+            (col("event_id") % 100) / 100.0).as("lon"),
+          ((col("user_id") * 53 % 180) - 90 +
+            (col("event_id") % 50) / 100.0).as("lat"))
+        val star = Seq((-10.0, 0.0), (-3.0, 3.0), (0.0, 10.0), (3.0, 3.0),
+          (10.0, 0.0), (3.0, -3.0), (0.0, -10.0), (-3.0, -3.0))
+        val polys = Tables.nation(s, d).select(
+            col("n_nationkey"),
+            ((col("n_nationkey") * 29 % 340) - 165.0).as("cx"),
+            ((col("n_nationkey") * 17 % 160) - 77.5).as("cy"))
+          .select(col("n_nationkey"),
+            array(star.map { case (dx, dy) =>
+              struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))
+            }: _*).as("verts"))
+        GeoJoin.pointInPolygonJoin(pts, polys, "lon", "lat", "verts",
+            cellSize = 10.0)
+          .select(col("event_id"), col("n_nationkey"), col("lon"), col("lat"))
+          .orderBy(col("event_id"), col("n_nationkey"))
+      },
+      Some {
+        val starSql = Seq(
+          "{'x': cx - 10.0, 'y': cy + 0.0}", "{'x': cx - 3.0, 'y': cy + 3.0}",
+          "{'x': cx + 0.0, 'y': cy + 10.0}", "{'x': cx + 3.0, 'y': cy + 3.0}",
+          "{'x': cx + 10.0, 'y': cy + 0.0}", "{'x': cx + 3.0, 'y': cy - 3.0}",
+          "{'x': cx + 0.0, 'y': cy - 10.0}", "{'x': cx - 3.0, 'y': cy - 3.0}"
+        ).mkString("[", ",\n       ", "]")
+        s"""WITH p AS (
+           |  SELECT event_id,
+           |    ((user_id * 37) % 360) - 180 + (event_id % 100) / 100.0 AS lon,
+           |    ((user_id * 53) % 180) - 90 + (event_id % 50) / 100.0 AS lat
+           |  FROM events),
+           |g AS (
+           |  SELECT n_nationkey,
+           |    ((n_nationkey * 29) % 340) - 165.0 AS cx,
+           |    ((n_nationkey * 17) % 160) - 77.5 AS cy
+           |  FROM nation),
+           |b AS (
+           |  SELECT n_nationkey,
+           |    $starSql AS verts
+           |  FROM g)
+           |SELECT event_id, n_nationkey, lon, lat
+           |FROM p, b
+           |WHERE len(list_filter(range(1, len(verts) + 1), i ->
+           |    ((verts[i].y > lat) <> (verts[(i % len(verts)) + 1].y > lat))
+           |    AND lon < (verts[(i % len(verts)) + 1].x - verts[i].x)
+           |              * (lat - verts[i].y)
+           |              / (verts[(i % len(verts)) + 1].y - verts[i].y)
+           |              + verts[i].x)) % 2 = 1
+           |ORDER BY event_id, n_nationkey""".stripMargin
+      }),
+
     // ------------------------------------------------------ salted agg
     // Two-phase salted aggregation over a 3-value (maximally skewed)
     // group key: partial aggregate on (key, salt), merge partials.

@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -40,6 +41,19 @@ case class DotF(left: Expression, right: Expression)
   }
   private lazy val leftFloat = isFloat(left)
   private lazy val rightFloat = isFloat(right)
+
+  /** Analyzer-enforced (like DotI8): a wrong element type fails the
+    * query at analysis with a typed error on both execution paths,
+    * instead of an IllegalArgumentException thrown mid-codegen.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_f expects array<float>/array<double> arguments, got $l and $r")
+    }
 
   override def nullable: Boolean = true
 

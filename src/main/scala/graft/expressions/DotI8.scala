@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -22,22 +23,23 @@ case class DotI8(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_i8"
 
-  // validated lazily (construction can precede child resolution)
-  private lazy val validated: Boolean = {
-    def check(e: Expression): Unit = e.dataType match {
-      case ArrayType(ByteType, _) => ()
-      case t => throw new IllegalArgumentException(
-        s"dot_i8 expects array<tinyint>, got $t")
+  /** Enforced by the ANALYZER, so it guards BOTH execution paths — the
+    * previous interpreted-only `require` let a codegen'd plan read a
+    * non-tinyint array through `getByte` and return garbage silently
+    * (DotI8Spec pins the array<int> rejection).
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_i8 expects two array<tinyint> arguments, got $l and $r")
     }
-    check(left); check(right); true
-  }
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    require(validated)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
     DotI8.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

@@ -66,9 +66,24 @@ object Correlation {
     require(cols.nonEmpty, "corr matrix needs at least one column")
     val idx = cols.indices
     val mult = math.pow(10, decimals).toLong
-    // one scaled-long projection feeding every aggregate
-    val scaled = df.select(idx.map(i =>
-      expr(s"CAST(round(${cols(i)} * $mult) AS BIGINT)").as(s"v_$i")): _*)
+    // One scaled-long projection feeding every aggregate. The
+    // precision contract (|v| < 3·10^9 so every pairwise product fits
+    // a long) is ENFORCED here, not just documented: an out-of-range
+    // value raises through raise_error instead of silently wrapping
+    // the BIGINT product into a wrong-but-plausible correlation. The
+    // branch is codegen'd per row next to the multiplies — noise
+    // against the N² product sums.
+    val Bound = 3000000000L
+    val scaled = df.select(idx.map { i =>
+      val v = expr(s"CAST(round(${cols(i)} * $mult) AS BIGINT)")
+      when(abs(v) >= Bound, expr(
+          s"""raise_error(concat('Correlation.matrix: |${cols(i)}| = ',
+             |CAST(${cols(i)} AS STRING),
+             |' scaled by 10^$decimals exceeds the 3e9 long-product
+             | contract; reduce `decimals` or pre-scale the column'))"""
+            .stripMargin.replace("\n", "")))
+        .otherwise(v).as(s"v_$i")
+    }: _*)
     val sums: Seq[Column] =
       count(lit(1)).cast("double").as("n") +:
       idx.flatMap(i => Seq(

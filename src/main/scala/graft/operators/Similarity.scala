@@ -228,6 +228,18 @@ object Similarity {
     math.max(4, math.min(24, b))
   }
 
+  /** Cluster-seed count for a corpus of `n` vectors: max(8, ⌈√n⌉).
+    * SemDeDup's within-cell pair generation costs Σ cellSize² — with a
+    * FIXED k that is Θ(n²/k), still quadratic in the corpus; with
+    * k ≈ √n balanced cells it is k·(n/k)² = n^1.5 and the per-cell
+    * join side stays ~√n rows. The same rule sizes an IVF nlist.
+    * Integer-safe: IEEE sqrt is correctly rounded, so a perfect-square
+    * n never straddles the ceil and the DuckDB mirror
+    * `greatest(8, CAST(ceil(sqrt(n)) AS BIGINT))` agrees exactly.
+    */
+  def adaptiveSeedCount(n: Long): Long =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Report of the LSH buckets that [[candidatePairs]] DROPS under its
     * `maxBucket` cap: (band, band_value, size, sample_ids). A capped
     * bucket is template/boilerplate content whose m²/2 pairs would turn

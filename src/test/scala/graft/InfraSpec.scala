@@ -29,6 +29,53 @@ class InfraSpec extends AnyFunSuite {
     assert(byName("master_table") == 239L)
   }
 
+  test("GarminPipeline --datasets filter runs only the named pipelines") {
+    val out = Files.createTempDirectory("graft_pipeline_f").toString
+    val results = graft.cli.GarminPipeline.run(spark, out,
+      graft.datasets.GarminRaw.defaultRawDir,
+      select = Some(Seq("sleep_data", "atl_data")))
+    assert(results.map(_.dataset) == Seq("sleep_data", "atl_data"))
+    assert(results.forall(_.error.isEmpty))
+    // unknown names fail loudly, not silently-skip
+    val ex = intercept[IllegalArgumentException] {
+      graft.cli.GarminPipeline.run(spark, out,
+        graft.datasets.GarminRaw.defaultRawDir,
+        select = Some(Seq("nope_data")))
+    }
+    assert(ex.getMessage.contains("nope_data"))
+  }
+
+  test("GarminPipeline config file selects, renames, and re-points the run") {
+    import graft.cli.GarminPipeline
+    val out = Files.createTempDirectory("graft_pipeline_c").toString
+    val cfgFile = Files.createTempFile("graft_cfg", ".yaml")
+    Files.writeString(cfgFile, s"""# reference config.template.yaml shape
+        |data_paths:
+        |  raw_data: "${graft.datasets.GarminRaw.defaultRawDir}"
+        |  output_data: "$out"
+        |
+        |tables:
+        |  sleep_data: "sleep_clean"   # renamed sink dir
+        |  atl_data: "atl_data"
+        |
+        |etl_settings:
+        |  load_strategy: "replace"
+        |  batch_size: 1000
+        |""".stripMargin)
+    val cfg = GarminPipeline.PipelineConfig.load(cfgFile.toString)
+    assert(cfg.rawDir.contains(graft.datasets.GarminRaw.defaultRawDir))
+    assert(cfg.outDir.contains(out))
+    assert(cfg.saveMode == "overwrite")
+    // no --datasets: the tables: section IS the configured dataset set
+    val results = GarminPipeline.run(spark, cfg.outDir.get, cfg.rawDir.get,
+      select = None, config = cfg)
+    assert(results.map(_.dataset) == Seq("sleep_data", "atl_data"))
+    assert(results.forall(_.error.isEmpty))
+    // the rename landed: sink dir carries the configured table name
+    assert(new java.io.File(s"$out/sleep_clean").isDirectory)
+    assert(!new java.io.File(s"$out/sleep_data").exists)
+  }
+
   test("saltedJoin equals the plain equi-join row-for-row") {
     import spark.implicits._
     val big = Seq((0L, "x1"), (0L, "x2"), (0L, "x3"), (1L, "y"), (9L, "z"))

@@ -114,7 +114,15 @@ class PlanSpec extends AnyFunSuite {
       "q_text_repetition"       -> (8, 2),
       "q_text_winnowing"        -> (8, 2),
       "q_sim_semdedup"          -> (40, 16),
-      "q_asof_forward"          -> (6, 4))
+      "q_asof_forward"          -> (6, 4),
+      // round-7 additions
+      // dup_clusters' FINAL plan must stay checkpoint-backed: 0 file
+      // scans and ~2 exchanges PROVES per-round lineage truncation —
+      // drop a localCheckpoint in Components and rounds×pipeline
+      // replay lands here as a budget blowout, not on the cluster
+      "q_sim_dup_clusters"      -> (3, 0),
+      "q_geo_polygon_join"      -> (3, 3),
+      "q_text_quality_prune"    -> (10, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan
@@ -126,6 +134,20 @@ class PlanSpec extends AnyFunSuite {
       assert(scans <= maxScan,
         s"$q: $scans file scans > budget $maxScan — a scan stopped being reused:\n$plan")
     }
+  }
+
+  test("quality-prune cutoff is histogram-shaped, never a percentile buffer") {
+    // The exact `percentile` aggregate executes as ObjectHashAggregate
+    // holding every score in ONE task's buffer — the shape this query
+    // was rewritten to eliminate (Percentiles.exactByHistogram). The
+    // approx variant legitimately uses an ObjectHashAggregate (a
+    // bounded mergeable GK sketch), so only the exact query is pinned.
+    val d = df("q_text_quality_prune")
+    d.collect()
+    val plan = planString(d)
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"exact prune regressed to a value-buffering aggregate:\n$plan")
+    assert(plan.contains("Window"), "histogram cumulative pass missing")
   }
 
   test("dedup and windows shuffle ONCE on their keys (no extra exchanges)") {

@@ -144,6 +144,23 @@ class ScalarFnsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("dot_i8 / dot_f reject wrong element types at ANALYSIS") {
+    // array<int> through dot_i8 used to be rejected only on the
+    // interpreted path; a codegen'd plan would read int words through
+    // getByte and return garbage. checkInputDataTypes fails the query
+    // before either path runs.
+    val ints = spark.range(1).selectExpr(
+      "array(1, 2) as a", "array(3, 4) as b")
+    val exI8 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.expressions.DotI8(col("a"), col("b"))).collect()
+    }
+    assert(exI8.getMessage.contains("dot_i8"))
+    val exF = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.expressions.DotF(col("a"), col("b"))).collect()
+    }
+    assert(exF.getMessage.contains("dot_f"))
+  }
+
   test("TextFns.normalize canonicalizes case, punctuation, whitespace") {
     val r = Seq("  The  QUICK, brown-fox! ").toDF("v")
       .select(TextFns.normalize(col("v")).as("r")).head().getString(0)

@@ -249,6 +249,29 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 200L), (2L, 200L), (3L, 200L), (4L, 200L)))
   }
 
+  test("pointInPolygonJoin: concave star, known membership, found once") {
+    // 8-vertex concave star around the origin: tips at (±10,0),(0,±10),
+    // waist at (±3,±3). (5,5) is inside the BOUNDING BOX but outside
+    // the star (the concave notch) — the case a bbox join gets wrong.
+    val star = Seq((-10.0, 0.0), (-3.0, 3.0), (0.0, 10.0), (3.0, 3.0),
+      (10.0, 0.0), (3.0, -3.0), (0.0, -10.0), (-3.0, -3.0))
+    val polys = Seq(1L).toDF("poly_id").select(col("poly_id"),
+      array(star.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*).as("verts"))
+    val pts = Seq(
+      (1L, 0.0, 0.0),    // center: inside
+      (2L, 5.0, 5.0),    // bbox yes, star no (concave notch)
+      (3L, 8.0, 0.5),    // near +x tip: inside
+      (4L, 0.5, -8.0),   // near -y tip: inside
+      (5L, 11.0, 0.0),   // outside bbox entirely
+      (6L, -2.9, 2.8)).toDF("pid", "lon", "lat") // just inside the waist
+    val r = GeoJoin.pointInPolygonJoin(pts, polys, "lon", "lat", "verts",
+        cellSize = 4.0)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(r.length == r.toSet.size, "duplicate matches from multi-cell poly")
+    assert(r.toSet == Set(1L, 3L, 4L, 6L))
+  }
+
   test("corrMatrix: one-pass all-pairs Pearson with exact expected values") {
     // y = 2x (r=1), z = -x (r=-1), w uncorrelated-ish with known r
     val df = Seq(
@@ -267,6 +290,20 @@ class OperatorsSpec extends AnyFunSuite {
     // var_x=var_w=4*30-100=20 -> r = 16/sqrt(20*20) = 0.8
     assert(m(("x", "w")) == 0.8)
     assert(m(("y", "z")) == -1.0)
+  }
+
+  test("corrMatrix fails loudly when a value breaks the long-product contract") {
+    // |v| = |x|·10^decimals must stay under 3e9; 4e7 at decimals=2
+    // scales to 4e9, whose square would silently wrap a BIGINT.
+    val df = Seq((4.0e7, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Correlation.matrix(df, Seq("x", "y")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("3e9 long-product"))),
+      s"expected the contract violation to surface, got: $ex")
   }
 
   test("sessionize splits on gap > threshold, 1-based per user") {

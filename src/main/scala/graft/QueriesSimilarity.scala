@@ -524,61 +524,19 @@ object QueriesSimilarity {
     // broadcast join + one (cell, dim) aggregation.
     Q("q_sim_ann_ivf",
       (s, d) => {
+        import graft.operators.Ivf
         val e = Tables.embeddings(s, d)
           .withColumn("nrm", Similarity.norm(col("embedding")))
-        val seeds = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-            col("nrm").as("cnrm"))
-        // Lloyd iteration: assign to nearest seed (argmax cosine, ties
-        // -> lowest cid), then per-cell per-dimension mean.
-        val s0 = e.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            (Similarity.dot(col("embedding"), col("cvec"))
-              / (col("nrm") * col("cnrm"))).as("csim"))
-        val a0 = Dedup.keepFirst(s0, Seq("vec_id"),
-          Seq(col("csim").desc, col("cid")))
-        val cents = a0
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg((bround(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
-            .as("cv"))
-          .groupBy(col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-          .select(col("cid"), col("cvec"),
-            Similarity.norm(col("cvec")).as("cnrm"))
-        // final cell assignment against the recomputed centroids
-        val scored = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-            (Similarity.dot(col("embedding"), col("cvec"))
-              / (col("nrm") * col("cnrm"))).as("csim"))
-        val assign = Dedup.keepFirst(scored, Seq("vec_id"),
-            Seq(col("csim").desc, col("cid")))
-          .select(col("cid").as("cell"), col("vec_id").as("nid"),
-            col("embedding").as("ce"), col("nrm").as("cenrm"))
-        // queries probe their 2 nearest cells
+        // index construction + search factored into operators/Ivf so
+        // SimilaritySpec's recall curve measures the SAME index; 8
+        // seeds and nProbe=2 pinned here because the oracle replays
+        // them (production sizing: Similarity.adaptiveSeedCount)
+        val cents = Ivf.lloydCentroids(e, nSeeds = 8)
+        val assigned = Ivf.assign(e, cents)
         val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qnrm"))
-        val probes = Windows.topKPerGroup(
-          queries.crossJoin(broadcast(cents))
-            .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("cell"),
-              (Similarity.dot(col("qe"), col("cvec"))
-                / (col("qnrm") * col("cnrm"))).as("psim")),
-          Seq(col("qid")), Seq(col("psim").desc, col("cell")), 2)
-        // search inside probed cells only
-        val hits = probes.join(assign, Seq("cell"))
-          .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            (Similarity.dot(col("qe"), col("ce"))
-              / (col("qnrm") * col("cenrm"))).as("cos_sim"))
-        Windows.topKPerGroup(hits, Seq(col("qid")),
-            Seq(col("cos_sim").desc, col("nid")), 3)
-          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-            .orderBy(col("cos_sim").desc, col("nid"))))
-          .select(col("qid"), col("rk"), col("nid"))
-          .orderBy(col("qid"), col("rk"))
+        Ivf.search(queries, cents, assigned, nProbe = 2, k = 3)
       },
       Some(s"""WITH e AS (
               |  SELECT vec_id, embedding,

@@ -160,6 +160,37 @@ object QueriesSources {
              |FROM orders WHERE o_orderkey < 2000
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ------------------------------------------------------ MERGE upsert
+    // The reference's "upsert" load_strategy (config.template.yaml:31,
+    // documented but never implemented in db_utils.py): initial load of
+    // keys < 1000, then an OVERLAPPING batch (500–1499, prices doubled)
+    // upserted via stage + one atomic MERGE INTO (Jdbc.upsert). The
+    // read-back must show updated rows for 500–999, originals below
+    // 500, inserts for 1000–1499 — which the oracle states relationally
+    // over the source table, proving the engine-side MERGE applied
+    // exactly the upsert semantics.
+    Q("q_jdbc_merge_upsert",
+      (s, d) => {
+        val url = derbyUrl
+        val base = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        Jdbc.load(base.filter(col("o_orderkey") < 1000), url,
+          "graft_upsert", ifExists = "replace", batchSize = 1000)
+        Jdbc.upsert(
+          base.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          url, "graft_upsert", keys = Seq("o_orderkey"))
+        Jdbc.query(s, url,
+            """SELECT "o_orderkey", "o_custkey", "o_totalprice"
+              |FROM graft_upsert""".stripMargin)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey >= 500 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders WHERE o_orderkey < 1500
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // -------------------------------------------------------------- S9
     // GPX trkpt scan over a folder glob (XML source, rowTag=trkpt); the
     // oracle is a hand-written expected-points CSV committed next to the

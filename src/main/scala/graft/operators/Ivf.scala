@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-file (IVF) ANN index as three composable stages, factored
+  * out of q_sim_ann_ivf so the oracle query and the recall-curve spec
+  * (SimilaritySpec) run the SAME construction — a drift between the
+  * benchmarked index and the measured one would make the recall curve
+  * fiction.
+  *
+  * Contract: `e` carries (vec_id, embedding, nrm); `queries` carries
+  * (qid, qe, qnrm). Centroids are COMPUTED, not just seeded: the first
+  * `nSeeds` vectors seed one deterministic Lloyd iteration (assign all
+  * to nearest seed, recompute per-cell per-dimension means), so cell
+  * balance reflects the data while engines replay bit-identically —
+  * recomputed means are 6-decimal half-even stabilized to collapse
+  * cross-engine summation-order noise. Every step is a broadcast join
+  * against the (tiny) centroid set or an equi-join on cell id —
+  * corpus² never exists. At 100 TB the same shape holds: k-means∥ on
+  * a sample picks seeds (nSeeds via Similarity.adaptiveSeedCount), a
+  * few Lloyd passes are each one broadcast join + one (cell, dim)
+  * aggregation.
+  */
+object Ivf {
+
+  /** One seeded deterministic Lloyd iteration → (cid, cvec, cnrm). */
+  def lloydCentroids(e: DataFrame, nSeeds: Long): DataFrame = {
+    val seeds = e.filter(col("vec_id") < nSeeds)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    // assign to nearest seed (argmax cosine, ties -> lowest cid), then
+    // per-cell per-dimension mean
+    val s0 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (Similarity.dot(col("embedding"), col("cvec"))
+          / (col("nrm") * col("cnrm"))).as("csim"))
+    val a0 = Dedup.keepFirst(s0, Seq("vec_id"),
+      Seq(col("csim").desc, col("cid")))
+    a0.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((bround(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+        .as("cv"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .select(col("cid"), col("cvec"),
+        Similarity.norm(col("cvec")).as("cnrm"))
+  }
+
+  /** Final cell assignment against the recomputed centroids →
+    * (cell, nid, ce, cenrm).
+    */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (Similarity.dot(col("embedding"), col("cvec"))
+          / (col("nrm") * col("cnrm"))).as("csim"))
+    Dedup.keepFirst(scored, Seq("vec_id"),
+        Seq(col("csim").desc, col("cid")))
+      .select(col("cid").as("cell"), col("vec_id").as("nid"),
+        col("embedding").as("ce"), col("nrm").as("cenrm"))
+  }
+
+  /** Probe each query's `nProbe` nearest cells, score ONLY those cells'
+    * members, keep top `k` → (qid, rk, nid).
+    */
+  def search(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
+             nProbe: Int, k: Int): DataFrame = {
+    val probes = Windows.topKPerGroup(
+      queries.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("cell"),
+          (Similarity.dot(col("qe"), col("cvec"))
+            / (col("qnrm") * col("cnrm"))).as("psim")),
+      Seq(col("qid")), Seq(col("psim").desc, col("cell")), nProbe)
+    val hits = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("ce"))
+          / (col("qnrm") * col("cenrm"))).as("cos_sim"))
+    Windows.topKPerGroup(hits, Seq(col("qid")),
+        Seq(col("cos_sim").desc, col("nid")), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nid"))))
+      .select(col("qid"), col("rk"), col("nid"))
+      .orderBy(col("qid"), col("rk"))
+  }
+}

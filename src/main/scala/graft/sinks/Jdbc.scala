@@ -45,6 +45,53 @@ object Jdbc {
     numPartitions.fold(w)(n => w.option("numPartitions", n.toString)).save()
   }
 
+  /** MERGE upsert — the reference's listed-future-work "upsert"
+    * load_strategy (`config.template.yaml:31` documents
+    * replace/append/upsert; only replace/append exist in
+    * `db_utils.py:121-159`). Two phases:
+    *
+    *   1. stage: the batch ships over JDBC exactly ONCE, from
+    *      executors in parallel, into `<table>__stage` — no data ever
+    *      returns to the driver and no SQL text is built from values;
+    *   2. apply: a single engine-side `MERGE INTO target USING stage`
+    *      updates matched keys and inserts the rest ATOMICALLY (one
+    *      statement, unlike the delete+insert pair, which readers can
+    *      observe between statements).
+    *
+    * Derby (the embedded test engine) supports MERGE since 10.11;
+    * Postgres 15+, SQL Server, and Oracle take the same statement.
+    * Contract: `df` must be UNIQUE on `keys` (SQL MERGE raises on a
+    * double-matched target row — dedup with Dedup.keepLatest first);
+    * a missing target table degrades to a plain create-and-load. The
+    * stage table is left behind (overwritten by the next upsert),
+    * mirroring the streaming sink's staging seam.
+    */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+             batchSize: Int = 1000,
+             numPartitions: Option[Int] = None): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    if (!tableExists(url, table)) {
+      load(df, url, table, ifExists = "replace", batchSize, numPartitions)
+    } else {
+      val stage = s"${table}__stage"
+      load(df, url, stage, ifExists = "replace", batchSize, numPartitions)
+      def q(c: String) = "\"" + c + "\""
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val nonKeys = df.columns.filterNot(keys.contains)
+      val updateClause =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val insertCols = df.columns.map(q).mkString(", ")
+      val insertVals = df.columns.map(c => s"s.${q(c)}").mkString(", ")
+      execute(url,
+        s"""MERGE INTO $table t USING $stage s ON $on
+           |$updateClause
+           |WHEN NOT MATCHED THEN INSERT ($insertCols)
+           |VALUES ($insertVals)""".stripMargin)
+    }
+  }
+
   /** S7 — post-load row count, pushed down as COUNT(*) (the subquery-as-
     * dbtable trick: only the 1-row count crosses the wire).
     */

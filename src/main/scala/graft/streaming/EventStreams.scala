@@ -126,11 +126,12 @@ object EventStreams {
     * stage rewrite (overwrite), re-delete (no-op for already-removed
     * keys), re-insert — so the upsert stays idempotent. Readers can
     * still observe the keys absent between the DELETE and the INSERT:
-    * delete+insert is not atomic across two statements. On engines with
-    * MERGE, replace the two statements with one
-    * `MERGE INTO table USING stage` for an atomic apply — the staging
-    * seam is exactly what MERGE needs, so only the final statement
-    * changes. (Embedded Derby, the test engine, has no MERGE.)
+    * delete+insert is not atomic across two statements. For the atomic
+    * single-statement apply, graft.sinks.Jdbc.upsert runs
+    * `MERGE INTO table USING stage` over the same staging seam
+    * (supported by Derby 10.11+, Postgres 15+, SQL Server, Oracle);
+    * this sink keeps the two-statement form as the
+    * lowest-common-denominator path for engines without MERGE.
     *
     * The stage and target must share column order: both are created by
     * this sink's own loads, which write the same DataFrame schema.

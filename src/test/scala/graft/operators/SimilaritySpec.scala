@@ -150,6 +150,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@3 $mean below 0.5 (nProbe=2 of 8 cells)")
   }
 
+  test("IVF recall CURVE is monotone in nProbe and exact at full probing") {
+    // The recall/cost dial, measured on the factored index
+    // (operators/Ivf — the same construction q_sim_ann_ivf benches):
+    // probing more cells can only add candidates, so recall@3 must be
+    // non-decreasing in nProbe, and probing ALL 8 cells degenerates to
+    // the exhaustive scan — recall exactly 1.0 (same scoring + ties).
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val cents = Ivf.lloydCentroids(e, nSeeds = 8).cache()
+    val assigned = Ivf.assign(e, cents).cache()
+    val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val gt = Ivf.search(queries, cents, assigned, nProbe = 8, k = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive probing == brute force (the anchor that makes the
+    // curve trustworthy): same pairs as an all-pairs top-3
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val brute = queries.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("ce"))
+          / (col("qnrm") * col("cn"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gt == brute, "nProbe=8 of 8 cells must equal the exhaustive scan")
+    val curve = Seq(1, 2, 4, 8).map { p =>
+      val got = Ivf.search(queries, cents, assigned, p, k = 3)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> got.intersect(gt).size.toDouble / gt.size
+    }
+    info("IVF recall@3 curve: " +
+      curve.map { case (p, r) => f"nProbe=$p: $r%.3f" }.mkString(", "))
+    curve.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall curve not monotone: $curve")
+    }
+    assert(curve.last._2 == 1.0, s"full probing below 1.0: $curve")
+    cents.unpersist(); assigned.unpersist()
+  }
+
   test("signBitBucket encodes the sign pattern of leading dims") {
     val df = Seq(
       (1L, Array(1f, -1f, 1f, -1f)),

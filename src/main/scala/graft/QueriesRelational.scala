@@ -21,6 +21,21 @@ object QueriesRelational {
   private def davg(c: Column): Column = dsum(c) / count(c)
   private def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
 
+  /** Shared by q_agg_percentiles and q_agg_percentiles_hist — the two
+    * plans must stay answer-identical, so they share ONE oracle.
+    */
+  private lazy val percentilesOracle: String = {
+    def q(p: String) = graft.functions.Stabilize.stabSql(
+      s"quantile_cont(l_extendedprice, $p)", 6)
+    s"""SELECT l_returnflag,
+       |  ${q("0.5")} AS p50,
+       |  ${q("0.9")} AS p90,
+       |  ${q("0.99")} AS p99,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Exact sum for 4-decimal products like extendedprice*(1-discount). */
   private def dsum4(c: Column): Column =
     sum(c.cast("decimal(28,4)")).cast("double")
@@ -384,17 +399,33 @@ object QueriesRelational {
             col("n"))
           .orderBy(col("l_returnflag"))
       },
-      Some {
-        def q(p: String) = graft.functions.Stabilize.stabSql(
-          s"quantile_cont(l_extendedprice, $p)", 6)
-        s"""SELECT l_returnflag,
-           |  ${q("0.5")} AS p50,
-           |  ${q("0.9")} AS p90,
-           |  ${q("0.99")} AS p99,
-           |  count(*) AS n
-           |FROM lineitem GROUP BY l_returnflag
-           |ORDER BY l_returnflag""".stripMargin
-      }),
+      Some(percentilesOracle)),
+
+    // ---------------------------------- grouped percentiles, scale path
+    // Same answer as q_agg_percentiles (same oracle, hash-checked), but
+    // via operators/Percentiles.groupedExactByHistogram: phase 1 shuffles
+    // a (group, value) histogram with map-side combine, phase 2 windows
+    // over the histogram partitioned by group. No task ever buffers a
+    // group's raw values, so one pathologically hot group (a single
+    // returnflag holding most of 100 TB) costs O(distinct values) — the
+    // per-group analogue of the q_text_quality_prune cutoff fix.
+    Q("q_agg_percentiles_hist",
+      (s, d) => {
+        def stab(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        // n = non-null count; equal to count(*) here (l_extendedprice
+        // is non-null in lineitem), matching the oracle's count(*).
+        graft.operators.Percentiles.groupedExactByHistogram(
+            Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+            Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+          .select(col("l_returnflag"),
+            stab(col("p50")).as("p50"),
+            stab(col("p90")).as("p90"),
+            stab(col("p99")).as("p99"),
+            col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(percentilesOracle)),
 
     // ------------------------------------------------------------- A10/U2
     Q("q_a10_keep_latest",

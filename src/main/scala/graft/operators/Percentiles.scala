@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *     corpus) locates the two order statistics straddling rank
   *     h = p·(n−1), and a 1-row aggregate interpolates between them.
   *
-  * The interpolation is Spark/NumPy type-7 — v_k + (h−k)·(v_{k+1} −
-  * v_k), h = p·(n−1), k = ⌊h⌋ — i.e. bit-identical inputs to what
-  * `percentile` / DuckDB `quantile_cont` compute, so existing oracles
-  * keep hash-matching (after the same decimal stabilization the exact
+  * The interpolation is Spark/NumPy type-7 at h = p·(n−1), k = ⌊h⌋,
+  * written EXACTLY as the built-in `percentile` writes it —
+  * (⌈h⌉−h)·v_k + (h−k)·v_{k+1}, with the k==h case returning v_k
+  * directly — so results are bit-identical to the built-in aggregate
+  * (the algebraically-equal v_k + (h−k)·(v_{k+1}−v_k) form differs in
+  * the last ulp on some inputs), and existing oracles keep
+  * hash-matching (after the same decimal stabilization the exact
   * aggregate already needed).
   *
   * CONTRACT: distinct values must be bounded well below corpus size —
@@ -72,8 +75,77 @@ object Percentiles {
         max(when(covers(col("__k") + 1), col("__v"))).as("__vk1"),
         max(col("__h")).as("__hh"),
         max(col("__k")).as("__kk"))
-      .select((col("__vk") + (col("__hh") - col("__kk"))
-          * (coalesce(col("__vk1"), col("__vk")) - col("__vk")))
-        .as(alias))
+      .select(interp("__vk", "__vk1", "__hh", "__kk").as(alias))
+  }
+
+  /** The built-in `percentile`'s interpolation, verbatim: v_k when
+    * h == k, else (⌈h⌉−h)·v_k + (h−k)·v_{k+1}. ⌈h⌉ is k+1 on that
+    * branch, and v_{k+1} falls back to v_k at the top rank (p = 1.0
+    * lands exactly on k, so the fallback is never interpolated with a
+    * nonzero weight against a different value).
+    */
+  private def interp(vk: String, vk1: String, hh: String,
+      kk: String): org.apache.spark.sql.Column = {
+    val kD = col(kk).cast("double")
+    when(col(hh) === kD, col(vk)).otherwise(
+      ((col(kk) + 1).cast("double") - col(hh)) * col(vk)
+        + (col(hh) - kD) * coalesce(col(vk1), col(vk)))
+  }
+
+  /** Grouped variant — the scale path for per-group exact percentiles.
+    *
+    * The array-percentile form (q_agg_percentiles) buffers and sorts
+    * each group's raw values in ONE aggregation buffer, so a
+    * pathologically hot group (one l_returnflag holding most of 100 TB)
+    * recreates the global operator's single-task ceiling. Here phase 1
+    * shuffles a (group, value) histogram with map-side combine, and
+    * phase 2's windows partition BY GROUP over that histogram — the
+    * hot group costs O(its distinct values), never O(its rows), and
+    * groups spread across tasks.
+    *
+    * Output: one row per group with one exact type-7 quantile column
+    * per `(p, alias)` plus `n` = the group's non-null value count
+    * (callers whose value column is non-null can alias it as the
+    * group's row count). Interpolation arithmetic is the same
+    * `v_k + (h − k)·(v_{k+1} − v_k)` as the global form, so results
+    * are bit-identical to the built-in `percentile` aggregate. Same
+    * bounded-distinct-domain contract as [[exactByHistogram]].
+    */
+  def groupedExactByHistogram(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one (p, alias)")
+    ps.foreach { case (p, _) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p") }
+    val g = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val withH = ps.zipWithIndex.foldLeft(ranked) { case (acc, ((p, _), i)) =>
+      acc.withColumn(s"__h$i",
+        lit(p) * (col("__n") - lit(1)).cast("double"))
+    }
+    def covers(rank: org.apache.spark.sql.Column) =
+      col("__cum") - col("__c") <= rank && rank < col("__cum")
+    val aggs = ps.indices.flatMap { i =>
+      val k = floor(col(s"__h$i")).cast("long")
+      Seq(
+        max(when(covers(k), col("__v"))).as(s"__vk$i"),
+        max(when(covers(k + 1), col("__v"))).as(s"__vk1$i"),
+        max(col(s"__h$i")).as(s"__hh$i"),
+        max(k).as(s"__kk$i"))
+    } :+ max(col("__n")).as("n")
+    val out = withH.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    val quantiles = ps.zipWithIndex.map { case ((_, alias), i) =>
+      interp(s"__vk$i", s"__vk1$i", s"__hh$i", s"__kk$i").as(alias)
+    }
+    out.select(g ++ quantiles :+ col("n"): _*)
   }
 }

@@ -150,6 +150,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "histogram cumulative pass missing")
   }
 
+  test("grouped percentiles scale path is histogram-shaped") {
+    // Same pin as the global prune: q_agg_percentiles_hist must never
+    // regress to a per-group value-buffering percentile aggregate
+    // (ObjectHashAggregate); its phase-2 window partitions by the
+    // group over the (group, value) histogram.
+    val d = df("q_agg_percentiles_hist")
+    d.collect()
+    val plan = planString(d)
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"grouped percentiles regressed to a value-buffering aggregate:\n$plan")
+    assert(plan.contains("Window"), "histogram cumulative pass missing")
+  }
+
   test("dedup and windows shuffle ONCE on their keys (no extra exchanges)") {
     val plan = planString(df("q_u2_dedup_keep_first"))
     // one hash exchange for the window partition key; the final orderBy

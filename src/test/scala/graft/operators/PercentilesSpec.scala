@@ -71,4 +71,48 @@ class PercentilesSpec extends AnyFunSuite {
       s"approx/exact selection differs by ${symDiff.size} rows; " +
         s"only the $tiesAtVk rows tied at v_k=$vk may differ")
   }
+
+  test("grouped histogram percentiles == built-in grouped percentile") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val got = Percentiles.groupedExactByHistogram(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.99 -> "p99"))
+      .orderBy("l_returnflag").collect()
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.99))")
+          .as("ps"),
+        count(col("l_extendedprice")).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      val ps = w.getSeq[Double](1)
+      for (i <- 0 until 3)
+        assert(g.getDouble(1 + i) == ps(i),
+          s"group ${g.getString(0)} p$i: ${g.getDouble(1 + i)} vs ${ps(i)}")
+      assert(g.getLong(4) == w.getLong(2))
+    }
+  }
+
+  test("grouped histogram percentiles: ties, nulls, single-value group") {
+    val rows: Seq[(String, java.lang.Double)] = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", null), ("a", 9.0),
+      ("b", 4.25), // single non-null value
+      ("c", 3.0), ("c", null), ("c", 7.0))
+    val df = rows.toDF("g", "x")
+    val got = Percentiles.groupedExactByHistogram(
+        df, Seq("g"), "x", Seq(0.0 -> "p0", 0.5 -> "p50", 1.0 -> "p100"))
+      .orderBy("g").collect()
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(x, array(0.0, 0.5, 1.0))").as("ps"),
+        count(col("x")).as("n"))
+      .orderBy("g").collect()
+    got.zip(want).foreach { case (g, w) =>
+      val ps = w.getSeq[Double](1)
+      for (i <- 0 until 3)
+        assert(g.getDouble(1 + i) == ps(i),
+          s"group ${g.getString(0)}: ${g.getDouble(1 + i)} vs ${ps(i)}")
+      assert(g.getLong(4) == w.getLong(2))
+    }
+  }
 }

@@ -273,6 +273,28 @@ object QueriesRelational {
         s"SELECT ${items.mkString(", ")} FROM orders"
       }),
 
+    // -------------------------------------- A6 scale path certification
+    // Profiling at 100 TB swaps exact countDistinct for the mergeable
+    // single-pass HLL sketch (Profile.stats(exact = false)); this report
+    // certifies that swap at test scale. n_distinct is the exact answer
+    // (hash-checked against DuckDB count(DISTINCT)); sketch_ok asserts
+    // the HLL estimate landed within 5% — deterministic for fixed data,
+    // so the oracle pins it to literal TRUE.
+    Q("q_profile_approx_distinct", {
+        val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        (s, d) => graft.operators.Profile
+          .distinctSketchReport(Tables.lineitem(s, d), cols)
+      },
+      Some {
+        val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        cols.map(c =>
+            s"SELECT '$c' AS col_name, count(DISTINCT $c) AS n_distinct, " +
+              s"TRUE AS sketch_ok FROM lineitem")
+          .mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
     // -------------------------------------------------------------- A7
     Q("q_a7_value_counts",
       (s, d) => Tables.events(s, d)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
@@ -404,44 +405,21 @@ object QueriesText {
     // ngrams (corpus df > 50) excluded so one common phrase can't turn
     // the join quadratic; pairs with >= 3 shared ngrams are flagged.
     Q("q_text_contamination",
-      (s, d) => {
-        val toked = Tables.documents(s, d).select(col("doc_id"),
-          TextFns.tokens(col("text")).as("toks"))
-        val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3).distinct()
-        val rare = ng.groupBy(col("ngram"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
-          .select(col("ngram"))
-        val ngR = ng.join(rare, Seq("ngram"))
-        val evalNg = ngR.filter(col("doc_id") < 50)
-          .select(col("doc_id").as("eval_id"), col("ngram"))
-        val trainNg = ngR.filter(col("doc_id") >= 50)
-          .select(col("doc_id").as("train_id"), col("ngram"))
-        trainNg.join(evalNg, Seq("ngram"))
-          .groupBy(col("train_id"), col("eval_id"))
-          .agg(count(lit(1)).as("shared_ngrams"))
-          .filter(col("shared_ngrams") >= 3)
-          .orderBy(col("train_id"), col("eval_id"))
-      },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(
-             |    trim(regexp_replace(regexp_replace(lower(text),
-             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
-             |ng AS (
-             |  SELECT DISTINCT doc_id,
-             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
-             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
-             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
-             |  WHERE len(toks) >= 3),
-             |rare AS (SELECT ngram FROM ng GROUP BY ngram
-             |         HAVING count(*) <= 50),
-             |ngr AS (SELECT * FROM ng JOIN rare USING (ngram))
-             |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-             |       count(*) AS shared_ngrams
-             |FROM ngr a JOIN ngr b USING (ngram)
-             |WHERE a.doc_id >= 50 AND b.doc_id < 50
-             |GROUP BY 1, 2 HAVING count(*) >= 3
-             |ORDER BY train_id, eval_id""".stripMargin)),
+      (s, d) => contamination(s, d, bloomPrefilter = false),
+      Some(contaminationOracle)),
+
+    // ------------------------------ contamination, bloom-prefiltered
+    // Same answer, 100 TB shape: before the train-side n-grams shuffle
+    // into the inverted-index join, a bloom filter built over the EVAL
+    // n-gram digests (operators/Bloom — a distributed treeAggregate;
+    // only the fixed-size bit array reaches the driver) drops the
+    // ~all of the train corpus that can't match. False positives
+    // survive the prefilter and are removed by the exact join, so the
+    // result is bit-identical — pinned by sharing q_text_contamination's
+    // oracle verbatim.
+    Q("q_text_contamination_bloom",
+      (s, d) => contamination(s, d, bloomPrefilter = true),
+      Some(contaminationOracle)),
 
     // ------------------------------------------------------ PII scrubbing
     // Redaction pass: count and mask emails and (toy) phone numbers.
@@ -594,4 +572,62 @@ object QueriesText {
               |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4
               |ORDER BY doc_id, fp""".stripMargin))
   )
+
+  /** GPT-3-style n-gram decontamination (both q_text_contamination
+    * variants above share this pipeline; the bloom path inserts the
+    * operators/Bloom prefilter before the train-side shuffle).
+    */
+  private def contamination(s: SparkSession, d: String,
+      bloomPrefilter: Boolean): DataFrame = {
+    val toked = Tables.documents(s, d).select(col("doc_id"),
+      TextFns.tokens(col("text")).as("toks"))
+    val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3).distinct()
+    val rare = ng.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
+      .select(col("ngram"))
+    val ngR = ng.join(rare, Seq("ngram"))
+    val evalNg = ngR.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"), col("ngram"))
+    val trainNg0 = ngR.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("train_id"), col("ngram"))
+    val trainNg = if (!bloomPrefilter) trainNg0 else {
+      // Digest the n-gram once on each side (md5Long is the portable
+      // 60-bit hash already on the similarity hot path); the filter is
+      // sized by counting the eval keys — one extra pass over the
+      // SMALL side.
+      val evalKeys = evalNg
+        .select(HashFns.md5Long(col("ngram")).as("k")).distinct()
+      val filter = graft.operators.Bloom.buildLongFilter(evalKeys, "k")
+      trainNg0.filter(graft.operators.Bloom.mightContain(
+        filter, HashFns.md5Long(col("ngram"))))
+    }
+    trainNg.join(evalNg, Seq("ngram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= 3)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  // lazy: declared after `qs`, which captures it during object init
+  private lazy val contaminationOracle: String =
+    """WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |rare AS (SELECT ngram FROM ng GROUP BY ngram
+             |         HAVING count(*) <= 50),
+             |ngr AS (SELECT * FROM ng JOIN rare USING (ngram))
+             |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+             |       count(*) AS shared_ngrams
+             |FROM ngr a JOIN ngr b USING (ngram)
+             |WHERE a.doc_id >= 50 AND b.doc_id < 50
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY train_id, eval_id""".stripMargin
 }

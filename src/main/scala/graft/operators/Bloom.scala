@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Broadcast bloom-filter prefilter — the scale pattern for "big side
+  * joins a much smaller key set" (decontamination against an eval set,
+  * blocklist lookups, dimension membership).
+  *
+  * At 100 TB the big side's shuffle dominates such a join even though
+  * almost none of it survives. A bloom filter over the SMALL side's
+  * keys (a few MB for 10⁷ keys at 1% fpp) rides the task closure to
+  * every executor and drops non-members BEFORE the exchange, so the
+  * shuffle carries only probable matches; the exact join that follows
+  * removes the false positives, leaving results bit-identical
+  * (q_text_contamination_bloom shares q_text_contamination's oracle).
+  * This is the manual form of Spark's own runtime-filter rewrite
+  * (spark.sql.optimizer.runtime.bloomFilter.enabled) for joins the
+  * optimizer can't see through — here the join key is a derived n-gram
+  * column produced mid-pipeline.
+  *
+  * Build side uses `DataFrameStatFunctions.bloomFilter` (a distributed
+  * treeAggregate; only the fixed-size bit array returns to the driver),
+  * probe side reuses Spark's codegen'd `BloomFilterMightContain`
+  * expression over the serialized filter, so the hashing on both sides
+  * is the same sketch implementation by construction.
+  */
+object Bloom {
+
+  /** Serialized bloom filter over the LongType column `keyCol`.
+    * `expectedItems <= 0` means "count the keys first" — one extra
+    * pass over the (small) build side buys a correctly-sized filter.
+    */
+  def buildLongFilter(keys: DataFrame, keyCol: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(keys.count(), 64L)
+    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Membership predicate of the LongType column `c` against a filter
+    * from [[buildLongFilter]]. False positives at the filter's fpp;
+    * NEVER false negatives.
+    */
+  def mightContain(filterBytes: Array[Byte], c: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filterBytes, BinaryType), ColumnBridge.expression(c)))
+}

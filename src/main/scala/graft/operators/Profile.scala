@@ -33,6 +33,36 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Long-form distinct-cardinality report certifying the HLL scale
+    * path against the exact answer: one row per column with the EXACT
+    * distinct count (cross-engine checkable) and `sketch_ok` =
+    * "approx_count_distinct landed within `tol` of exact".
+    *
+    * Both families run in ONE aggregate pass (the exact distincts plan
+    * through Spark's Expand, the HLL sketches are single-pass
+    * mergeable); at 100 TB you run the sketches alone
+    * (`stats(df, exact = false)`) — this report is how that
+    * substitution is certified at test scale. Both engines' estimates
+    * are deterministic for fixed data, so the boolean is a stable,
+    * hash-checkable assertion rather than a flaky tolerance.
+    */
+  def distinctSketchReport(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.02, tol: Double = 0.05): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"__d_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__a_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', __d_$c, __a_$c").mkString(", ") +
+        ") as (col_name, n_distinct, __approx)"))
+    stacked.select(col("col_name"), col("n_distinct"),
+        (abs(col("__approx") - col("n_distinct"))
+          <= col("n_distinct") * lit(tol)).as("sketch_ok"))
+      .orderBy(col("col_name"))
+  }
+
   /** P3 + P4: drop columns that are entirely null and/or carry a single
     * distinct value. Returns the pruned frame (original column order kept).
     */

@@ -127,6 +127,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact == approx)
   }
 
+  test("Bloom prefilter: zero false negatives, bounded false positives") {
+    val members = (0L until 2000L).toDF("k")
+    val filter = Bloom.buildLongFilter(members, "k", fpp = 0.01)
+    val kept = members.filter(Bloom.mightContain(filter, col("k"))).count()
+    assert(kept == 2000L, "bloom filter dropped a true member")
+    val nonMembers = (100000L until 120000L).toDF("k")
+    val fp = nonMembers.filter(Bloom.mightContain(filter, col("k"))).count()
+    assert(fp <= 20000L * 0.05,
+      s"false-positive rate ${fp / 20000.0} far above the 1% target")
+  }
+
+  test("distinctSketchReport: exact counts right, sketch within tolerance") {
+    val li = graft.sources.Tables.lineitem(TestSpark.spark,
+      "/root/testdata/sf0.001")
+    val rows = Profile.distinctSketchReport(
+      li, Seq("l_partkey", "l_returnflag")).collect()
+    val exactPart = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("l_partkey").getLong(1) == exactPart)
+    assert(rows.forall(_.getBoolean(2)), "HLL estimate outside tolerance")
+  }
+
   test("P3/P4 pruneUninformative drops all-null and constant columns only") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
       .withColumn("dead", lit(null).cast("int"))

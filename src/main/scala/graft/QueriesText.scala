@@ -87,6 +87,54 @@ object QueriesText {
               |       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------- lexical diversity signals
+    // Unigram entropy + type-token ratio — the Gopher/C4-family
+    // diversity gates that catch keyword-stuffed or template text which
+    // length/stopword gates miss. Shape: explode → (doc, token) count
+    // (map-side combine) → per-doc rollup; state is O(types per doc),
+    // embarrassingly parallel across docs. TTR is an exact int/int
+    // ratio; entropy is ln(n) − Σc·ln(c)/n, 6-decimal-stabilized
+    // because ln() and float-sum order differ legitimately between
+    // engines (both sides' terms agree to ~1e-13 against a 1e-6 grid).
+    Q("q_text_diversity",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        toked.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("__c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("__c").cast("double")
+              * log(col("__c").cast("double"))).as("__clogc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (col("n_types") / col("n_tokens")).as("ttr"),
+            stab6(log(col("n_tokens").cast("double"))
+              - col("__clogc") / col("n_tokens").cast("double"))
+              .as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+              |e AS (
+              |  SELECT doc_id,
+              |    CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    CAST(count(*) AS BIGINT) AS n_types,
+              |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+              |  FROM c GROUP BY 1)
+              |SELECT doc_id, n_tokens, n_types,
+              |  n_types / n_tokens AS ttr,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE)", 6)}
+              |    AS entropy
+              |FROM e ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------- corpus-quantile quality prune
     // Quality pruning by GLOBAL quantile rather than a fixed threshold
     // (the common "drop the worst X% of the corpus" step): the cutoff
@@ -407,6 +455,57 @@ object QueriesText {
     Q("q_text_contamination",
       (s, d) => contamination(s, d, bloomPrefilter = false),
       Some(contaminationOracle)),
+
+    // ------------------------------------ exact substring span dedup
+    // Lee et al. 2022's ExactSubstr recast distributed (operators/
+    // SpanDedup): tokens covered by an 8-token span that also appears
+    // in another document are cut; the fingerprint hashes the RETAINED
+    // text. The oracle replays the whole construction — digests, dup
+    // spans, window coverage, ordered reassembly — in DuckDB, so span
+    // boundaries are pinned token-exactly, not just counted.
+    Q("q_text_span_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        graft.operators.SpanDedup
+          .dedupFingerprints(docs, "doc_id", "toks", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |tok AS (
+              |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+              |         toks[CAST(u.i AS INT)] AS tok
+              |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+              |g AS (
+              |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS start,
+              |    ${HashFns.md5LongSql(
+                     "array_to_string(toks[CAST(u.i AS INT):" +
+                       "CAST(u.i + 7 AS INT)], ' ')")} AS g
+              |  FROM t, unnest(range(1, len(toks) - 6)) u(i)
+              |  WHERE len(toks) >= 8),
+              |dup AS (SELECT g FROM g GROUP BY g
+              |        HAVING count(DISTINCT doc_id) > 1),
+              |ds AS (SELECT DISTINCT doc_id, start
+              |       FROM g JOIN dup USING (g)),
+              |f AS (
+              |  SELECT tok.doc_id, tok.pos, tok.tok,
+              |    CASE WHEN ds.start IS NULL THEN 0 ELSE 1 END AS dupflag
+              |  FROM tok LEFT JOIN ds
+              |    ON tok.doc_id = ds.doc_id AND tok.pos = ds.start),
+              |c AS (
+              |  SELECT doc_id, pos, tok,
+              |    sum(dupflag) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) > 0 AS covered
+              |  FROM f)
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_kept,
+              |  ${HashFns.md5LongSql(
+                   "coalesce(string_agg(tok, ' ' ORDER BY pos) " +
+                     "FILTER (WHERE NOT covered), '')")} AS fingerprint
+              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------ contamination, bloom-prefiltered
     // Same answer, 100 TB shape: before the train-side n-grams shuffle

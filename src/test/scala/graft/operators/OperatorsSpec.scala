@@ -149,6 +149,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(2)), "HLL estimate outside tolerance")
   }
 
+  test("SpanDedup cuts exactly the cross-doc duplicated span, keeps the rest") {
+    // Two docs share an 8-token boilerplate block; each also has unique
+    // text. The block must be cut from BOTH docs; unique text survives;
+    // a third doc with no duplicated span is untouched.
+    val boiler = "this license text is identical across both documents"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, "entirely unique words that no other document shares here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val cov = SpanDedup.coverage(docs, "doc_id", "toks", 8)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    val boilerToks = boiler.split(" ").toSet
+    cov.foreach { case (id, tok, covered) =>
+      if (boilerToks(tok)) assert(covered, s"doc $id: '$tok' not cut")
+      else assert(!covered, s"doc $id: unique token '$tok' wrongly cut")
+    }
+    val fps = SpanDedup.dedupFingerprints(docs, "doc_id", "toks", 8)
+      .orderBy("doc_id").collect()
+    assert(fps.map(_.getLong(2)).toSeq == Seq(5L, 5L, 9L)) // n_kept
+    // doc 3 untouched: fingerprint equals hash of its full text
+    val full = docs.filter(col("doc_id") === 3)
+      .select(graft.functions.HashFns.md5Long(
+        concat_ws(" ", col("toks")))).head().getLong(0)
+    assert(fps(2).getLong(3) == full)
+  }
+
   test("P3/P4 pruneUninformative drops all-null and constant columns only") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
       .withColumn("dead", lit(null).cast("int"))

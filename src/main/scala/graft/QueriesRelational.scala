@@ -279,16 +279,17 @@ object QueriesRelational {
     // certifies that swap at test scale. n_distinct is the exact answer
     // (hash-checked against DuckDB count(DISTINCT)); sketch_ok asserts
     // the HLL estimate landed within 5% — deterministic for fixed data,
-    // so the oracle pins it to literal TRUE.
+    // so the oracle pins it to literal TRUE. Four columns cover the
+    // cardinality classes (high key / bounded numeric / 3-value flag /
+    // date): each exact-distinct aggregate adds an Expand branch, so
+    // column count is plan width, not extra certification value.
     Q("q_profile_approx_distinct", {
-        val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
-          "l_returnflag", "l_linestatus", "l_shipdate")
+        val cols = Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
         (s, d) => graft.operators.Profile
           .distinctSketchReport(Tables.lineitem(s, d), cols)
       },
       Some {
-        val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
-          "l_returnflag", "l_linestatus", "l_shipdate")
+        val cols = Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
         cols.map(c =>
             s"SELECT '$c' AS col_name, count(DISTINCT $c) AS n_distinct, " +
               s"TRUE AS sketch_ok FROM lineitem")

@@ -73,6 +73,53 @@ object QueriesSimilarity {
              |SELECT doc_id, n_chars FROM r WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------ incremental-ingest dedup
+    // The CDC shape of exact dedup: a NEW batch lands against a huge
+    // HISTORICAL corpus, and already-seen content must not re-enter.
+    // The anti-join's big side is the history, of which almost nothing
+    // matches — so a bloom filter over the (small) batch's digests
+    // drops ~all of history BEFORE its shuffle (operators/Bloom; the
+    // filter ships executor-side, only probable matches shuffle).
+    // Bloom false positives survive into the exact anti-join and die
+    // there, so the result is exactly "batch minus seen digests" —
+    // fully hash-checked. Everything shuffles 8-byte digests, never
+    // document bodies. The batch is new docs (doc_id >= 400) plus a
+    // re-keyed RE-LANDING of 100 history docs (the same manufactured-
+    // duplicate convention as q_sim_exact_dedup) — the relanded rows
+    // MUST all be dropped, so the anti-join is exercised non-trivially
+    // at every scale factor.
+    Q("q_sim_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") < 400)
+          .select(HashFns.md5Long(col("text")).as("__h"))
+        val relanded = docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 2000)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionByName(relanded)
+          .select(col("doc_id"), col("n_chars"),
+            HashFns.md5Long(col("text")).as("__h"))
+        val filter = graft.operators.Bloom.buildLongFilter(
+          batch.select(col("__h")).distinct(), "__h")
+        val histSeen = hist
+          .filter(graft.operators.Bloom.mightContain(filter, col("__h")))
+          .distinct()
+        batch.join(histSeen, Seq("__h"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH batch AS (
+             |  SELECT doc_id, n_chars, text FROM documents
+             |  WHERE doc_id >= 400
+             |  UNION ALL
+             |  SELECT doc_id + 2000, n_chars, text FROM documents
+             |  WHERE doc_id < 100)
+             |SELECT doc_id, n_chars FROM batch b
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM documents h
+             |  WHERE h.doc_id < 400 AND md5(h.text) = md5(b.text))
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------- MinHash signature
     Q("q_sim_minhash_signature",
       (s, d) => {

@@ -684,7 +684,12 @@ object QueriesText {
     val rare = ng.groupBy(col("ngram"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
       .select(col("ngram"))
-    val ngR = ng.join(rare, Seq("ngram"))
+    // The bloom path runs TWO actions over ngR (the filter build, then
+    // the join); cache it so the n-gram pipeline is computed once. At
+    // production scale the eval set is small and static — the filter is
+    // built once and reused across batches, not per query.
+    val ngR0 = ng.join(rare, Seq("ngram"))
+    val ngR = if (bloomPrefilter) ngR0.cache() else ngR0
     val evalNg = ngR.filter(col("doc_id") < 50)
       .select(col("doc_id").as("eval_id"), col("ngram"))
     val trainNg0 = ngR.filter(col("doc_id") >= 50)

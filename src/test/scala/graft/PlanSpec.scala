@@ -163,6 +163,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "histogram cumulative pass missing")
   }
 
+  test("bloom prefilters participate in the plan as codegen'd probes") {
+    // Both bloom-prefiltered queries must carry the might_contain
+    // probe in their executed plan — if the filter silently drops out
+    // (e.g. the predicate is optimized away), the big side shuffles
+    // unfiltered and the scale story is gone.
+    for (q <- Seq("q_text_contamination_bloom", "q_sim_incremental_dedup")) {
+      val d = df(q)
+      d.collect()
+      assert(planString(d).contains("might_contain"),
+        s"$q lost its bloom prefilter")
+    }
+  }
+
   test("dedup and windows shuffle ONCE on their keys (no extra exchanges)") {
     val plan = planString(df("q_u2_dedup_keep_first"))
     // one hash exchange for the window partition key; the final orderBy

@@ -160,6 +160,60 @@ object EventStreams {
         }
       }
 
+  /** Streaming corpus ingestion with cross-batch exact dedup — the
+    * streaming sibling of q_sim_incremental_dedup: every micro-batch is
+    * deduped within itself, then anti-joined on 8-byte content digests
+    * against a persistent digest HISTORY, so already-seen content never
+    * re-enters the corpus across batches, restarts, or replays.
+    *
+    * Exactly-once without a transactional store, from three pieces:
+    *   - accepted rows land under `outDir/batch=<id>` with OVERWRITE —
+    *     a replayed batch rewrites the same directory, never appends a
+    *     second copy;
+    *   - history rows carry (digest, batch_id), and the anti-join reads
+    *     only `batch_id < current` — a replayed batch is NOT masked by
+    *     the digests its own first attempt appended, so it reproduces
+    *     the same accepted set it wrote before the crash;
+    *   - history appends are last; duplicate (digest, batch_id) rows
+    *     from a replay are harmless because the anti-join treats
+    *     history as a set.
+    *
+    * Scale shape: the batch side is small (one trigger's worth); the
+    * history is the 100 TB side. The bloom filter over the BATCH's
+    * digests (operators/Bloom) rides to the executors and drops ~all of
+    * history before the anti-join's shuffle — and at real scale the
+    * history digest table is day-partitioned so the scan prunes too.
+    */
+  def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                  outDir: String, historyDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val hashed = batch.withColumn("__h",
+            graft.functions.HashFns.md5Long(col(textCol)))
+          val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
+          val hasHistory = new java.io.File(historyDir).exists()
+          val fresh = (if (!hasHistory) inBatch else {
+            val hist = spark.read.parquet(historyDir)
+              .filter(col("batch_id") < batchId).select(col("__h"))
+            val bloom = graft.operators.Bloom.buildLongFilter(
+              inBatch.select(col("__h")).distinct(), "__h")
+            val seen = hist.filter(
+              graft.operators.Bloom.mightContain(bloom, col("__h")))
+              .distinct()
+            inBatch.join(seen, Seq("__h"), "left_anti")
+          }).cache() // two actions below: the data write + the digest write
+          try {
+            fresh.drop("__h").write.mode("overwrite")
+              .parquet(s"$outDir/batch=$batchId")
+            fresh.select(col("__h"), lit(batchId).as("batch_id"))
+              .write.mode("append").parquet(historyDir)
+          } finally fresh.unpersist()
+        }
+      }
+
   /** Streaming lake sink — the incremental counterpart of
     * Lake.writeByDay: append day-partitioned parquet through the file
     * sink's commit log (`_spark_metadata`), which makes the sink

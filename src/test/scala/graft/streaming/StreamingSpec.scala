@@ -111,6 +111,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIngest: within-batch and cross-batch content dedup") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val out = s"$base/out"; val hist = s"$base/hist"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", out, hist)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // batch 0: doc 3 duplicates doc 1's content within the batch
+      input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+      // batch 1: doc 4 re-lands batch-0 content; doc 5 is new
+      input.addData((4L, "bbb"), (5L, "ccc"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L))
+      // history carries one digest row per ACCEPTED doc, batch-stamped
+      val h = spark.read.parquet(hist)
+      assert(h.count() == 3L)
+      assert(h.select("batch_id").distinct().count() == 2L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[Event](spark)
     val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,

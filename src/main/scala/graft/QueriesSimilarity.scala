@@ -344,6 +344,64 @@ object QueriesSimilarity {
            |ORDER BY band, band_value""".stripMargin
       }),
 
+    // ------------------------------------- label centroids + outliers
+    // Embedding-space curation: per-label centroids, then each label's
+    // least-central members — the mislabel/contamination candidates a
+    // curation pass reviews. Distributed shape: posexplode →
+    // groupBy(label, dim) partial-agg mean (state O(labels × dims),
+    // never a vector buffer), centroids re-assembled and BROADCAST to
+    // score every vector map-side; one window per label ranks the
+    // bottom 5. Cross-engine exactness: each centroid component is
+    // 6-decimal-stabilized (row-order float summation wobbles ~1e-13
+    // between engines), after which both engines dot IDENTICAL arrays
+    // in index order (DotF | list_transform), so the cosines
+    // hash-match with no further rounding.
+    Q("q_sim_label_centroids",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("__c0"))
+          .select(col("label"), col("pos"), stab6(col("__c0")).as("__c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("__c"))))
+            .as("__cl"))
+          .select(col("label"),
+            transform(col("__cl"), x => x.getField("__c")).as("__centroid"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos_c"), col("vec_id"))
+        e.join(broadcast(carr), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("__centroid"))
+              .as("cos_c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("label"), col("rk"), col("vec_id"), col("cos_c"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+              |         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+              |cent AS (
+              |  SELECT label, pos,
+              |    ${graft.functions.Stabilize.stabSql("avg(x)", 6)} AS c
+              |  FROM ex GROUP BY label, pos),
+              |carr AS (
+              |  SELECT label, list(c ORDER BY pos) AS centroid
+              |  FROM cent GROUP BY label),
+              |sc AS (
+              |  SELECT e.label, vec_id,
+              |    ${cosSql("e.embedding", "centroid")} AS cos_c
+              |  FROM embeddings e JOIN carr USING (label)),
+              |r AS (SELECT *, row_number() OVER (
+              |        PARTITION BY label ORDER BY cos_c, vec_id) AS rk
+              |      FROM sc)
+              |SELECT label, rk, vec_id, cos_c FROM r WHERE rk <= 5
+              |ORDER BY label, rk""".stripMargin)),
+
     // -------------------------------------------- brute-force cosine top-k
     // The correctness baseline for ANN: 10 query vectors scored against
     // the full corpus. At scale the candidate side is bucketed (next

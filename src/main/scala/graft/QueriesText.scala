@@ -456,6 +456,47 @@ object QueriesText {
       (s, d) => contamination(s, d, bloomPrefilter = false),
       Some(contaminationOracle)),
 
+    // ------------------------------------- hashed linear quality scorer
+    // The fastText-shaped quality classifier as Spark plumbing: hash
+    // each token into a bucket, look up an integer weight, score =
+    // Σw / (1000·n). Weights here are DERIVED from the bucket id
+    // (pmod(md5, 1001) − 500 ∈ [−500, 500]) so the oracle is exact —
+    // a trained model swaps in a broadcast map<bucket, weight> without
+    // changing the plan. The whole scorer is ONE higher-order-function
+    // expression per row (aggregate over transform): map-only, no
+    // shuffle, stays in whole-stage codegen. Integer weight sums make
+    // the score an exact int/int ratio — no float-order wobble, no
+    // stabilizer.
+    Q("q_text_quality_classifier",
+      (s, d) => {
+        val toks = TextFns.tokens(col("text"))
+        val wSum = aggregate(
+          transform(toks,
+            t => pmod(HashFns.md5Long(t), lit(1001L)) - lit(500L)),
+          lit(0L), (acc, x) => acc + x)
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            wSum.as("w_sum"),
+            (wSum / (size(toks).cast("long") * lit(1000L))).as("score"))
+          .withColumn("accept", (col("score") > 0.0).cast("boolean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(len(toks) AS BIGINT) AS n_tokens,
+              |    CAST(list_sum(list_transform(toks,
+              |      x -> ${HashFns.md5LongSql("x")} % 1001 - 500))
+              |      AS BIGINT) AS w_sum
+              |  FROM t)
+              |SELECT doc_id, n_tokens, w_sum,
+              |  w_sum / (n_tokens * 1000) AS score,
+              |  w_sum / (n_tokens * 1000) > 0.0 AS accept
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------ exact substring span dedup
     // Lee et al. 2022's ExactSubstr recast distributed (operators/
     // SpanDedup): tokens covered by an 8-token span that also appears

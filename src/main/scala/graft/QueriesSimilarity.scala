@@ -101,9 +101,12 @@ object QueriesSimilarity {
             HashFns.md5Long(col("text")).as("__h"))
         val filter = graft.operators.Bloom.buildLongFilter(
           batch.select(col("__h")).distinct(), "__h")
+        // No distinct on the build side: left_anti is an existence
+        // test, so repeated digests (identical texts within history)
+        // only pad the hash set — deduplicating them first would be an
+        // extra full shuffle of the surviving history.
         val histSeen = hist
           .filter(graft.operators.Bloom.mightContain(filter, col("__h")))
-          .distinct()
         batch.join(histSeen, Seq("__h"), "left_anti")
           .select(col("doc_id"), col("n_chars"))
           .orderBy(col("doc_id"))

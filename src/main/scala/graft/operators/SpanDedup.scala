@@ -62,8 +62,12 @@ object SpanDedup {
       .agg(countDistinct(id).as("__nd"))
       .filter(col("__nd") > 1).select(col("__g"))
 
+    // No distinct: grams carries each (doc, start) exactly once by
+    // construction (posexplode over per-doc start ranges), and the
+    // semi-join only removes rows — deduplicating again would be a
+    // wasted full shuffle of the duplicated-span set.
     val dupStarts = grams.join(dup, Seq("__g"), "left_semi")
-      .select(id, col("start").as("pos")).distinct()
+      .select(id, col("start").as("pos"))
       .withColumn("__dup", lit(1L))
 
     val w = Window.partitionBy(id).orderBy(col("pos"))

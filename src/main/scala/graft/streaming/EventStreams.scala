@@ -200,9 +200,11 @@ object EventStreams {
               .filter(col("batch_id") < batchId).select(col("__h"))
             val bloom = graft.operators.Bloom.buildLongFilter(
               inBatch.select(col("__h")).distinct(), "__h")
+            // No distinct: anti-join existence semantics tolerate
+            // repeated digests on the build side (see
+            // q_sim_incremental_dedup).
             val seen = hist.filter(
               graft.operators.Bloom.mightContain(bloom, col("__h")))
-              .distinct()
             inBatch.join(seen, Seq("__h"), "left_anti")
           }).cache() // two actions below: the data write + the digest write
           try {

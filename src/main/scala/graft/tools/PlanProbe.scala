@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Dev-only probe: print executed-plan exchange/scan counts for the
+  * queries named in args (PlanSpec budget calibration).
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    args.foreach { q =>
+      val d = graft.Queries.all(q)(spark, sf)
+      d.collect()
+      val plan = d.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).size
+      val scans = "FileScan".r.findAllIn(plan).size
+      val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+      println(s"PROBE $q exchanges=$ex scans=$scans codegenSpans=$codegen")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

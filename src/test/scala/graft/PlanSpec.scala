@@ -110,6 +110,15 @@ class PlanSpec extends AnyFunSuite {
       "q_geo_bbox_join"         -> (5, 5),
       "q_mm_features"           -> (3, 3),
       "q_sample_mixture"        -> (5, 3),
+      // round-7 additions (measured via graft.tools.PlanProbe + ~25%)
+      "q_text_span_dedup"        -> (15, 8),
+      "q_sim_label_centroids"    -> (13, 5),
+      "q_sim_incremental_dedup"  -> (9, 9),
+      "q_text_quality_classifier"-> (3, 3), // map-only + final sort
+      "q_text_diversity"         -> (8, 3),
+      "q_text_contamination_bloom" -> (52, 15),
+      "q_profile_approx_distinct"-> (5, 3),
+      "q_agg_percentiles_hist"   -> (8, 3),
       // round-4 additions
       "q_text_repetition"       -> (8, 2),
       "q_text_winnowing"        -> (8, 2),

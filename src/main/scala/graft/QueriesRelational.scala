@@ -273,6 +273,95 @@ object QueriesRelational {
         s"SELECT ${items.mkString(", ")} FROM orders"
       }),
 
+    // ------------------------------------- robust outlier gate (MAD)
+    // Median/MAD outlier detection — the robust z-score gate that mean/
+    // stddev gates get wrong under the very outliers being hunted.
+    // Composes the histogram percentile twice (median, then median of
+    // |x − med|), each a distributed two-phase aggregate whose 1-row
+    // result broadcasts into a fully parallel filter — the same
+    // agg+broadcast shape as the corpus-quantile prune, never a sort
+    // or a single value buffer. events.value sits on a 0.01 grid, so
+    // the histogram's bounded-distinct contract holds for both passes
+    // (|x − stab6(med)| inherits a bounded grid). Both cutoffs are
+    // 6-decimal-stabilized; dev arithmetic on exact doubles then agrees
+    // across engines bit-for-bit.
+    Q("q_agg_mad_outliers",
+      (s, d) => {
+        def stab6(c: Column) = graft.functions.Stabilize.stab(c, 6)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("value").as("v"))
+        val med = graft.operators.Percentiles
+          .exactByHistogram(ev, "v", 0.5, "med_raw")
+          .select(stab6(col("med_raw")).as("med"))
+        val dev = ev.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("v") - col("med")))
+        val mad = graft.operators.Percentiles
+          .exactByHistogram(dev, "dev", 0.5, "mad_raw")
+          .select(stab6(col("mad_raw")).as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .filter(col("dev") > lit(4.5) * col("mad"))
+          .select(col("event_id"), col("v"), col("med"), col("mad"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH m AS (
+           |  SELECT ${st("quantile_cont(value, 0.5)")} AS med FROM events),
+           |d AS (
+           |  SELECT event_id, value AS v, med, abs(value - med) AS dev
+           |  FROM events, m),
+           |md AS (SELECT ${st("quantile_cont(dev, 0.5)")} AS mad FROM d)
+           |SELECT event_id, v, med, mad FROM d, md
+           |WHERE dev > 4.5 * mad ORDER BY event_id""".stripMargin
+      }),
+
+    // ------------------------------------------- equi-depth binning
+    // ntile()-style feature bucketing WITHOUT ntile's global sort: one
+    // multi-p histogram aggregate finds the 20/40/60/80 boundaries
+    // (groupedExactByHistogram over a literal group = all quantiles in
+    // ONE pass over the histogram), the 1-row boundary frame broadcasts
+    // into a parallel CASE assignment, and the per-bucket rollup is an
+    // ordinary partial-agg groupBy. Boundaries are 6-decimal-stabilized;
+    // assignments then agree across engines exactly (2-decimal values
+    // vs a 1e-6 grid never straddle).
+    Q("q_agg_equidepth_bins",
+      (s, d) => {
+        def stab6(c: Column) = graft.functions.Stabilize.stab(c, 6)
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        val bounds = graft.operators.Percentiles
+          .groupedExactByHistogram(li.withColumn("__one", lit(1)),
+            Seq("__one"), "v",
+            Seq(0.2 -> "b1", 0.4 -> "b2", 0.6 -> "b3", 0.8 -> "b4"))
+          .select(stab6(col("b1")).as("b1"), stab6(col("b2")).as("b2"),
+            stab6(col("b3")).as("b3"), stab6(col("b4")).as("b4"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("v") <= col("b1"), 1L).when(col("v") <= col("b2"), 2L)
+              .when(col("v") <= col("b3"), 3L).when(col("v") <= col("b4"), 4L)
+              .otherwise(5L))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+            max(col("v")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        def st(p: String) = graft.functions.Stabilize.stabSql(
+          s"quantile_cont(l_extendedprice, $p)", 6)
+        s"""WITH b AS (
+           |  SELECT ${st("0.2")} AS b1, ${st("0.4")} AS b2,
+           |         ${st("0.6")} AS b3, ${st("0.8")} AS b4
+           |  FROM lineitem)
+           |SELECT CAST(CASE
+           |    WHEN l_extendedprice <= b1 THEN 1
+           |    WHEN l_extendedprice <= b2 THEN 2
+           |    WHEN l_extendedprice <= b3 THEN 3
+           |    WHEN l_extendedprice <= b4 THEN 4
+           |    ELSE 5 END AS BIGINT) AS bucket,
+           |  count(*) AS n, min(l_extendedprice) AS lo,
+           |  max(l_extendedprice) AS hi
+           |FROM lineitem, b GROUP BY 1 ORDER BY bucket""".stripMargin
+      }),
+
     // -------------------------------------- A6 scale path certification
     // Profiling at 100 TB swaps exact countDistinct for the mergeable
     // single-pass HLL sketch (Profile.stats(exact = false)); this report

@@ -140,4 +140,59 @@ object Laws extends Properties("graft") {
       }
     }
 
+  // groupedExactByHistogram equals the built-in grouped percentile
+  // bit-for-bit for ANY keyed values (ties, negatives, nulls arrive
+  // via the toy spec; here the law covers arbitrary group shapes,
+  // including groups of size 1 and heavily tied groups).
+  property("grouped histogram percentile == built-in percentile") =
+    Prop.forAll(
+      Gen.listOfN(60, Gen.zip(Gen.choose(0, 4), Gen.choose(-50, 50))),
+      Gen.choose(0.0, 1.0)) { (xs, p) =>
+      xs.isEmpty || {
+        val df = xs.map { case (g, v) => (s"g$g", v / 4.0) }.toDF("g", "v")
+        val got = graft.operators.Percentiles
+          .groupedExactByHistogram(df, Seq("g"), "v", Seq(p -> "q"))
+          .orderBy("g").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        val want = df.groupBy(col("g"))
+          .agg(expr(s"percentile(v, $p)").as("q"), count(col("v")).as("n"))
+          .orderBy("g").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        got.toSeq == want.toSeq
+      }
+    }
+
+  // SpanDedup.coverage equals a brute-force reference on arbitrary
+  // token streams: a token is covered iff some n-gram window through it
+  // occurs in >= 2 documents. Small alphabet forces heavy span overlap.
+  property("span-dedup coverage == brute-force reference") =
+    Prop.forAll(Gen.listOfN(3,
+      Gen.listOfN(14, Gen.oneOf("a", "b", "c")))) { docs =>
+      val n = 4
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks) }.toDF("doc_id", "toks")
+      val got = graft.operators.SpanDedup.coverage(df, "doc_id", "toks", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue)
+          -> r.getBoolean(3)).toMap
+      // reference: exact string n-grams, cross-doc duplicate detection,
+      // positional coverage — all in plain Scala
+      val grams = docs.zipWithIndex.flatMap { case (toks, i) =>
+        toks.sliding(n).filter(_.size == n).zipWithIndex
+          .map { case (g, s) => (i.toLong, s.toLong, g.mkString(" ")) }
+      }
+      val dupGrams = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size > 1).keySet
+      val dupStarts = grams.filter(g => dupGrams(g._3))
+        .map(g => (g._1, g._2)).toSet
+      val want = docs.zipWithIndex.flatMap { case (toks, i) =>
+        toks.indices.map { pIdx =>
+          val p = pIdx.toLong
+          val covered = ((p - n + 1) to p)
+            .exists(st => st >= 0 && dupStarts((i.toLong, st)))
+          (i.toLong, p) -> covered
+        }
+      }.toMap
+      got == want
+    }
 }

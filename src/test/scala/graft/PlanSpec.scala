@@ -119,6 +119,8 @@ class PlanSpec extends AnyFunSuite {
       "q_text_contamination_bloom" -> (52, 15),
       "q_profile_approx_distinct"-> (5, 3),
       "q_agg_percentiles_hist"   -> (8, 3),
+      "q_agg_mad_outliers"       -> (25, 9),
+      "q_agg_equidepth_bins"     -> (13, 5),
       // round-4 additions
       "q_text_repetition"       -> (8, 2),
       "q_text_winnowing"        -> (8, 2),

@@ -215,6 +215,81 @@ object QueriesCoverage {
              |ORDER BY gid, o_orderstatus NULLS FIRST,
              |  o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // --------------------------------------------------------- cube
+    // ROLLUP's sibling: ALL grouping-set combinations in one pass
+    // (per-(flag,status), per-flag, per-status, grand total) — still a
+    // single scan + partial aggregation; the Expand branch count is
+    // 2^dims, so dims stay small by design at any scale.
+    Q("q_agg_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS qty,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST,
+             |  l_linestatus NULLS FIRST""".stripMargin)),
+
+    // -------------------------------------------------------- pivot
+    // Wide-format reporting: event counts per day × type. The pivot
+    // VALUES ARE DECLARED — with an explicit list Spark skips the
+    // extra distinct-collection job and the plan is one groupBy with
+    // conditional aggregates, exactly what the oracle spells out. At
+    // scale an undeclared pivot is two jobs and an unbounded-width
+    // schema; declared pivots are the only safe form.
+    Q("q_agg_pivot", {
+        val types = Seq("click", "view", "purchase", "signup")
+        (s, d) => Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .groupBy(col("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+             |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+             |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+             |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------ unpivot
+    // The melt direction (wide → long feature rows), Spark's native
+    // unpivot operator — map-only, no shuffle until the final sort;
+    // the long form is what feature stores and plotting layers want.
+    Q("q_p_unpivot_melt",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "feature", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("feature")),
+      Some("""SELECT l_orderkey, l_linenumber, feature, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'quantity' AS feature,
+             |         CAST(l_quantity AS DOUBLE) AS val
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'discount',
+             |         CAST(l_discount AS DOUBLE)
+             |  FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'tax',
+             |         CAST(l_tax AS DOUBLE)
+             |  FROM lineitem WHERE l_orderkey < 100)
+             |ORDER BY l_orderkey, l_linenumber, feature""".stripMargin)),
+
     // --------------------------------------------- distributed ffill
     // Global forward fill executed bucket-parallel (month buckets,
     // monotone along the date order) — the scale path for W3, where an

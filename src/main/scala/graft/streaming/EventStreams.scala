@@ -160,6 +160,19 @@ object EventStreams {
         }
       }
 
+  /** Stream-static enrichment: join each micro-batch against a batch
+    * dimension map-side. The broadcast hint keeps the stream side free
+    * of any stateful join machinery — no watermarks, no state store,
+    * just a hash map on every executor re-resolved per batch (so a
+    * dimension REFRESHED in place is picked up without restarting the
+    * query). For dimensions too big to broadcast, pre-bucket both
+    * sides; never let a streaming query shuffle-sort a 100 TB dim per
+    * trigger.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming corpus ingestion with cross-batch exact dedup — the
     * streaming sibling of q_sim_incremental_dedup: every micro-batch is
     * deduped within itself, then anti-joined on 8-byte content digests

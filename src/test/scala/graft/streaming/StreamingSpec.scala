@@ -111,6 +111,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrich joins the stream against a static dim without state") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event](spark)
+    val result = EventStreams.enrich(input.toDF(), dim, Seq("user_id"))
+    val q = result.writeStream
+      .format("memory").queryName("enrich_spec")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 10:01:00"), 3, "view", 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, tier FROM enrich_spec ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "gold"), (2L, null)))
+    } finally q.stop()
+  }
+
   test("dedupIngest: within-batch and cross-batch content dedup") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest")
     val out = s"$base/out"; val hist = s"$base/hist"

@@ -151,6 +151,34 @@ object QueriesEvents {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ------------------------------------------------- OHLC resample
+    // Time-series downsampling with order-sensitive endpoints: per-hour
+    // open/close are the FIRST/LAST values by event time — taken as
+    // lexicographic min/max of a (ts, id, value) struct inside the one
+    // groupBy (deterministic under ts ties via the id tiebreak), never
+    // a sort or a window. One shuffle on the hour key; partial
+    // aggregation handles min/max/count map-side, so the reduce state
+    // is O(hours), the canonical metrics-rollup shape at any scale.
+    Q("q_ev_resample_ohlc",
+      (s, d) => {
+        val st = struct(col("ts"), col("event_id").as("id"),
+          col("value").as("v"))
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(
+            min(st).getField("v").as("open"),
+            max(st).getField("v").as("close"),
+            min(col("value")).as("lo"),
+            max(col("value")).as("hi"),
+            count(lit(1)).as("n"))
+          .orderBy(col("h"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS h,
+             |  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+             |  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+             |  min(value) AS lo, max(value) AS hi, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin)),
+
     // -------------------------------------------------- tumbling windows
     Q("q_ev_tumbling_window",
       (s, d) => Tables.events(s, d)

@@ -88,6 +88,76 @@ object QueriesMultimodal {
               |SELECT media_id, frame_no,
               |  CAST(16 AS BIGINT) AS n_frame_bytes,
               |  ${HashFns.md5LongSql("fhex")} AS frame_fp
-              |FROM frames ORDER BY media_id, frame_no""".stripMargin))
+              |FROM frames ORDER BY media_id, frame_no""".stripMargin)),
+
+    // Perceptual-hash near-dup over binary media: signature = sign bits
+    // of the (fake-)decoded feature vector — the pHash shape, where a
+    // real decoder slots in without touching anything downstream.
+    // Spark side is the SCALE plan: 4 bands of 2 bits as the LSH
+    // equi-join key (hamming <= 2 touches at most 2 of 4 bands, so at
+    // least one band matches — banding is complete), hamming verify on
+    // candidates only — never all pairs.
+    // The DuckDB oracle brute-forces every pair from the same replayed
+    // features, pinning the banded plan against exhaustive truth.
+    Q("q_mm_phash_neardup",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "*.bin")
+          .select(
+            regexp_extract(col("path"), "media_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("image").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        val sigs = Multimodal.extractFeatures(media, dim = dim).toDF()
+          .select(col("media_id"), posexplode(col("features")))
+          .groupBy(col("media_id"))
+          .agg(sum(when(col("col") > 0f,
+            expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+            .otherwise(0L)).as("sig"))
+        val banded = sigs.select(col("media_id"), col("sig"),
+          posexplode(array(col("sig") % 4, shiftright(col("sig"), 2) % 4,
+            shiftright(col("sig"), 4) % 4, shiftright(col("sig"), 6))))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+              && col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("id_a"), col("x.sig").as("sig_a"),
+            col("y.media_id").as("id_b"), col("y.sig").as("sig_b"))
+          .distinct() // a pair close in BOTH bands arrives twice
+        cand.withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 2)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT CAST(regexp_extract(filename, 'media_(\\d+)', 1)
+              |           AS BIGINT) AS media_id,
+              |         size AS n_bytes, lower(hex(content)) AS h
+              |  FROM read_blob('$fixtures/*.bin')),
+              |strides AS (
+              |  SELECT media_id, CAST(i AS INT) AS i,
+              |    string_agg(substr(h, CAST(2 * (i + k * $dim) AS INT) + 1, 2),
+              |      '' ORDER BY k) AS shex
+              |  FROM src,
+              |    unnest(range($dim)) t(i),
+              |    unnest(range((n_bytes - i + ${dim - 1}) // $dim)) u(k)
+              |  GROUP BY media_id, n_bytes, i),
+              |feats AS (
+              |  SELECT media_id, i,
+              |    CAST((${HashFns.md5LongSql("'s' || i || ':' || shex")}
+              |      & 65535) / 32768.0 - 1.0 AS FLOAT) AS feature
+              |  FROM strides),
+              |sigs AS (
+              |  SELECT media_id,
+              |    CAST(sum(CASE WHEN feature > 0
+              |      THEN 1 << i ELSE 0 END) AS BIGINT) AS sig
+              |  FROM feats GROUP BY media_id)
+              |SELECT a.media_id AS id_a, b.media_id AS id_b,
+              |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+              |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+              |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

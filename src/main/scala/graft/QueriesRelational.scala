@@ -385,6 +385,49 @@ object QueriesRelational {
           .mkString("", " UNION ALL ", " ORDER BY col_name")
       }),
 
+    // ------------------------------------------- declarative checks
+    // The Deequ-shaped validation gate (operators/Checks): six checks
+    // over orders compile into ONE aggregation pass; the long-form
+    // report carries exact metrics and pass booleans. One check is
+    // deliberately failing so both verdict paths are oracle-pinned.
+    Q("q_quality_checks", {
+        import graft.operators.Checks._
+        val checks = Seq(
+          NullRateBelow("o_custkey", 0.01),
+          MinAtLeast("o_totalprice", 0.0),
+          MaxAtMost("o_totalprice", 1000000.0),
+          DistinctAtLeast("o_orderstatus", 2L),
+          SatisfiesAtLeast("o_totalprice > 0", 0.99),
+          MaxAtMost("o_totalprice", 1000.0)) // deliberately failing
+        (s, d) => graft.operators.Checks
+          .run(Tables.orders(s, d), checks)
+          .orderBy(col("seq"))
+      },
+      Some("""WITH m AS (SELECT
+             |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) / count(*) AS m0,
+             |  CAST(min(o_totalprice) AS DOUBLE) AS m1,
+             |  CAST(max(o_totalprice) AS DOUBLE) AS m2,
+             |  CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS m3,
+             |  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) / count(*) AS m4
+             |  FROM orders)
+             |SELECT * FROM (
+             |  SELECT 'null_rate(o_custkey)<=0.01' AS "check",
+             |    CAST(0 AS BIGINT) AS seq, m0 AS metric,
+             |    m0 <= 0.01 AS passed FROM m
+             |  UNION ALL SELECT 'min(o_totalprice)>=0.0',
+             |    1, m1, m1 >= 0.0 FROM m
+             |  UNION ALL SELECT 'max(o_totalprice)<=1000000.0',
+             |    2, m2, m2 <= 1000000.0 FROM m
+             |  UNION ALL SELECT 'distinct(o_orderstatus)>=2',
+             |    3, m3, m3 >= 2.0 FROM m
+             |  UNION ALL SELECT 'satisfies(o_totalprice > 0)>=0.99',
+             |    4, m4, m4 >= 0.99 FROM m
+             |  UNION ALL SELECT 'max(o_totalprice)<=1000.0',
+             |    5, m2, m2 <= 1000.0 FROM m)
+             |ORDER BY seq""".stripMargin)),
+
     // -------------------------------------------------------------- A7
     Q("q_a7_value_counts",
       (s, d) => Tables.events(s, d)

@@ -179,6 +179,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(2).getLong(3) == full)
   }
 
+  test("Checks: verdicts per check, nulls counted, declared order kept") {
+    val rows: Seq[(Long, java.lang.Double)] =
+      Seq((1L, 10.0), (2L, -5.0), (3L, null))
+    val df = rows.toDF("k", "v")
+    val got = Checks.run(df, Seq(
+        Checks.NullRateBelow("v", 0.5),      // 1/3 <= 0.5  -> pass
+        Checks.MinAtLeast("v", 0.0),         // min = -5    -> fail
+        Checks.DistinctAtLeast("k", 3L),     // 3 >= 3      -> pass
+        Checks.SatisfiesAtLeast("v > 0", 0.5))) // 1/3 < 0.5 -> fail
+      .orderBy("seq").collect()
+    assert(got.map(_.getBoolean(3)).toSeq ==
+      Seq(true, false, true, false))
+    assert(got(0).getDouble(2) == 1.0 / 3.0)
+    assert(got.map(_.getString(0)).toSeq == Seq(
+      "null_rate(v)<=0.5", "min(v)>=0.0", "distinct(k)>=3",
+      "satisfies(v > 0)>=0.5"))
+  }
+
   test("P3/P4 pruneUninformative drops all-null and constant columns only") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
       .withColumn("dead", lit(null).cast("int"))

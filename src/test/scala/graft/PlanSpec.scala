@@ -121,6 +121,12 @@ class PlanSpec extends AnyFunSuite {
       "q_agg_percentiles_hist"   -> (8, 3),
       "q_agg_mad_outliers"       -> (25, 9),
       "q_agg_equidepth_bins"     -> (13, 5),
+      "q_quality_checks"         -> (5, 3), // the one-pass gate contract
+      "q_ev_resample_ohlc"       -> (5, 3),
+      "q_agg_cube"               -> (5, 3),
+      "q_agg_pivot"              -> (8, 3), // declared values: no distinct pre-job
+      "q_p_unpivot_melt"         -> (3, 3), // map-only + final sort
+      "q_mm_phash_neardup"       -> (12, 4),
       // round-4 additions
       "q_text_repetition"       -> (8, 2),
       "q_text_winnowing"        -> (8, 2),

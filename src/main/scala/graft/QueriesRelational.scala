@@ -385,6 +385,50 @@ object QueriesRelational {
           .mkString("", " UNION ALL ", " ORDER BY col_name")
       }),
 
+    // -------------------------------------- group-wise normalization
+    // Feature engineering's z-score per group: ONE aggregate computes
+    // exact decimal moments (Σv, Σv² — order-independent, so partial
+    // aggregation can't move the answer), the 3-row stats frame
+    // broadcasts, and the normalization is map-side. No stabilizer:
+    // both engines derive mean/std from the SAME exact-decimal-rounded
+    // doubles with the identical formula, so every IEEE op matches.
+    // Population std (÷n) to keep the formula engine-mirrorable.
+    Q("q_agg_groupwise_zscore",
+      (s, d) => {
+        val dec = col("l_extendedprice").cast("decimal(18,2)")
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        val stats = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(sum(dec).cast("double").as("s1"),
+            sum((dec * dec).cast("decimal(38,4)")).cast("double").as("s2"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(stats), Seq("flag"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("std",
+            sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+            col("v"), ((col("v") - col("mean")) / col("std")).as("z"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH st AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * CAST(l_extendedprice AS DECIMAL(18,2))
+             |      AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, flag, l_extendedprice AS v,
+             |  (l_extendedprice - (s1/n))
+             |    / sqrt(s2/n - (s1/n)*(s1/n)) AS z
+             |FROM lineitem JOIN st ON l_returnflag = flag
+             |WHERE l_orderkey < 2000
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ------------------------------------------- declarative checks
     // The Deequ-shaped validation gate (operators/Checks): six checks
     // over orders compile into ONE aggregation pass; the long-form

@@ -127,6 +127,7 @@ class PlanSpec extends AnyFunSuite {
       "q_agg_pivot"              -> (8, 3), // declared values: no distinct pre-job
       "q_p_unpivot_melt"         -> (3, 3), // map-only + final sort
       "q_mm_phash_neardup"       -> (12, 4),
+      "q_agg_groupwise_zscore"   -> (8, 5), // agg + broadcast, no window
       // round-4 additions
       "q_text_repetition"       -> (8, 2),
       "q_text_winnowing"        -> (8, 2),

@@ -202,32 +202,43 @@ object EventStreams {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val hashed = batch.withColumn("__h",
-            graft.functions.HashFns.md5Long(col(textCol)))
-          val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
-          val hasHistory = new java.io.File(historyDir).exists()
-          val fresh = (if (!hasHistory) inBatch else {
-            val hist = spark.read.parquet(historyDir)
-              .filter(col("batch_id") < batchId).select(col("__h"))
-            val bloom = graft.operators.Bloom.buildLongFilter(
-              inBatch.select(col("__h")).distinct(), "__h")
-            // No distinct: anti-join existence semantics tolerate
-            // repeated digests on the build side (see
-            // q_sim_incremental_dedup).
-            val seen = hist.filter(
-              graft.operators.Bloom.mightContain(bloom, col("__h")))
-            inBatch.join(seen, Seq("__h"), "left_anti")
-          }).cache() // two actions below: the data write + the digest write
-          try {
-            fresh.drop("__h").write.mode("overwrite")
-              .parquet(s"$outDir/batch=$batchId")
-            fresh.select(col("__h"), lit(batchId).as("batch_id"))
-              .write.mode("append").parquet(historyDir)
-          } finally fresh.unpersist()
-        }
+        dedupIngestBatch(batch, batchId, idCol, textCol, outDir, historyDir)
       }
+
+  /** One micro-batch of [[dedupIngest]], exposed so the replay
+    * idempotency claim is directly testable: calling this twice with
+    * the SAME batchId (a crashed-then-replayed batch, digests already
+    * appended) must reproduce the same accepted set and leave the
+    * output directory byte-equivalent.
+    */
+  def dedupIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       textCol: String, outDir: String,
+                       historyDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hashed = batch.withColumn("__h",
+        graft.functions.HashFns.md5Long(col(textCol)))
+      val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
+      val hasHistory = new java.io.File(historyDir).exists()
+      val fresh = (if (!hasHistory) inBatch else {
+        val hist = spark.read.parquet(historyDir)
+          .filter(col("batch_id") < batchId).select(col("__h"))
+        val bloom = graft.operators.Bloom.buildLongFilter(
+          inBatch.select(col("__h")).distinct(), "__h")
+        // No distinct: anti-join existence semantics tolerate
+        // repeated digests on the build side (see
+        // q_sim_incremental_dedup).
+        val seen = hist.filter(
+          graft.operators.Bloom.mightContain(bloom, col("__h")))
+        inBatch.join(seen, Seq("__h"), "left_anti")
+      }).cache() // two actions below: the data write + the digest write
+      try {
+        fresh.drop("__h").write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        fresh.select(col("__h"), lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(historyDir)
+      } finally fresh.unpersist()
+    }
 
   /** Streaming lake sink — the incremental counterpart of
     * Lake.writeByDay: append day-partitioned parquet through the file

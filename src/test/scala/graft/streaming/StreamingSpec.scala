@@ -156,6 +156,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIngestBatch replay with the same batchId is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val out = s"$base/out"; val hist = s"$base/hist"
+    def run(id: Long, rows: Seq[(Long, String)]): Unit =
+      EventStreams.dedupIngestBatch(rows.toDF("doc_id", "text"),
+        id, "doc_id", "text", out, hist)
+    run(0L, Seq((1L, "aaa"), (2L, "bbb")))
+    run(1L, Seq((3L, "bbb"), (4L, "ccc")))       // 3 is seen -> only 4
+    // crash-replay of batch 1: its own digests are already in history,
+    // but the batch_id < current scoping must NOT mask them
+    run(1L, Seq((3L, "bbb"), (4L, "ccc")))
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), s"replay changed the corpus: $ids")
+    // history may carry duplicate (digest, batch_id) rows from the
+    // replay — harmless set members — but never a THIRD batch id
+    val h = spark.read.parquet(hist)
+    assert(h.select("batch_id").distinct().count() == 2L)
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[Event](spark)
     val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,

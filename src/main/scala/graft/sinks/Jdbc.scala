@@ -66,6 +66,20 @@ object Jdbc {
     * stage table is left behind (overwritten by the next upsert),
     * mirroring the streaming sink's staging seam.
     */
+  /** MERGE ON fragment for one key: Derby maps Spark StringType to
+    * CLOB, which MERGE cannot compare — string keys go through a
+    * VARCHAR cast on both sides (no-op for engines that already used
+    * VARCHAR; numeric/date keys compare directly).
+    */
+  private def keyEq(df: DataFrame, k: String): String = {
+    def q(c: String) = "\"" + c + "\""
+    df.schema(k).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        s"CAST(t.${q(k)} AS VARCHAR(512)) = CAST(s.${q(k)} AS VARCHAR(512))"
+      case _ => s"t.${q(k)} = s.${q(k)}"
+    }
+  }
+
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
              batchSize: Int = 1000,
              numPartitions: Option[Int] = None): Unit = {
@@ -76,7 +90,7 @@ object Jdbc {
       val stage = s"${table}__stage"
       load(df, url, stage, ifExists = "replace", batchSize, numPartitions)
       def q(c: String) = "\"" + c + "\""
-      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val on = keys.map(k => keyEq(df, k)).mkString(" AND ")
       val nonKeys = df.columns.filterNot(keys.contains)
       val updateClause =
         if (nonKeys.isEmpty) ""
@@ -118,6 +132,55 @@ object Jdbc {
     val conn = DriverManager.getConnection(url)
     try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
     finally conn.close()
+  }
+
+  /** Several statements in ONE transaction (autocommit off, commit at
+    * the end, rollback on failure) — the atomicity seam the additive
+    * rollup sink needs to pair its MERGE with its ledger insert.
+    */
+  def executeAll(url: String, sqls: Seq[String]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        try sqls.foreach(st.execute) finally st.close()
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    } finally conn.close()
+  }
+
+  /** Additive MERGE: like [[upsert]], but matched rows ACCUMULATE the
+    * `additive` columns (t.c = t.c + s.c) instead of being replaced —
+    * the maintenance statement of a rolling aggregate ("materialized
+    * view") fed by incremental batches. Extra statements run in the
+    * SAME transaction as the MERGE (see [[executeAll]]), so a caller
+    * can make apply + ledger-mark atomic.
+    */
+  def upsertAdditive(df: DataFrame, url: String, table: String,
+                     keys: Seq[String], additive: Seq[String],
+                     alsoInTxn: Seq[String] = Nil,
+                     batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty && additive.nonEmpty,
+      "additive upsert needs key and additive columns")
+    def q(c: String) = "\"" + c + "\""
+    if (!tableExists(url, table)) {
+      load(df, url, table, ifExists = "replace", batchSize)
+      if (alsoInTxn.nonEmpty) executeAll(url, alsoInTxn)
+    } else {
+      val stage = s"${table}__stage"
+      load(df, url, stage, ifExists = "replace", batchSize)
+      val on = keys.map(k => keyEq(df, k)).mkString(" AND ")
+      val updates = additive.map(c => s"${q(c)} = t.${q(c)} + s.${q(c)}")
+        .mkString(", ")
+      val insertCols = df.columns.map(q).mkString(", ")
+      val insertVals = df.columns.map(c => s"s.${q(c)}").mkString(", ")
+      executeAll(url,
+        s"""MERGE INTO $table t USING $stage s ON $on
+           |WHEN MATCHED THEN UPDATE SET $updates
+           |WHEN NOT MATCHED THEN INSERT ($insertCols)
+           |VALUES ($insertVals)""".stripMargin +: alsoInTxn)
+    }
   }
 
   /** S11 — table-exists probe via JDBC metadata (portable across engines,

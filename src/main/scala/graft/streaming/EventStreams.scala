@@ -240,6 +240,51 @@ object EventStreams {
       } finally fresh.unpersist()
     }
 
+  /** Streaming materialized-view rollup: each micro-batch's per-(day,
+    * type) partial aggregate is ADDED into a JDBC serving table with
+    * one additive MERGE (Jdbc.upsertAdditive) — the rolling-aggregate
+    * maintenance pattern, where the stream never rewrites history and
+    * the serving store never sees raw events.
+    *
+    * Exactly-once against replays WITHOUT idempotent math: additive
+    * application would double-count a replayed batch, so a ledger
+    * table `<table>__applied` records batch ids, the MERGE and the
+    * ledger INSERT commit in ONE transaction (Jdbc.executeAll), and a
+    * replayed batch short-circuits on the ledger probe. Crash anywhere
+    * → either both applied or neither.
+    */
+  def aggRollupSink(events: DataFrame, url: String,
+                    table: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rollupBatch(batch, batchId, url, table)
+      }
+
+  /** One micro-batch of [[aggRollupSink]], exposed (like
+    * dedupIngestBatch) so replay semantics are directly testable.
+    */
+  def rollupBatch(batch: DataFrame, batchId: Long, url: String,
+                  table: String): Unit =
+    if (!batch.isEmpty) {
+      val ledger = s"${table}__applied"
+      if (!Jdbc.tableExists(url, ledger))
+        Jdbc.execute(url,
+          s"""CREATE TABLE $ledger ("batch_id" BIGINT PRIMARY KEY)""")
+      val seen = Jdbc.query(batch.sparkSession, url,
+          s"""SELECT COUNT(*) AS n FROM $ledger WHERE "batch_id" = $batchId""")
+        .head().getAs[Number](0).longValue()
+      if (seen == 0L) {
+        val agg = batch
+          .withColumn("day", to_date(col("ts")))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        Jdbc.upsertAdditive(agg, url, table,
+          keys = Seq("day", "event_type"), additive = Seq("n", "total"),
+          alsoInTxn = Seq(s"INSERT INTO $ledger VALUES ($batchId)"))
+      }
+    }
+
   /** Streaming lake sink — the incremental counterpart of
     * Lake.writeByDay: append day-partitioned parquet through the file
     * sink's commit log (`_spark_metadata`), which makes the sink

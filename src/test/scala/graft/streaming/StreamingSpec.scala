@@ -156,6 +156,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggRollupSink accumulates across batches; replay adds nothing") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_rollup")
+    val url = s"jdbc:derby:$dbDir/rolldb;create=true"
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.aggRollupSink(input.toDF(), url, "ev_rollup").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 11:00:00"), 1, "click", 2.0),
+        Event(3, ts("2024-03-01 12:00:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts("2024-03-01 13:00:00"), 2, "click", 4.0),
+        Event(5, ts("2024-03-02 09:00:00"), 1, "view", 8.0))
+      q.processAllAvailable()
+      def clicks(): (Long, Double) = {
+        val r = graft.sinks.Jdbc.query(spark, url,
+          """SELECT "n", "total" FROM ev_rollup
+            |WHERE CAST("event_type" AS VARCHAR(64)) = 'click'
+            |  AND "day" = DATE('2024-03-01')""".stripMargin).head()
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).doubleValue())
+      }
+      assert(clicks() == (3L, 7.0)) // batch 1 added onto batch 0
+      // crash-replay of batch 1: ledger short-circuits, nothing re-adds
+      EventStreams.rollupBatch(
+        Seq(Event(4, ts("2024-03-01 13:00:00"), 2, "click", 4.0),
+          Event(5, ts("2024-03-02 09:00:00"), 1, "view", 8.0)).toDF(),
+        1L, url, "ev_rollup")
+      assert(clicks() == (3L, 7.0), "replayed batch double-counted")
+    } finally q.stop()
+  }
+
   test("dedupIngestBatch replay with the same batchId is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val out = s"$base/out"; val hist = s"$base/hist"

@@ -116,6 +116,51 @@ object QueriesEvents {
               |            ELSE 20 END
               |ORDER BY source, rk""".stripMargin)),
 
+    // -------------------------------------- temperature-scaled mixing
+    // Data-mixture rebalancing at temperature T=2: a source's quota
+    // grows as n^(1/T) = sqrt(n), flattening the head sources and
+    // up-weighting the tail — the standard multilingual/multi-source
+    // rebalance. Quotas are UNNORMALIZED (floor(4*sqrt(n))): sqrt is
+    // correctly rounded in every IEEE engine, so quota boundaries are
+    // exact cross-engine, where a normalized weight (sum of sqrts)
+    // would hang set membership on float summation order. The
+    // normalization constant is a deterministic offline choice at
+    // scale (one readout of the tiny per-source count frame). Fill is
+    // the same lowest-md5-hash draw as q_sample_mixture — one shuffle
+    // on the source key.
+    Q("q_sample_temperature",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+        val quotas = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("quota",
+            floor(sqrt(col("n").cast("double")) * 4.0).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(graft.functions.HashFns.md5Long(
+            concat(lit("temp:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        docs.withColumn("rk", row_number().over(w))
+          .join(broadcast(quotas), Seq("source"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT source, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 4.0)
+              |    AS BIGINT) AS quota
+              |  FROM documents GROUP BY source),
+              |r AS (
+              |  SELECT doc_id, source,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY ${graft.functions.HashFns.md5LongSql(
+                     "'temp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+              |  FROM documents)
+              |SELECT doc_id, r.source AS source, rk, quota FROM r JOIN q
+              |  ON r.source = q.source
+              |WHERE rk <= quota ORDER BY r.source, rk""".stripMargin)),
+
     // ------------------------------------------------------ sessionization
     Q("q_ev_sessionize",
       (s, d) => {

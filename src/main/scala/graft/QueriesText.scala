@@ -548,6 +548,66 @@ object QueriesText {
                      "FILTER (WHERE NOT covered), '')")} AS fingerprint
               |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------- span-dup corpus health by source
+    // The curation dashboard number: per SOURCE, what fraction of
+    // tokens sits inside cross-document duplicated spans, and how many
+    // of its documents are hit at all. Same SpanDedup.coverage pass as
+    // q_text_span_dedup, then one rollup keyed on source — dup_frac is
+    // an exact int/int ratio, so no stabilizer.
+    Q("q_text_span_dup_by_source",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("source"), TextFns.tokens(col("text")).as("toks"))
+        graft.operators.SpanDedup
+          .coverage(docs.select(col("doc_id"), col("toks")),
+            "doc_id", "toks", 8)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("covered"), 1L).otherwise(0L)).as("n_dup"),
+            countDistinct(when(col("covered"), col("doc_id")))
+              .as("n_docs_hit"))
+          .withColumn("dup_frac", col("n_dup") / col("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |tok AS (
+              |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+              |         toks[CAST(u.i AS INT)] AS tok
+              |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+              |g AS (
+              |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS start,
+              |    ${HashFns.md5LongSql(
+                     "array_to_string(toks[CAST(u.i AS INT):" +
+                       "CAST(u.i + 7 AS INT)], ' ')")} AS g
+              |  FROM t, unnest(range(1, len(toks) - 6)) u(i)
+              |  WHERE len(toks) >= 8),
+              |dup AS (SELECT g FROM g GROUP BY g
+              |        HAVING count(DISTINCT doc_id) > 1),
+              |ds AS (SELECT DISTINCT doc_id, start
+              |       FROM g JOIN dup USING (g)),
+              |f AS (
+              |  SELECT tok.doc_id, tok.pos,
+              |    CASE WHEN ds.start IS NULL THEN 0 ELSE 1 END AS dupflag
+              |  FROM tok LEFT JOIN ds
+              |    ON tok.doc_id = ds.doc_id AND tok.pos = ds.start),
+              |c AS (
+              |  SELECT doc_id, pos,
+              |    sum(dupflag) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) > 0 AS covered
+              |  FROM f)
+              |SELECT source,
+              |  CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_dup,
+              |  CAST(count(DISTINCT CASE WHEN covered THEN c.doc_id END)
+              |    AS BIGINT) AS n_docs_hit,
+              |  CAST(count(*) FILTER (WHERE covered) AS BIGINT)
+              |    / CAST(count(*) AS BIGINT) AS dup_frac
+              |FROM c JOIN t ON c.doc_id = t.doc_id
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ------------------------------ contamination, bloom-prefiltered
     // Same answer, 100 TB shape: before the train-side n-grams shuffle
     // into the inverted-index join, a bloom filter built over the EVAL

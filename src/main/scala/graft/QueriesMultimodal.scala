@@ -90,6 +90,45 @@ object QueriesMultimodal {
               |  ${HashFns.md5LongSql("fhex")} AS frame_fp
               |FROM frames ORDER BY media_id, frame_no""".stripMargin)),
 
+    // REAL image decode (javax.imageio) over the three committed PNG
+    // fixtures — the reference's actual profile images
+    // (DI-Connect-User/…profile-image-{small,medium,large}.png: 8-bit
+    // RGBA, non-interlaced), renamed img_00{1,2,3}.png. The oracle is
+    // an INDEPENDENT decode: a pure-Python PNG unfilter (zlib +
+    // Paeth/Sub/Up/Average over scanlines, no image library) computed
+    // the exact per-channel sums once; the literals below are that
+    // ground truth. Width/height/sums are exact integers and each mean
+    // is ONE long→double division performed identically by both
+    // engines, so the compare is bit-exact with no stabilizer.
+    Q("q_mm_image_decode",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "img_*.png")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("image").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decodeImageStats(media).toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH truth(media_id, width, height, n_px, sum_r, sum_g, sum_b) AS (
+             |  VALUES (1, 60, 60, 3600, 470552, 342273, 254230),
+             |         (2, 120, 120, 14400, 1881902, 1366511, 1013826),
+             |         (3, 300, 300, 90000, 11760559, 8531560, 6323593))
+             |SELECT CAST(media_id AS BIGINT) AS media_id,
+             |  CAST(width AS BIGINT) AS width,
+             |  CAST(height AS BIGINT) AS height,
+             |  CAST(n_px AS BIGINT) AS n_px,
+             |  CAST(sum_r AS BIGINT) AS sum_r,
+             |  CAST(sum_g AS BIGINT) AS sum_g,
+             |  CAST(sum_b AS BIGINT) AS sum_b,
+             |  CAST(sum_r AS DOUBLE) / n_px AS mean_r,
+             |  CAST(sum_g AS DOUBLE) / n_px AS mean_g,
+             |  CAST(sum_b AS DOUBLE) / n_px AS mean_b
+             |FROM truth ORDER BY media_id""".stripMargin)),
+
     // Perceptual-hash near-dup over binary media: signature = sign bits
     // of the (fake-)decoded feature vector — the pHash shape, where a
     // real decoder slots in without touching anything downstream.

@@ -649,6 +649,24 @@ object QueriesRelational {
              |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
              |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
 
+    // Same answer, SKEW-SAFE plan: keepFirstAgg's min_by partial
+    // aggregate instead of the row_number window — map-side combine
+    // collapses a hot l_partkey to one candidate per task before the
+    // shuffle, where the window form would serialize it into one task
+    // (AQE does not split window partitions). Shares q_u2's oracle
+    // verbatim (the percentile-pair precedent: two plans, one truth);
+    // PlanSpec pins the absence of a Window node.
+    Q("q_u2_dedup_keep_first_agg",
+      (s, d) => Dedup.keepFirstAgg(Tables.lineitem(s, d),
+          Seq("l_partkey"), Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_partkey")),
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY l_partkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
+
     // -------------------------------------------------------------- W1/W2
     Q("q_w1_running_sum",
       (s, d) => {

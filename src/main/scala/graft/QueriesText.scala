@@ -186,13 +186,18 @@ object QueriesText {
     // domains where the histogram contract does NOT hold (continuous
     // unbounded scores): approx_percentile's GK sketch is mergeable
     // with O(accuracy) state per task, the canonical 100-TB quantile
-    // shape. No DuckDB oracle on purpose — approx_quantile sketches
-    // differ across engines, so cross-engine hashing is meaningless;
-    // the driver records a rows-only check and the REAL contract is
-    // PercentilesSpec's tolerance assertion: the approx cutoff selects
-    // a row set within the sketch's rank-error bound of the exact
-    // query's (at accuracy 10000 and test corpus sizes the sketch is
-    // exact, so the sets coincide).
+    // shape. Oracle-able (unlike a generic sketch) because at accuracy
+    // 10000 the sketch is EXACT below 10000 rows, and an exact GK query
+    // returns the order statistic at rank ceil(p·n) (1-indexed; see
+    // QuantileSummaries.query — every sample has g=1, delta=0, so the
+    // probe lands on minRank == ceil(quantile·count)). That rule is
+    // plain SQL: ORDER BY score LIMIT 1 OFFSET ceil(p·n)−1. The output
+    // omits the cutoff column — the cross-engine contract is the
+    // SELECTED SET (which at real scale is bounded by the sketch's
+    // rank error, PercentilesSpec's tolerance assertion), not the
+    // sketch internals. Scores are exact int/int ratios and the cutoff
+    // is an actual data value (no interpolation), so boundary
+    // decisions agree bit-exactly.
     Q("q_text_quality_prune_approx",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -204,10 +209,23 @@ object QueriesText {
           expr("approx_percentile(stop_ratio, 0.25, 10000)").as("cutoff"))
         scored.crossJoin(broadcast(cut))
           .filter(col("stop_ratio") >= col("cutoff"))
-          .select(col("doc_id"), col("stop_ratio"), col("cutoff"))
+          .select(col("doc_id"), col("stop_ratio"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(toks, x -> x IN $stopListSql)) AS BIGINT)
+              |      / CAST(len(toks) AS BIGINT) AS stop_ratio
+              |  FROM t),
+              |c AS (
+              |  SELECT stop_ratio AS cutoff FROM sc ORDER BY stop_ratio
+              |  LIMIT 1 OFFSET (SELECT CAST(ceil(0.25 * count(*)) AS BIGINT) - 1
+              |                  FROM sc))
+              |SELECT doc_id, stop_ratio FROM sc, c
+              |WHERE stop_ratio >= cutoff ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------ language-ID heuristic
     // Stopword-share n-gram heuristic (the corpus text is synthetic word
@@ -806,6 +824,15 @@ object QueriesText {
       trainNg0.filter(graft.operators.Bloom.mightContain(
         filter, HashFns.md5Long(col("ngram"))))
     }
+    // Cache-release contract: ngR stays cached until the caller's
+    // action completes (the result is lazy, so unpersisting here would
+    // defeat the cache). Both harness runners — Verify and Bench —
+    // clearCache() between queries, so the cached n-gram pipeline
+    // lives for ONE query, not the session; a library caller running
+    // this directly should clearCache()/unpersist after materializing.
+    // (An eager localCheckpoint would self-release, but it also
+    // replaces the executed plan with a Scan ExistingRDD, destroying
+    // PlanSpec's pin that the might_contain probe participates.)
     trainNg.join(evalNg, Seq("ngram"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_ngrams"))

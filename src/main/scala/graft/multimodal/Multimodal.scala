@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns with typed metadata, feature extraction as a
   * per-partition batch transform.
   *
-  * The decode step is a DETERMINISTIC FAKE (this container has no
-  * image/audio codecs): `fakeDecodeFeatures` derives a fixed-length
-  * float vector from the bytes via a rolling hash. Everything around it
+  * IMAGE decode is REAL ([[decodeImageStats]], `javax.imageio` — in
+  * the JDK, so no external codec needed). The EMBEDDING step stays a
+  * deterministic fake (`fakeDecodeFeatures` derives a fixed-length
+  * float vector from the bytes via md5-over-strides — an embedding
+  * model doesn't fit this container). Everything around both
   * is the real plumbing — schema contract, binaryFile ingestion,
   * partition-batched execution (`mapPartitions`, the JVM analogue of
   * `mapInPandas`: one buffer per PARTITION, not per row, so a real
@@ -98,6 +100,59 @@ object Multimodal {
         MediaFeatures(m.media_id, m.kind,
           if (m.bytes == null) 0L else m.bytes.length.toLong,
           fakeDecodeFeatures(m.bytes, dim))
+      }
+    }
+  }
+
+  final case class ImageStats(media_id: Long, width: Long, height: Long,
+                              n_px: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long, mean_r: Double, mean_g: Double,
+                              mean_b: Double)
+
+  /** REAL image decode — the one step [[fakeDecodeFeatures]] stubs.
+    * `javax.imageio` ships with the JDK (PNG/JPEG/GIF/BMP), so no
+    * external codec is needed: width, height, and exact per-channel
+    * sums/means over the decoded sRGB pixels (alpha ignored;
+    * non-premultiplied, as PNG stores it). Sums are exact longs, means
+    * are one long→double division, so results are bit-reproducible by
+    * any independent decoder of the same file — the q_mm_image_decode
+    * oracle pins them against a pure-Python PNG unfilter of the same
+    * committed fixtures.
+    *
+    * Undecodable or empty payloads yield NO row (flatMap), mirroring
+    * how a production pipeline quarantines corrupt media rather than
+    * failing the job. Decode is per-row CPU work with no shared codec
+    * handle (`ImageIO.read` is stateless), so plain flatMap — not
+    * mapPartitions — is the honest shape; pixel extraction goes one
+    * SCANLINE at a time (bulk `getRGB` per row), never materializing a
+    * full-frame int[] for large images.
+    */
+  def decodeImageStats(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      Option(m.bytes).filter(_.nonEmpty).flatMap { bs =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bs))).map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            im.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageStats(m.media_id, w.toLong, h.toLong, n, sr, sg, sb,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
       }
     }
   }

@@ -83,17 +83,23 @@ object Checks {
       metric.cast("double").as(s"__m$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = one.select(expr(
-      s"stack(${checks.size}, " +
-        compiled.zipWithIndex.map { case ((name, _), i) =>
-          "'" + name.replace("'", "''") + s"', $i, __m$i"
-        }.mkString(", ") +
-        ") as (check, seq, metric)"))
+    // Long form via explode(array(struct(...))) — check names travel as
+    // Column LITERALS, never as SQL text, so a name containing quotes
+    // (e.g. a SatisfiesAtLeast predicate with a string literal) can't be
+    // mangled by the lexer or injected into the plan.
+    val stacked = one.select(explode(array(
+      compiled.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check"), lit(i.toLong).as("seq"),
+          functions_col(s"__m$i").as("metric"))
+      }: _*)).as("r"))
+      .select(functions_col("r.check").as("check"),
+        functions_col("r.seq").as("seq"),
+        functions_col("r.metric").as("metric"))
     val passExprs = compiled.zipWithIndex.foldLeft(
         when(lit(false), lit(false))) { case (acc, ((_, (_, pass)), i)) =>
       acc.when(functions_col("seq") === i, pass(functions_col("metric")))
     }
-    stacked.select(functions_col("check"), functions_col("seq").cast("long").as("seq"),
+    stacked.select(functions_col("check"), functions_col("seq"),
       functions_col("metric"), passExprs.as("passed"))
   }
 }

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Spark's `dropDuplicates` keeps an ARBITRARY row per key (whichever
   * partition wins), so it cannot reproduce keep-first-after-sort
   * semantics; we use a ranking window with an explicit total order
-  * instead. At scale this is one hash shuffle on the key columns and the
-  * per-key sort is tiny; AQE handles skewed keys.
+  * instead. At scale this is one hash shuffle on the key columns and
+  * the per-key sort is tiny — but a pathologically hot key serializes
+  * into ONE window task (AQE splits skewed join/aggregate partitions,
+  * NOT window partitions). For skew-prone keys use [[keepFirstAgg]]:
+  * a real partial aggregate with map-side combine, where the hot key
+  * collapses to one candidate row per map task before the shuffle.
   */
 object Dedup {
 
@@ -38,6 +42,40 @@ object Dedup {
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
       .drop(rn)
+  }
+
+  /** [[keepFirst]] as an AGGREGATE: `min_by(struct(all cols),
+    * struct(order cols))` — same answer (given the same total-order
+    * contract; `min_by` is tie-arbitrary exactly where `row_number`
+    * would be), different plan. The window form sorts each key's rows
+    * in one task; this form is a DeclarativeAggregate, so map-side
+    * combine reduces a hot key to one candidate row PER MAP TASK and
+    * the shuffle carries one row per (task, key) — immune to the one
+    * skewed dedup key that would serialize the window at 100 TB.
+    * `order` must be plain ascending expressions (struct comparison is
+    * lexicographic field-by-field, nulls-first like the window's
+    * default); for descending semantics see [[keepLatestAgg]].
+    */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String],
+                   order: Seq[Column]): DataFrame = {
+    val row = freshName(df, "__r")
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(df.columns.map(col): _*), struct(order: _*)).as(row))
+      .select(col(s"$row.*"))
+  }
+
+  /** [[keepLatest]] as an aggregate — `max_by` sibling of
+    * [[keepFirstAgg]] (argmax dedup for skew-prone keys). Descending
+    * tiebreakers can't ride in one `max_by` ordering struct, so the
+    * tiebreak contract is: `ordCol` alone must be a total order per
+    * key.
+    */
+  def keepLatestAgg(df: DataFrame, keys: Seq[String],
+                    ordCol: Column): DataFrame = {
+    val row = freshName(df, "__r")
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(df.columns.map(col): _*), ordCol).as(row))
+      .select(col(s"$row.*"))
   }
 
   /** Keep the row with the max `ordCol` per key (argmax dedup, A10).

@@ -106,10 +106,13 @@ object Percentiles {
     * Output: one row per group with one exact type-7 quantile column
     * per `(p, alias)` plus `n` = the group's non-null value count
     * (callers whose value column is non-null can alias it as the
-    * group's row count). Interpolation arithmetic is the same
-    * `v_k + (h − k)·(v_{k+1} − v_k)` as the global form, so results
-    * are bit-identical to the built-in `percentile` aggregate. Same
-    * bounded-distinct-domain contract as [[exactByHistogram]].
+    * group's row count). Interpolation goes through the shared
+    * [[interp]] helper — the built-in `percentile` aggregate's verbatim
+    * `(⌈h⌉ − h)·v_k + (h − k)·v_{k+1}` form, NOT the algebraically equal
+    * `v_k + (h − k)·(v_{k+1} − v_k)`, which can differ in the last ulp —
+    * so results are bit-identical to the built-in and to the global
+    * [[exactByHistogram]]. Same bounded-distinct-domain contract as
+    * [[exactByHistogram]].
     */
   def groupedExactByHistogram(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[(Double, String)]): DataFrame = {

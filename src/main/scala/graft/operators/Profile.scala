@@ -53,10 +53,15 @@ object Profile {
         approx_count_distinct(col(c), rsd).as(s"__a_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = one.select(expr(
-      s"stack(${cols.size}, " +
-        cols.map(c => s"'$c', __d_$c, __a_$c").mkString(", ") +
-        ") as (col_name, n_distinct, __approx)"))
+    // explode(array(struct(...))) instead of a stack() SQL string: the
+    // column names travel as literals/backticked refs, not SQL text, so
+    // a name with quotes or dots can't be mangled by the lexer.
+    val stacked = one.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"`__d_$c`").as("n_distinct"),
+          col(s"`__a_$c`").as("__approx"))): _*)).as("r"))
+      .select(col("r.col_name").as("col_name"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.__approx").as("__approx"))
     stacked.select(col("col_name"), col("n_distinct"),
         (abs(col("__approx") - col("n_distinct"))
           <= col("n_distinct") * lit(tol)).as("sketch_ok"))

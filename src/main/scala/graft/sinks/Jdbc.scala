@@ -153,9 +153,14 @@ object Jdbc {
   /** Additive MERGE: like [[upsert]], but matched rows ACCUMULATE the
     * `additive` columns (t.c = t.c + s.c) instead of being replaced —
     * the maintenance statement of a rolling aggregate ("materialized
-    * view") fed by incremental batches. Extra statements run in the
-    * SAME transaction as the MERGE (see [[executeAll]]), so a caller
-    * can make apply + ledger-mark atomic.
+    * view") fed by incremental batches. Extra statements run FIRST in
+    * the SAME transaction as the MERGE (see [[executeAll]]), so a
+    * caller can make apply + ledger-mark atomic — and, because the
+    * ledger INSERT precedes the MERGE, a ledger primary-key collision
+    * from a CONCURRENT writer applying the same batch aborts the whole
+    * transaction before any rows are touched (single-writer is the
+    * normal foreachBatch contract; this makes violating it safe, not
+    * just documented).
     */
   def upsertAdditive(df: DataFrame, url: String, table: String,
                      keys: Seq[String], additive: Seq[String],
@@ -165,8 +170,17 @@ object Jdbc {
       "additive upsert needs key and additive columns")
     def q(c: String) = "\"" + c + "\""
     if (!tableExists(url, table)) {
-      load(df, url, table, ifExists = "replace", batchSize)
-      if (alsoInTxn.nonEmpty) executeAll(url, alsoInTxn)
+      // Bootstrap must be as atomic as the steady state: stage the batch,
+      // create an EMPTY target (DDL auto-commits, but an empty table is
+      // harmless to replay — the ledger is still unmarked, so a crash here
+      // re-enters the MERGE path below and applies against zero rows), then
+      // apply + ledger-mark in ONE transaction. The old shape (load target,
+      // then ledger in a second txn) could crash between the two and
+      // double-count the first batch on replay.
+      val stage = s"${table}__stage"
+      load(df, url, stage, ifExists = "replace", batchSize)
+      execute(url, s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+      executeAll(url, alsoInTxn :+ s"INSERT INTO $table SELECT * FROM $stage")
     } else {
       val stage = s"${table}__stage"
       load(df, url, stage, ifExists = "replace", batchSize)
@@ -175,11 +189,11 @@ object Jdbc {
         .mkString(", ")
       val insertCols = df.columns.map(q).mkString(", ")
       val insertVals = df.columns.map(c => s"s.${q(c)}").mkString(", ")
-      executeAll(url,
+      executeAll(url, alsoInTxn :+
         s"""MERGE INTO $table t USING $stage s ON $on
            |WHEN MATCHED THEN UPDATE SET $updates
            |WHEN NOT MATCHED THEN INSERT ($insertCols)
-           |VALUES ($insertVals)""".stripMargin +: alsoInTxn)
+           |VALUES ($insertVals)""".stripMargin)
     }
   }
 

@@ -219,7 +219,14 @@ object EventStreams {
       val hashed = batch.withColumn("__h",
         graft.functions.HashFns.md5Long(col(textCol)))
       val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
-      val hasHistory = new java.io.File(historyDir).exists()
+      // Resolve through Hadoop's FileSystem so the probe follows the
+      // configured scheme (HDFS/S3/local alike) — java.io.File would
+      // silently report "no history" on any non-local store and
+      // re-admit cross-batch duplicates.
+      val histPath = new org.apache.hadoop.fs.Path(historyDir)
+      val hasHistory = histPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(histPath)
       val fresh = (if (!hasHistory) inBatch else {
         val hist = spark.read.parquet(historyDir)
           .filter(col("batch_id") < batchId).select(col("__h"))
@@ -251,7 +258,12 @@ object EventStreams {
     * table `<table>__applied` records batch ids, the MERGE and the
     * ledger INSERT commit in ONE transaction (Jdbc.executeAll), and a
     * replayed batch short-circuits on the ledger probe. Crash anywhere
-    * → either both applied or neither.
+    * → either both applied or neither. The probe-then-apply pair is
+    * additionally safe against a CONCURRENT writer racing the probe
+    * (two drivers resuming the same query): the ledger INSERT is the
+    * transaction's FIRST statement, so the second writer collides on
+    * the ledger's primary key and its whole transaction — including
+    * the MERGE — aborts instead of double-adding the batch.
     */
   def aggRollupSink(events: DataFrame, url: String,
                     table: String): DataStreamWriter[Row] =

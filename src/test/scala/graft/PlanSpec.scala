@@ -140,7 +140,11 @@ class PlanSpec extends AnyFunSuite {
       // replay lands here as a budget blowout, not on the cluster
       "q_sim_dup_clusters"      -> (3, 0),
       "q_geo_polygon_join"      -> (3, 3),
-      "q_text_quality_prune"    -> (10, 5))
+      "q_text_quality_prune"    -> (10, 5),
+      // round-8 additions (measured via graft.tools.PlanProbe + ~25%)
+      "q_text_span_dup_by_source" -> (23, 10),
+      "q_u2_dedup_keep_first_agg" -> (5, 3),
+      "q_text_quality_prune_approx" -> (8, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan
@@ -200,5 +204,19 @@ class PlanSpec extends AnyFunSuite {
     // adds a range exchange — anything more means a wasted shuffle
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("keepFirstAgg dedup is a partial aggregate, never a window") {
+    // The skew-safe dedup's whole point: min_by(struct, struct) runs as
+    // an aggregate with map-side combine, so a hot key collapses per
+    // map task instead of serializing into one window task. A Window
+    // node reappearing here means the skew immunity silently vanished.
+    val d = df("q_u2_dedup_keep_first_agg")
+    d.collect()
+    val plan = planString(d)
+    assert(!plan.contains("Window"),
+      s"skew-safe dedup regressed to a window plan:\n$plan")
+    assert(plan.contains("Aggregate"),
+      s"expected an aggregate-based plan:\n$plan")
   }
 }

@@ -60,6 +60,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert((sims.head.getLong(0), sims.head.getLong(1)) == (1L, 2L))
   }
 
+  test("decodeImageStats: real PNG decode matches independent ground truth") {
+    // Expected values computed by a pure-Python PNG unfilter (zlib +
+    // scanline filters, no image library) over the same committed
+    // fixtures — an INDEPENDENT decoder, so this pins javax.imageio's
+    // output, not itself.
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.readBinaryDir(spark,
+        "/root/repo/src/test/resources/media", "img_*.png")
+      .select(regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+          .as("media_id"),
+        lit("image").as("kind"), col("bytes"))
+      .as[MediaRow]
+    val got = Multimodal.decodeImageStats(media).collect()
+      .sortBy(_.media_id)
+      .map(s => (s.media_id, s.width, s.height, s.sum_r, s.sum_g, s.sum_b))
+      .toSeq
+    assert(got == Seq(
+      (1L, 60L, 60L, 470552L, 342273L, 254230L),
+      (2L, 120L, 120L, 1881902L, 1366511L, 1013826L),
+      (3L, 300L, 300L, 11760559L, 8531560L, 6323593L)))
+  }
+
+  test("decodeImageStats quarantines undecodable payloads (no row, no crash)") {
+    val rows = Seq(MediaRow(1, "image", Array[Byte](1, 2, 3)),
+      MediaRow(2, "image", Array.emptyByteArray),
+      MediaRow(3, "image", null))
+    assert(Multimodal.decodeImageStats(rows.toDS()).collect().isEmpty)
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

@@ -48,6 +48,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("__rn") =!= 99).count() == 0)
   }
 
+  test("keepFirstAgg == keepFirst under a total order, any partitioning") {
+    val w = Dedup.keepFirst(sales, Seq("k"), Seq(col("seq")))
+      .orderBy("k", "seq").collect().toSeq
+    val a = Dedup.keepFirstAgg(sales, Seq("k"), Seq(col("seq")))
+      .orderBy("k", "seq").collect().toSeq
+    assert(a == w)
+    assert(a.head.schema.fieldNames.toSeq == Seq("k", "seq", "v"))
+    val shuffled = Dedup.keepFirstAgg(
+      sales.orderBy(rand(seed = 11)).repartition(5), Seq("k"), Seq(col("seq")))
+      .orderBy("k", "seq").collect().toSeq
+    assert(shuffled == w)
+  }
+
+  test("keepFirstAgg handles null order values like the window (nulls first)") {
+    val rows: Seq[(String, java.lang.Integer, Double)] = Seq(
+      ("a", null, 1.0), ("a", 1, 2.0), ("b", 2, 3.0))
+    val df = rows.toDF("k", "seq", "v")
+    val w = Dedup.keepFirst(df, Seq("k"), Seq(col("seq")))
+      .orderBy("k").collect().toSeq
+    val a = Dedup.keepFirstAgg(df, Seq("k"), Seq(col("seq")))
+      .orderBy("k").collect().toSeq
+    assert(a == w)
+  }
+
+  test("keepLatestAgg takes the argmax row per key") {
+    val uniq = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 7.0))
+      .toDF("k", "seq", "v")
+    val r = Dedup.keepLatestAgg(uniq, Seq("k"), col("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(r == Seq(("a", 2), ("b", 1)))
+  }
+
+  test("keepFirstAgg helper struct never collides with input columns") {
+    val tricky = sales.withColumn("__r", lit(42))
+    val r = Dedup.keepFirstAgg(tricky, Seq("k"), Seq(col("seq")))
+    assert(r.columns.count(_ == "__r") == 1)
+    assert(r.filter(col("__r") =!= 42).count() == 0)
+  }
+
   test("exactByContent dedups identical bodies, keeps smallest id") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("id", "body")

@@ -60,9 +60,14 @@ class PercentilesSpec extends AnyFunSuite {
     val n = scores.length
     val k = math.floor(0.25 * (n - 1)).toInt
     val (vk, vk1) = (scores(k), scores(math.min(k + 1, n - 1)))
-    val cutA = graft.Queries.all("q_text_quality_prune_approx")(spark, sf)
-      .select("cutoff").limit(1).collect().headOption
-      .map(_.getDouble(0))
+    // The query no longer emits the sketch cutoff (its contract is the
+    // selected set, oracle-checked); re-derive it here from the same
+    // sketch call to keep the adjacency assertion.
+    val cutA = docs.select(
+        (graft.functions.TextFns.countIn(toks, graft.functions.TextFns.enStopwords)
+          / size(toks).cast("long")).as("r"))
+      .agg(expr("approx_percentile(r, 0.25, 10000)"))
+      .collect().headOption.map(_.getDouble(0))
     assert(cutA.forall(c => c >= vk && c <= vk1),
       s"approx cutoff $cutA outside adjacent order statistics [$vk, $vk1]")
     val symDiff = (exact -- approx) ++ (approx -- exact)

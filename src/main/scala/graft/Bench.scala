@@ -23,6 +23,13 @@ import java.nio.file.{Files, Paths}
   * timings that are already high-signal. The JSON line is printed as
   * the very last stdout write, after SparkSession.stop(), so the
   * driver's tail capture can't lose it inside executor-shutdown noise.
+  *
+  * LOAD GUARD (r7 verdict: committed totals carried 2-5× ambient-load
+  * inflation): the artifact records /proc/loadavg at start and end,
+  * and any query whose own min..max spread exceeds 3× is re-measured
+  * once after the full sweep, keeping the lower median (load only adds
+  * time, so lower ≡ closer to the plan's true cost). Re-run names are
+  * listed under "load_reruns" so the correction is visible, not silent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,8 +51,15 @@ object Bench {
       .map(_.split(",").toSeq.filter(_.nonEmpty))
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => selected(kv._1)).map { case (name, fn) =>
+    def loadavg1m: Double =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg1m
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1))
+    def measure(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Seq[Double] = {
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -72,8 +86,31 @@ object Bench {
       // BETWEEN queries keeps intra-query reuse (runs 2..n still hit
       // this query's cache) while keeping measurements independent.
       spark.sharedState.cacheManager.clearCache()
-      name -> times.sorted
+      times.sorted
     }
+    val firstPass = queryFns.map { case (name, fn) => name -> measure(name, fn) }
+    // Load guard (r7 verdict: the committed artifact embedded 2-5×
+    // ambient-load inflation — q_join_star_revenue 7.43 s committed vs
+    // 1.45 s isolated). A query whose own [min..max] spread exceeds 3×
+    // was measured through interference, not through its plan; re-run
+    // it ONCE after the sweep (the machine has usually calmed by then)
+    // and keep whichever set of times has the LOWER median — the lower
+    // median is closer to the noise-free cost, since load only ever
+    // adds time.
+    val loadReruns = scala.collection.mutable.ListBuffer.empty[String]
+    val results = firstPass.zip(queryFns).map {
+      case ((name, ts), (_, fn)) =>
+        val noisy = ts.size >= 2 && ts.head > 0 && ts.last / ts.head > 3.0
+        if (!noisy) name -> ts
+        else {
+          loadReruns += name
+          val retry = measure(name, fn)
+          def med(s: Seq[Double]) = if (s.isEmpty) Double.MaxValue
+            else s(s.size / 2)
+          name -> (if (med(retry) < med(ts)) retry else ts)
+        }
+    }
+    val loadEnd = loadavg1m
     def jq(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -91,8 +128,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    val rerunsJson = loadReruns.map(jq).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"load_reruns":$rerunsJson,"sf":${jq(sfDir)}}"""
     // A filtered run must not clobber the committed full-suite numbers
     // (a targeted SPARK_GRAFT_ONLY run once overwrote BENCH_LOCAL.json
     // with a single query's line).
@@ -109,7 +147,7 @@ object Bench {
     val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(15)
     val qsTop = slowest.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsTop,"n_queries":${results.size},"n_errors":${errors.size},"runs":$runs,"sf":${jq(sfDir)},"detail":${jq(outFile)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsTop,"n_queries":${results.size},"n_errors":${errors.size},"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":${jq(sfDir)},"detail":${jq(outFile)}}"""
     spark.stop()
     // Last stdout lines of the whole process (driver parses the tail).
     println(line)

@@ -788,7 +788,110 @@ object QueriesText {
               |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
               |  FROM h)
               |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4
-              |ORDER BY doc_id, fp""".stripMargin))
+              |ORDER BY doc_id, fp""".stripMargin)),
+
+    // ------------------------ unigram-LM negative-log-likelihood score
+    // Model-based quality filtering (the CCNet/Gopher "perplexity
+    // against a reference LM" gate, with the LM being a unigram model
+    // trained on the corpus itself — the simplest member of the family
+    // that exercises the full TRAIN-then-SCORE plan shape): vocab =
+    // one (token, count) aggregate with map-side combine; scoring
+    // joins each document's tokens back to the vocab and averages
+    // -ln(c_t/N) in one per-doc aggregate. At 100 TB the vocab join
+    // shuffles on the token (or broadcasts when the vocab fits) and
+    // everything else is partial-aggregated; a trained KenLM/fastText
+    // scorer swaps in as a broadcast model without changing the plan.
+    // nll = ln(N) - mean(ln c_t) is 6-decimal-stabilized (ln +
+    // summation order differ legitimately across engines); token
+    // counts are exact.
+    Q("q_text_unigram_nll",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        val vocab = toked.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).as("total"))
+        toked.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(log(col("c").cast("double"))).as("__slc"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_tokens"),
+            stab6(log(col("total").cast("double"))
+              - col("__slc") / col("n_tokens").cast("double")).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents),
+              |v AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+              |n AS (SELECT sum(c) AS total FROM v),
+              |s AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens,
+              |         sum(ln(CAST(v.c AS DOUBLE))) AS slc
+              |  FROM t JOIN v USING (tok) GROUP BY 1)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "ln(CAST(total AS DOUBLE)) - slc / CAST(n_tokens AS DOUBLE)",
+                   6)} AS nll
+              |FROM s, n ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------- deterministic corpus shuffle into shards
+    // The training-export step every pretraining pipeline ends with:
+    // a GLOBAL pseudo-random shuffle of the corpus, materialized as N
+    // shards with a stable within-shard order — deterministic (hash-
+    // derived, seed-separated from the shard key so shard and order
+    // are independent), reproducible run-to-run, and NEVER a global
+    // sort: one hash shuffle on the shard key, then each shard orders
+    // independently (at scale, shards ≫ tasks, so the per-shard sorts
+    // parallelize; the window is per-shard, not corpus-wide).
+    Q("q_corpus_shuffle_shard",
+      (s, d) => {
+        val nShards = 8
+        val sid = col("doc_id").cast("string")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          (HashFns.md5Long(sid) % nShards).as("shard"),
+          HashFns.md5Long(sid, seed = 17).as("__ord"))
+        docs.withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard"))
+              .orderBy(col("__ord"), col("doc_id"))).cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    ${HashFns.md5LongSql("CAST(doc_id AS VARCHAR)")} % 8
+              |      AS shard,
+              |    ${HashFns.md5LongSql("CAST(doc_id AS VARCHAR)", 17)}
+              |      AS ord
+              |  FROM documents)
+              |SELECT shard,
+              |  CAST(row_number() OVER (PARTITION BY shard
+              |    ORDER BY ord, doc_id) AS BIGINT) AS pos,
+              |  doc_id
+              |FROM h ORDER BY shard, pos""".stripMargin)),
+
+    // ------------------------------- leakage-safe train/eval split
+    // Deterministic hash split BY GROUP (source), not by document:
+    // near-duplicate documents cluster within a source, so a per-doc
+    // split leaks eval content into train through those near-dups —
+    // the group hash sends EVERY document of a source to the same
+    // side. Map-only (the split is a pure function of the source
+    // string), no coordination, stable as the corpus grows: adding a
+    // source never reassigns an existing one.
+    Q("q_split_leakage_safe",
+      (s, d) => {
+        val side = when(HashFns.md5Long(col("source"), seed = 7) % 100 < 90,
+          lit("train")).otherwise(lit("eval"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), side.as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, source,
+              |  CASE WHEN ${HashFns.md5LongSql("source", 7)} % 100 < 90
+              |    THEN 'train' ELSE 'eval' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** GPT-3-style n-gram decontamination (both q_text_contamination

@@ -188,6 +188,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollupBatch first-batch bootstrap: crash between DDL and apply replays clean") {
+    // upsertAdditive's create path is: stage -> CREATE empty target
+    // (DDL, auto-commits) -> [INSERT-from-stage + ledger] in ONE txn.
+    // The worst crash point is after the DDL: target exists but EMPTY,
+    // ledger unmarked. Manufacture exactly that state, then replay the
+    // batch — it must take the MERGE path against the empty table and
+    // apply ONCE (the old load-then-ledger shape double-counted here).
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_boot")
+    val url = s"jdbc:derby:$dbDir/bootdb;create=true"
+    import graft.sinks.Jdbc
+    Jdbc.execute(url,
+      """CREATE TABLE ev_rollup ("day" DATE, "event_type" VARCHAR(64),
+        |"n" BIGINT, "total" DOUBLE)""".stripMargin)
+    Jdbc.execute(url,
+      """CREATE TABLE ev_rollup__applied ("batch_id" BIGINT PRIMARY KEY)""")
+    EventStreams.rollupBatch(
+      Seq(Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 11:00:00"), 1, "click", 2.0)).toDF(),
+      0L, url, "ev_rollup")
+    val r = Jdbc.query(spark, url,
+      """SELECT "n", "total" FROM ev_rollup
+        |WHERE CAST("event_type" AS VARCHAR(64)) = 'click'""".stripMargin)
+      .head()
+    assert((r.getAs[Number](0).longValue(),
+      r.getAs[Number](1).doubleValue()) == (2L, 3.0))
+    // and the replayed batch is now ledgered: a second replay is a no-op
+    EventStreams.rollupBatch(
+      Seq(Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 11:00:00"), 1, "click", 2.0)).toDF(),
+      0L, url, "ev_rollup")
+    val r2 = Jdbc.query(spark, url,
+      """SELECT "n" FROM ev_rollup
+        |WHERE CAST("event_type" AS VARCHAR(64)) = 'click'""".stripMargin)
+      .head()
+    assert(r2.getAs[Number](0).longValue() == 2L)
+  }
+
+  test("concurrent duplicate batch aborts on the ledger PK, MERGE included") {
+    // Two drivers resuming the same query can both pass rollupBatch's
+    // ledger probe before either commits. The ledger INSERT runs FIRST
+    // in upsertAdditive's transaction, so the loser must fail its
+    // whole transaction — totals unchanged, no partial MERGE.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_race")
+    val url = s"jdbc:derby:$dbDir/racedb;create=true"
+    import graft.sinks.Jdbc
+    EventStreams.rollupBatch(
+      Seq(Event(1, ts("2024-03-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-03-01 11:00:00"), 1, "click", 2.0)).toDF(),
+      0L, url, "ev_rollup")
+    // Writer B passed the probe before writer A committed; it now
+    // applies the same batch through the same additive MERGE + ledger
+    // pair. The ledger PK must kill the whole transaction.
+    val dup = Seq((java.sql.Date.valueOf("2024-03-01"), "click", 2L, 3.0))
+      .toDF("day", "event_type", "n", "total")
+    intercept[Exception] {
+      Jdbc.upsertAdditive(dup, url, "ev_rollup",
+        keys = Seq("day", "event_type"), additive = Seq("n", "total"),
+        alsoInTxn = Seq("INSERT INTO ev_rollup__applied VALUES (0)"))
+    }
+    val r = Jdbc.query(spark, url,
+      """SELECT "n", "total" FROM ev_rollup
+        |WHERE CAST("event_type" AS VARCHAR(64)) = 'click'""".stripMargin)
+      .head()
+    assert((r.getAs[Number](0).longValue(),
+      r.getAs[Number](1).doubleValue()) == (2L, 3.0),
+      "loser's MERGE leaked despite the ledger collision")
+  }
+
   test("dedupIngestBatch replay with the same batchId is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_replay")
     val out = s"$base/out"; val hist = s"$base/hist"

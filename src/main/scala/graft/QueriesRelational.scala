@@ -649,6 +649,37 @@ object QueriesRelational {
              |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
              |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
 
+    // SCD2 dimension history from a change log (operators/Scd2): each
+    // customer's order-status sequence compacts into [valid_from,
+    // valid_to) intervals with an is_current flag — keep-latest dedup
+    // is the one-interval special case of this. One key shuffle feeds
+    // both windows (lag change-detect, lead interval-close);
+    // comparison is null-safe (<=>), mirrored by IS DISTINCT FROM.
+    Q("q_scd2_history",
+      (s, d) => graft.operators.Scd2.fromChangeLog(
+          Tables.orders(s, d).filter(col("o_custkey") < 300),
+          keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
+          tsCol = "o_orderdate", tiebreak = Seq(col("o_orderkey")))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus")),
+      Some("""WITH cp AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders WHERE o_custkey < 300),
+             |ch AS (
+             |  SELECT * FROM cp
+             |  WHERE prev IS DISTINCT FROM o_orderstatus),
+             |iv AS (
+             |  SELECT o_custkey, o_orderstatus,
+             |    o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM ch)
+             |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM iv
+             |ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin)),
+
     // Same answer, SKEW-SAFE plan: keepFirstAgg's min_by partial
     // aggregate instead of the row_number window — map-side combine
     // collapses a hot l_partkey to one candidate per task before the

@@ -707,6 +707,107 @@ object QueriesSimilarity {
               |  FROM hits)
               |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
 
+    // -------------------------------------------- product quantization
+    // PQ-ADC ANN with exact refinement (operators/Pq, Jégou et al.
+    // 2011; the FAISS IVFPQ two-stage shape): 16 subspaces × 4 dims,
+    // 16-entry codebook each (one seeded Lloyd round, 6-dec-stabilized
+    // centroids, ties to lowest cid — the Ivf determinism contract),
+    // every vector → 16 codes; queries rank the WHOLE corpus by
+    // table-lookup ADC sums folded in subspace order (so both engines
+    // add identical doubles identically), keep the top 50, and an
+    // exact dot re-ranks only those candidates to the final top 3 —
+    // quantization decides what is looked at, full precision decides
+    // the answer (recall@3 0.97 vs 0.50 ADC-only, SimilaritySpec).
+    // The DuckDB oracle replays training, encoding, ADC, and re-rank
+    // end-to-end. At 100 TB compose with IVF: cells prune the scan,
+    // codes compress it, the refinement join touches ~50 floats/query.
+    Q("q_sim_ann_pq",
+      (s, d) => {
+        import graft.operators.Pq
+        val e = Tables.embeddings(s, d)
+        val books = Pq.codebooks(e, "vec_id", "embedding",
+          m = 16, dim = 64, k = 16)
+        val codes = Pq.encode(e, "vec_id", "embedding", books,
+          m = 16, dim = 64)
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        val cands = Pq.searchAdc(queries, "vec_id", "embedding", books,
+          codes, m = 16, dim = 64, k = 50)
+        Pq.rerankExact(cands, queries, e, "vec_id", "vec_id",
+          "embedding", k = 3)
+      },
+      Some(s"""WITH sv AS (
+              |  SELECT vec_id, CAST(j AS INT) AS sub,
+              |    list_transform(
+              |      embedding[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)],
+              |      x -> CAST(x AS DOUBLE)) AS svec
+              |  FROM embeddings, unnest(range(16)) t(j)),
+              |seeds AS (
+              |  SELECT sub, vec_id AS cid, svec AS cvec
+              |  FROM sv WHERE vec_id < 16),
+              |s0 AS (
+              |  SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "c.cvec")}
+              |      + ${dotSql("c.cvec", "c.cvec")} AS dd
+              |  FROM sv JOIN seeds c USING (sub)),
+              |a0 AS (
+              |  SELECT vec_id, sub, svec, cid FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT sub, cid, CAST(i AS INT) AS i,
+              |    round_even(avg(svec[CAST(i AS INT)]) * 1000000.0, 0)
+              |      / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, 5)) t(i)
+              |  GROUP BY sub, cid, i),
+              |books AS (
+              |  SELECT sub, cid, list(cv ORDER BY i) AS cvec
+              |  FROM dims GROUP BY sub, cid),
+              |enc0 AS (
+              |  SELECT sv.vec_id, sv.sub, b.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "b.cvec")}
+              |      + ${dotSql("b.cvec", "b.cvec")} AS dd
+              |  FROM sv JOIN books b USING (sub)),
+              |codes AS (
+              |  SELECT vec_id, sub, cid AS code FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |qsub AS (
+              |  SELECT vec_id AS qid, sub, svec FROM sv
+              |  WHERE vec_id >= 10 AND vec_id < 20),
+              |tab AS (
+              |  SELECT q.qid, q.sub, b.cid AS code,
+              |    ${dotSql("q.svec", "b.cvec")} AS part
+              |  FROM qsub q JOIN books b USING (sub)),
+              |sc AS (
+              |  SELECT t.qid, c.vec_id AS id,
+              |    list_sum(list(t.part ORDER BY t.sub)) AS adc
+              |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
+              |  WHERE t.qid <> c.vec_id
+              |  GROUP BY t.qid, c.vec_id),
+              |cand AS (
+              |  SELECT qid, id AS nid FROM (
+              |    SELECT qid, id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY adc DESC, id) AS rk
+              |    FROM sc) WHERE rk <= 50),
+              |ex AS (
+              |  SELECT cand.qid, cand.nid,
+              |    ${dotSql(
+                     "list_transform(q.embedding, x -> CAST(x AS DOUBLE))",
+                     "list_transform(c.embedding, x -> CAST(x AS DOUBLE))")}
+              |      AS dp
+              |  FROM cand
+              |  JOIN embeddings q ON q.vec_id = cand.qid
+              |  JOIN embeddings c ON c.vec_id = cand.nid)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY dp DESC, nid) AS rk
+              |  FROM ex)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     // ----------------------------------------------------- simhash dedup
     // 16-bit SimHash from word tokens; near-dup candidates = docs whose
     // simhashes collide on one of 4 four-bit bands, verified by hamming

@@ -144,7 +144,9 @@ class PlanSpec extends AnyFunSuite {
       // round-8 additions (measured via graft.tools.PlanProbe + ~25%)
       "q_text_span_dup_by_source" -> (23, 10),
       "q_u2_dedup_keep_first_agg" -> (5, 3),
-      "q_text_quality_prune_approx" -> (8, 5))
+      "q_text_quality_prune_approx" -> (8, 5),
+      "q_sim_ann_pq"              -> (41, 18),
+      "q_scd2_history"            -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

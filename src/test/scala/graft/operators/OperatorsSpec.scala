@@ -87,6 +87,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("__r") =!= 42).count() == 0)
   }
 
+  test("Scd2 compacts a change log into intervals, null-state aware") {
+    val log: Seq[(String, Int, String)] = Seq(
+      ("k1", 1, "a"), ("k1", 2, "a"),   // consecutive equal -> compact
+      ("k1", 3, "b"),                   // change point
+      ("k1", 4, null), ("k1", 5, null), // null state: real, compacts
+      ("k1", 6, "a"),                   // back to a -> NEW interval
+      ("k2", 1, "x"))
+    val df = log.toDF("k", "t", "s")
+    val r = Scd2.fromChangeLog(df, Seq("k"), Seq("s"), "t")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+      .toSeq
+    assert(r == Seq(
+      ("k1", "a", 1, 3, false),
+      ("k1", "b", 3, 4, false),
+      ("k1", null, 4, 6, false),
+      ("k1", "a", 6, -1, true),
+      ("k2", "x", 1, -1, true)))
+  }
+
   test("exactByContent dedups identical bodies, keeps smallest id") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("id", "body")

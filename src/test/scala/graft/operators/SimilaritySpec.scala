@@ -150,6 +150,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@3 $mean below 0.5 (nProbe=2 of 8 cells)")
   }
 
+  test("PQ: codes well-formed; ADC recall@3 and rerank recall@3 hold") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val books = Pq.codebooks(e, "vec_id", "embedding", m = 16, dim = 64,
+      k = 16).cache()
+    val codes = Pq.encode(e, "vec_id", "embedding", books, m = 16, dim = 64)
+      .cache()
+    val n = e.count()
+    // structure: every vector carries exactly m codes, each in [0, k)
+    assert(codes.count() == n * 16)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    assert(books.count() == 16L * 16)
+    // determinism: same codes from a different partitioning
+    val codes2 = Pq.encode(e.repartition(7), "vec_id", "embedding",
+      books, m = 16, dim = 64)
+    assert(codes2.except(codes).count() == 0 &&
+      codes.except(codes2).count() == 0)
+    // exact-dot ground truth for the query set
+    val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("dp").desc, col("nid"))
+    val truth = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.dot(col("qe").cast("array<double>"),
+          col("ce").cast("array<double>")).as("dp"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(hits: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (qid, t) =>
+        hits.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    // compressed-domain scan alone (measured 0.50 on this corpus)
+    val adcOnly = Pq.searchAdc(queries, "vec_id", "embedding", books,
+        codes, m = 16, dim = 64, k = 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rAdc = recallOf(adcOnly)
+    info(f"PQ ADC-only mean recall@3 = $rAdc%.3f")
+    assert(rAdc >= 0.4, s"ADC-only recall@3 $rAdc below 0.4")
+    // + exact refinement of the ADC top-50 (measured 0.97): the
+    // production two-stage shape the q_sim_ann_pq oracle pins
+    val cands = Pq.searchAdc(queries, "vec_id", "embedding", books,
+      codes, m = 16, dim = 64, k = 50)
+    val reranked = Pq.rerankExact(cands, queries, e, "vec_id", "vec_id",
+        "embedding", k = 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rRefined = recallOf(reranked)
+    info(f"PQ rerank-50 mean recall@3 = $rRefined%.3f")
+    assert(rRefined >= 0.8, s"refined recall@3 $rRefined below 0.8")
+    books.unpersist(); codes.unpersist()
+  }
+
   test("IVF recall CURVE is monotone in nProbe and exact at full probing") {
     // The recall/cost dial, measured on the factored index
     // (operators/Ivf — the same construction q_sim_ann_ivf benches):

@@ -191,6 +191,49 @@ object QueriesSources {
              |FROM orders WHERE o_orderkey < 1500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // SCD2 warehouse maintenance end-to-end (Jdbc.scd2Upsert): two
+    // batches of a customer-tier dimension — batch 2 changes every
+    // third key — then a deliberate REPLAY of batch 2, and the final
+    // table reads back for the oracle. The oracle derives the exact
+    // interval set from the customer table: changed keys carry a
+    // closed first interval + an open second; unchanged keys one open
+    // interval; the replay must contribute nothing (idempotency is
+    // part of the hash contract, not just a spec claim).
+    Q("q_jdbc_scd2",
+      (s, d) => {
+        val url = derbyUrl
+        if (Jdbc.tableExists(url, "graft_scd2"))
+          Jdbc.execute(url, "DROP TABLE graft_scd2")
+        val base = Tables.customer(s, d).filter(col("c_custkey") < 200)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        val b1 = base.withColumn("ts", lit(java.sql.Date.valueOf("2024-01-01")))
+        val b2 = base.withColumn("seg",
+            when(col("c_custkey") % 3 === 0, lit("CHANGED"))
+              .otherwise(col("seg")))
+          .withColumn("ts", lit(java.sql.Date.valueOf("2024-02-01")))
+        Jdbc.scd2Upsert(b1, url, "graft_scd2", Seq("c_custkey"),
+          Seq("seg"), "ts")
+        Jdbc.scd2Upsert(b2, url, "graft_scd2", Seq("c_custkey"),
+          Seq("seg"), "ts")
+        Jdbc.scd2Upsert(b2, url, "graft_scd2", Seq("c_custkey"),
+          Seq("seg"), "ts") // crash-replay: must be a no-op
+        Jdbc.query(s, url,
+            """SELECT "c_custkey", CAST("seg" AS VARCHAR(64)) AS "seg",
+              |"valid_from", "valid_to", "is_current"
+              |FROM graft_scd2""".stripMargin)
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS seg,
+             |  DATE '2024-01-01' AS valid_from,
+             |  CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-02-01' END
+             |    AS valid_to,
+             |  c_custkey % 3 <> 0 AS is_current
+             |FROM customer WHERE c_custkey < 200
+             |UNION ALL
+             |SELECT c_custkey, 'CHANGED', DATE '2024-02-01', NULL, TRUE
+             |FROM customer WHERE c_custkey < 200 AND c_custkey % 3 = 0
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // -------------------------------------------------------------- S9
     // GPX trkpt scan over a folder glob (XML source, rowTag=trkpt); the
     // oracle is a hand-written expected-points CSV committed next to the

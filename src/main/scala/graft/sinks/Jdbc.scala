@@ -197,6 +197,75 @@ object Jdbc {
     }
   }
 
+  /** SCD2 MERGE maintenance — the warehouse-side sibling of
+    * operators/Scd2 (which COMPUTES history from a change log; this
+    * MAINTAINS it incrementally in a serving table). The target keeps
+    * (keys, attrs, valid_from, valid_to, is_current); each batch:
+    *
+    *   1. stage ships executor-parallel (like [[upsert]]);
+    *   2. ONE transaction runs (a) a MERGE that CLOSES the open row of
+    *      every key whose staged state differs (null-safe compare) —
+    *      `valid_to = staged ts, is_current = false` — and (b) an
+    *      INSERT of staged rows for keys with no remaining open row
+    *      (new keys, or keys the MERGE just closed).
+    *
+    * Contract: one row per key in `df` (Dedup.keepLatest first) and
+    * monotone batch times. REPLAY-IDEMPOTENT by construction: a
+    * replayed batch's states equal the open rows, so the close-MERGE
+    * matches nothing and the insert's NOT EXISTS sees the open row —
+    * both no-ops (proved in JdbcScd2Spec).
+    */
+  def scd2Upsert(df: DataFrame, url: String, table: String,
+                 keys: Seq[String], attrs: Seq[String], tsCol: String,
+                 batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs keys and attrs")
+    def q(c: String) = "\"" + c + "\""
+    val stage = s"${table}__stage"
+    load(df, url, stage, ifExists = "replace", batchSize)
+    val cols = keys ++ attrs
+    if (!tableExists(url, table)) {
+      execute(url,
+        s"""CREATE TABLE $table AS SELECT
+           |${cols.map(c => s"${q(c)}").mkString(", ")},
+           |${q(tsCol)} AS "valid_from", ${q(tsCol)} AS "valid_to",
+           |CAST(NULL AS BOOLEAN) AS "is_current"
+           |FROM $stage WITH NO DATA""".stripMargin)
+      // CTAS inherits valid_to's nullability from the staged ts column,
+      // which a NOT-NULL source (e.g. a lit() timestamp) makes NOT NULL
+      // — but open intervals REQUIRE NULL valid_to.
+      execute(url, s"""ALTER TABLE $table ALTER COLUMN "valid_to" NULL""")
+    }
+    val on = keys.map(k => keyEq(df, k)).mkString(" AND ")
+    // null-safe "state differs" over the tracked attrs (Derby has no
+    // IS DISTINCT FROM; string attrs go through the VARCHAR cast like
+    // keys do, since Derby cannot compare CLOBs)
+    def side(alias: String, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        s"CAST($alias.${q(c)} AS VARCHAR(512))"
+      case _ => s"$alias.${q(c)}"
+    }
+    val differs = attrs.map { c =>
+      val (t, s) = (side("t", c), side("s", c))
+      s"($t <> $s OR ($t IS NULL AND $s IS NOT NULL)" +
+        s" OR ($t IS NOT NULL AND $s IS NULL))"
+    }.mkString("(", " OR ", ")")
+    val close =
+      s"""MERGE INTO $table t USING $stage s
+         |ON $on AND t."is_current" = TRUE
+         |WHEN MATCHED AND $differs THEN UPDATE SET
+         |  "valid_to" = s.${q(tsCol)}, "is_current" = FALSE""".stripMargin
+    val insert =
+      s"""INSERT INTO $table
+         |(${(cols.map(q) ++ Seq("\"valid_from\"", "\"is_current\""))
+              .mkString(", ")})
+         |SELECT ${cols.map(c => s"s.${q(c)}").mkString(", ")},
+         |  s.${q(tsCol)}, TRUE
+         |FROM $stage s
+         |WHERE NOT EXISTS (SELECT 1 FROM $table t
+         |  WHERE $on AND t."is_current" = TRUE)""".stripMargin
+    executeAll(url, Seq(close, insert))
+  }
+
   /** S11 — table-exists probe via JDBC metadata (portable across engines,
     * unlike information_schema dialects).
     */

@@ -297,6 +297,29 @@ object EventStreams {
       }
     }
 
+  /** Streaming SCD2 dimension sink: each micro-batch's change
+    * observations maintain a type-2 history table through
+    * Jdbc.scd2Upsert (close-on-change MERGE + open-row insert, one
+    * transaction per batch). Within-batch collapse keeps the LATEST
+    * observation per key (scd2Upsert's one-row-per-key contract);
+    * exactly-once needs no ledger here because scd2Upsert is
+    * REPLAY-IDEMPOTENT by construction (a replayed batch's states
+    * equal the open rows — both statements no-op; proven in
+    * JdbcScd2Spec and baked into q_jdbc_scd2's oracle).
+    */
+  def scd2Sink(changes: DataFrame, url: String, table: String,
+               keys: Seq[String], attrs: Seq[String], tsCol: String,
+               tiebreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = Dedup.keepLatest(batch, keys, col(tsCol), tiebreak)
+          Jdbc.scd2Upsert(latest, url, table, keys, attrs, tsCol)
+        }
+      }
+
   /** Streaming lake sink — the incremental counterpart of
     * Lake.writeByDay: append day-partitioned parquet through the file
     * sink's commit log (`_spark_metadata`), which makes the sink

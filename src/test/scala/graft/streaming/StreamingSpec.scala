@@ -188,6 +188,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Sink maintains a type-2 dimension across micro-batches") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_scd2s")
+    val url = s"jdbc:derby:$dbDir/scd2sdb;create=true"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = EventStreams.scd2Sink(
+      input.toDF().toDF("cust", "tier", "ts"), url, "dim_stream",
+      Seq("cust"), Seq("tier"), "ts").start()
+    try {
+      // batch 0: two observations of cust 1 — only the latest counts
+      input.addData((1L, "bronze", ts("2024-01-01 09:00:00")),
+        (1L, "gold", ts("2024-01-01 10:00:00")),
+        (2L, "silver", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 1: cust 1 changes, cust 2 unchanged
+      input.addData((1L, "plat", ts("2024-02-01 10:00:00")),
+        (2L, "silver", ts("2024-02-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = graft.sinks.Jdbc.query(spark, url,
+          """SELECT "cust", CAST("tier" AS VARCHAR(64)) AS "tier",
+            |"is_current" FROM dim_stream""".stripMargin)
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+          r.getAs[Boolean](2)))
+        .toSeq.sorted
+      assert(rows == Seq((1L, "gold", false), (1L, "plat", true),
+        (2L, "silver", true)))
+    } finally q.stop()
+  }
+
   test("rollupBatch first-batch bootstrap: crash between DDL and apply replays clean") {
     // upsertAdditive's create path is: stage -> CREATE empty target
     // (DDL, auto-commits) -> [INSERT-from-stage + ledger] in ONE txn.

@@ -60,10 +60,14 @@ object Pq {
     val sv = subvectors(e, idCol, vecCol, m, dim)
     val seeds = sv.filter(col("id") < k)
       .select(col("sub"), col("id").as("cid"), col("svec").as("cvec"))
+    // argmin via the min_by AGGREGATE (Dedup.keepFirstAgg), not a
+    // row_number window: map-side combine collapses each (id, sub)'s
+    // k candidate rows before the shuffle — the window form would
+    // shuffle all n·m·k scored rows to sort them
     val scored = sv.join(broadcast(seeds), Seq("sub"))
       .select(col("id"), col("sub"), col("svec"), col("cid"),
         d2(col("svec"), col("cvec")).as("dd"))
-    val a0 = Dedup.keepFirst(scored, Seq("id", "sub"),
+    val a0 = Dedup.keepFirstAgg(scored, Seq("id", "sub"),
       Seq(col("dd"), col("cid")))
     a0.select(col("sub"), col("cid"),
         posexplode(col("svec")).as(Seq("pos", "v")))
@@ -84,7 +88,8 @@ object Pq {
     val scored = sv.join(broadcast(books), Seq("sub"))
       .select(col("id"), col("sub"), col("cid"),
         d2(col("svec"), col("cvec")).as("dd"))
-    Dedup.keepFirst(scored, Seq("id", "sub"), Seq(col("dd"), col("cid")))
+    // same argmin-as-aggregate shape as codebooks (see comment there)
+    Dedup.keepFirstAgg(scored, Seq("id", "sub"), Seq(col("dd"), col("cid")))
       .select(col("id"), col("sub"), col("cid").as("code"))
   }
 

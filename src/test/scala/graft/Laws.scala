@@ -50,6 +50,41 @@ object Laws extends Properties("graft") {
       }
     }
 
+  // the min_by aggregate form and the row_number window form of
+  // keep-first agree on ANY total-ordered log (the skew-safe swap is
+  // answer-preserving by law, not just on the oracle corpus)
+  property("keepFirstAgg == keepFirst for any total-ordered log") =
+    Prop.forAll(Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))) { xs =>
+      xs.isEmpty || {
+        val rows = xs.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+        val df = rows.toDF("k", "seq", "v")
+        Dedup.keepFirstAgg(df, Seq("k"), Seq(col("seq")))
+          .orderBy("k").collect().toSeq ==
+          Dedup.keepFirst(df, Seq("k"), Seq(col("seq")))
+            .orderBy("k").collect().toSeq
+      }
+    }
+
+  // SCD2's open rows ARE keep-latest: history compaction never loses
+  // or changes the final state of any key (keep-latest dedup is the
+  // one-interval special case of Scd2)
+  property("scd2 current rows == keepLatest state") =
+    Prop.forAll(Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))) { xs =>
+      xs.isEmpty || {
+        val rows = xs.zipWithIndex.map { case ((k, s), i) => (k, i, s"s$s") }
+        val df = rows.toDF("k", "t", "state")
+        val current = graft.operators.Scd2
+          .fromChangeLog(df, Seq("k"), Seq("state"), "t")
+          .filter(col("is_current")).select("k", "state")
+        val latest = Dedup.keepLatest(df, Seq("k"), col("t"))
+          .select("k", "state")
+        current.orderBy("k", "state").collect().toSeq ==
+          latest.orderBy("k", "state").collect().toSeq
+      }
+    }
+
   // salted aggregation is value-identical to the direct group-by for
   // any keyed data and any salt source
   property("salted agg == direct agg") =

@@ -638,6 +638,19 @@ object QueriesRelational {
              |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
+    // keepLatestAgg (max_by) in the gate alongside keepFirstAgg: argmax
+    // per key where the order column alone is a total order (o_orderkey
+    // is unique), so the aggregate's tie contract holds by construction.
+    Q("q_a10_keep_latest_agg",
+      (s, d) => Dedup.keepLatestAgg(Tables.orders(s, d),
+          Seq("o_custkey"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
     Q("q_u2_dedup_keep_first",
       (s, d) => Dedup.keepFirst(Tables.lineitem(s, d),
           Seq("l_partkey"), Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))

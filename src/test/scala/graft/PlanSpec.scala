@@ -146,7 +146,11 @@ class PlanSpec extends AnyFunSuite {
       "q_u2_dedup_keep_first_agg" -> (5, 3),
       "q_text_quality_prune_approx" -> (8, 5),
       "q_sim_ann_pq"              -> (41, 18),
-      "q_scd2_history"            -> (5, 3))
+      "q_scd2_history"            -> (5, 3),
+      "q_text_unigram_nll"        -> (19, 7),
+      "q_corpus_shuffle_shard"    -> (5, 3),
+      "q_split_leakage_safe"      -> (3, 3),
+      "q_mm_image_decode"         -> (3, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

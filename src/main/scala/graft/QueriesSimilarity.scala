@@ -808,6 +808,155 @@ object QueriesSimilarity {
               |  FROM ex)
               |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
 
+    // ------------------------------------------------ IVFPQ composition
+    // FAISS's workhorse index assembled from this library's two
+    // certified parts (Pq.searchIvfPq): IVF cells prune to nProbe=2 of
+    // 8 cells, PQ codes (16 subspaces × 16-entry books) rank the
+    // probed cells' members by ADC, and an exact cosine re-rank of the
+    // ADC top-20 decides the top-3. The oracle replays BOTH index
+    // constructions and the three-stage search end-to-end — the
+    // composition claim in the scaladocs is hash-checked, not asserted.
+    Q("q_sim_ann_ivfpq",
+      (s, d) => {
+        import graft.operators.{Ivf, Pq}
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val cents = Ivf.lloydCentroids(e, nSeeds = 8)
+        val assigned = Ivf.assign(e, cents)
+        val books = Pq.codebooks(e, "vec_id", "embedding",
+          m = 16, dim = 64, k = 16)
+        val codes = Pq.encode(e, "vec_id", "embedding", books,
+          m = 16, dim = 64)
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qnrm"))
+        Pq.searchIvfPq(queries, cents, assigned, books, codes,
+          m = 16, dim = 64, nProbe = 2, candN = 20, k = 3)
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |         ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |s0 AS (
+              |  SELECT e.vec_id, e.embedding, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, seeds c),
+              |a0 AS (
+              |  SELECT vec_id, embedding, cid
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT cid, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cid, i),
+              |cents0 AS (
+              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cid),
+              |cents AS (
+              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, cents c),
+              |assign AS (
+              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
+              |         nrm AS cenrm
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM scored) WHERE rn = 1),
+              |sv AS (
+              |  SELECT vec_id, CAST(j AS INT) AS sub,
+              |    list_transform(
+              |      embedding[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)],
+              |      x -> CAST(x AS DOUBLE)) AS svec
+              |  FROM embeddings, unnest(range(16)) t(j)),
+              |pseeds AS (
+              |  SELECT sub, vec_id AS cid, svec AS cvec
+              |  FROM sv WHERE vec_id < 16),
+              |ps0 AS (
+              |  SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "c.cvec")}
+              |      + ${dotSql("c.cvec", "c.cvec")} AS dd
+              |  FROM sv JOIN pseeds c USING (sub)),
+              |pa0 AS (
+              |  SELECT vec_id, sub, svec, cid FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM ps0) WHERE rn = 1),
+              |pdims AS (
+              |  SELECT sub, cid, CAST(i AS INT) AS i,
+              |    round_even(avg(svec[CAST(i AS INT)]) * 1000000.0, 0)
+              |      / 1000000.0 AS cv
+              |  FROM pa0, unnest(range(1, 5)) t(i)
+              |  GROUP BY sub, cid, i),
+              |books AS (
+              |  SELECT sub, cid, list(cv ORDER BY i) AS cvec
+              |  FROM pdims GROUP BY sub, cid),
+              |enc0 AS (
+              |  SELECT sv.vec_id, sv.sub, b.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "b.cvec")}
+              |      + ${dotSql("b.cvec", "b.cvec")} AS dd
+              |  FROM sv JOIN books b USING (sub)),
+              |codes AS (
+              |  SELECT vec_id, sub, cid AS code FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |queries AS (
+              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
+              |probes AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT q.qid, c.cid AS cell,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
+              |          DESC, c.cid) AS rk
+              |    FROM queries q, cents c) WHERE rk <= 2),
+              |members AS (
+              |  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (cell)
+              |  WHERE p.qid <> a.nid),
+              |qsub AS (
+              |  SELECT vec_id AS qid, sub, svec FROM sv
+              |  WHERE vec_id >= 10 AND vec_id < 20),
+              |tab AS (
+              |  SELECT q.qid, q.sub, b.cid AS code,
+              |    ${dotSql("q.svec", "b.cvec")} AS part
+              |  FROM qsub q JOIN books b USING (sub)),
+              |adc AS (
+              |  SELECT m.qid, m.nid,
+              |    list_sum(list(t.part ORDER BY t.sub)) AS adc
+              |  FROM members m
+              |  JOIN codes c ON c.vec_id = m.nid
+              |  JOIN tab t ON t.qid = m.qid AND t.sub = c.sub
+              |    AND t.code = c.code
+              |  GROUP BY m.qid, m.nid),
+              |cand AS (
+              |  SELECT qid, nid FROM (
+              |    SELECT qid, nid, row_number() OVER (
+              |      PARTITION BY qid ORDER BY adc DESC, nid) AS rk
+              |    FROM adc) WHERE rk <= 20),
+              |ex AS (
+              |  SELECT cand.qid, cand.nid,
+              |    ${dotSql("q.qe", "a.ce")} / (q.qnrm * a.cenrm) AS cos_sim
+              |  FROM cand
+              |  JOIN queries q USING (qid)
+              |  JOIN assign a ON a.nid = cand.nid)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+              |  FROM ex)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     // ----------------------------------------------------- simhash dedup
     // 16-bit SimHash from word tokens; near-dup candidates = docs whose
     // simhashes collide on one of 4 four-bit bands, verified by hamming

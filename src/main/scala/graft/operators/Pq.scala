@@ -124,6 +124,62 @@ object Pq {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The full IVFPQ composition (FAISS's workhorse index, built from
+    * the two operators this library already proves separately): IVF
+    * cells PRUNE the scan to `nProbe` probed cells per query, PQ codes
+    * COMPRESS the within-cell ranking to ADC table lookups, and an
+    * exact cosine re-rank of the ADC top `candN` decides the final
+    * top `k`. Inputs are the factored artifacts — `cents`/`assigned`
+    * from [[Ivf.lloydCentroids]]/[[Ivf.assign]] and `books`/`codes`
+    * from [[codebooks]]/[[encode]] — so the composed index is exactly
+    * the sum of its certified parts. At 100 TB every stage is a
+    * broadcast join (centroids, codebooks, query tables) or an
+    * equi-join on cell/code keys; the only per-candidate float work is
+    * the ~candN re-rank dots per query.
+    */
+  def searchIvfPq(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
+                  books: DataFrame, codes: DataFrame, m: Int, dim: Int,
+                  nProbe: Int, candN: Int, k: Int): DataFrame = {
+    val probes = Windows.topKPerGroup(
+      queries.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qe"), col("qnrm"), col("cid").as("cell"),
+          (Similarity.dot(col("qe"), col("cvec"))
+            / (col("qnrm") * col("cnrm"))).as("psim")),
+      Seq(col("qid")), Seq(col("psim").desc, col("cell")), nProbe)
+      .select(col("qid"), col("cell"))
+    val members = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val qsub = subvectors(queries, "qid", "qe", m, dim)
+      .select(col("id").as("qid"), col("sub"), col("svec"))
+    val tab = qsub.join(broadcast(books), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        Similarity.dot(col("svec"), col("cvec")).as("part"))
+    val adc = members
+      .join(codes.withColumnRenamed("id", "nid"), Seq("nid"))
+      .join(tab, Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("adc"))
+    val cand = Windows.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("adc").desc, col("nid")), candN)
+    val exact = cand.select(col("qid"), col("nid"))
+      .join(queries.select(col("qid"), col("qe"), col("qnrm")), Seq("qid"))
+      .join(assigned.select(col("nid"), col("ce"), col("cenrm")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("ce"))
+          / (col("qnrm") * col("cenrm"))).as("cos_sim"))
+    Windows.topKPerGroup(exact, Seq(col("qid")),
+        Seq(col("cos_sim").desc, col("nid")), k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("nid"))))
+      .select(col("qid"), col("rk"), col("nid"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Exact re-rank of ADC candidates (the FAISS IVFPQ refinement
     * stage): only the candidate pairs fetch their float vectors and
     * score an exact index-order dot — quantization error decides

@@ -150,7 +150,8 @@ class PlanSpec extends AnyFunSuite {
       "q_text_unigram_nll"        -> (19, 7),
       "q_corpus_shuffle_shard"    -> (5, 3),
       "q_split_leakage_safe"      -> (3, 3),
-      "q_mm_image_decode"         -> (3, 3))
+      "q_mm_image_decode"         -> (3, 3),
+      "q_sim_ann_ivfpq"           -> (90, 33))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -207,6 +207,50 @@ class SimilaritySpec extends AnyFunSuite {
     books.unpersist(); codes.unpersist()
   }
 
+  test("IVFPQ recall@3 tracks IVF's (pruning dominates, ADC+rerank costs little)") {
+    // The composed index can't beat its own cell pruning: recall is
+    // bounded by IVF-at-nProbe=2 (~0.57 here). The PQ stage only loses
+    // true hits that fall OUT of the ADC top-20 within probed cells —
+    // assert it keeps the composition within 0.1 of the IVF bound.
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val cents = Ivf.lloydCentroids(e, nSeeds = 8).cache()
+    val assigned = Ivf.assign(e, cents).cache()
+    val books = Pq.codebooks(e, "vec_id", "embedding", m = 16, dim = 64,
+      k = 16)
+    val codes = Pq.encode(e, "vec_id", "embedding", books, m = 16, dim = 64)
+    val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = hits(Ivf.search(queries, cents, assigned, nProbe = 2, k = 3))
+    val ivfpq = hits(Pq.searchIvfPq(queries, cents, assigned, books, codes,
+      m = 16, dim = 64, nProbe = 2, candN = 20, k = 3))
+    // ground truth: brute cosine
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val truth = hits(queries.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qe"), col("ce"))
+          / (col("qnrm") * col("cn"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3))
+    def recall(h: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        h.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val (rIvf, rIvfpq) = (recall(ivf), recall(ivfpq))
+    info(f"IVF recall@3 = $rIvf%.3f, IVFPQ recall@3 = $rIvfpq%.3f")
+    assert(rIvfpq >= rIvf - 0.1,
+      s"IVFPQ recall $rIvfpq fell more than 0.1 below its IVF bound $rIvf")
+    cents.unpersist(); assigned.unpersist()
+  }
+
   test("IVF recall CURVE is monotone in nProbe and exact at full probing") {
     // The recall/cost dial, measured on the factored index
     // (operators/Ivf — the same construction q_sim_ann_ivf benches):

@@ -209,6 +209,102 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ------------------------------------ incremental LSH near-dup probe
+    // The NEAR-dup sibling of q_sim_incremental_dedup's exact-digest CDC
+    // path: a new batch lands against a historical corpus whose MinHash
+    // band buckets are a persisted, write-once index. The batch is
+    // shingled/signed/banded (O(batch) work — history is never
+    // re-shingled), its bands probe the index's buckets
+    // (Similarity.candidatePairsAcross, history-bucket cap 20), and the
+    // surviving (new, hist) candidates verify by exact Jaccard over
+    // shingle digests. The batch holds genuinely new docs (>= 400) plus
+    // 30 re-keyed LIGHTLY-EDITED history docs (" revised edition"
+    // appended) — edits defeat the exact-digest path but land in the
+    // same buckets, so the probe must catch them (long docs stay above
+    // the 0.8 Jaccard bar; short ones dilute below it identically in
+    // both engines).
+    Q("q_sim_lsh_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = docs.filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+        val edited = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 2000).as("doc_id"),
+            concat(col("text"), lit(" revised edition")).as("text"))
+        val batch = docs.filter(col("doc_id") >= 400)
+          .select(col("doc_id"), col("text"))
+          .unionByName(edited)
+        val histHs = Similarity.hashedShingles(
+          Similarity.charShingles(hist, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val histBands = Similarity.lshBands(
+          Similarity.minhashFromHashes(histHs, "doc_id", K), "doc_id", K, R)
+        val batchHs = Similarity.hashedShingles(
+          Similarity.charShingles(batch, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val batchBands = Similarity.lshBands(
+          Similarity.minhashFromHashes(batchHs, "doc_id", K), "doc_id", K, R)
+        val cand = Similarity.candidatePairsAcross(
+          batchBands, histBands, "doc_id", maxBucket = 20)
+        // ids are disjoint (hist < 400, batch >= 400), so one unioned
+        // digest frame serves both sides of the Jaccard verification
+        Similarity.jaccardForPairsHashed(
+            cand, batchHs.unionByName(histHs), "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a").as("id_new"), col("id_b").as("id_hist"),
+            col("jaccard"))
+          .orderBy(col("id_new"), col("id_hist"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000, text || ' revised edition'
+           |  FROM documents WHERE doc_id < 30),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM all_docs,
+           |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |hb AS (SELECT * FROM bands WHERE doc_id < 400),
+           |pb AS (SELECT * FROM bands WHERE doc_id >= 400),
+           |ok AS (SELECT band, bv FROM hb GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS id_a, h.doc_id AS id_b
+           |  FROM pb p
+           |  JOIN ok USING (band, bv)
+           |  JOIN hb h USING (band, bv)),
+           |shd AS (SELECT DISTINCT doc_id, h FROM hh),
+           |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.id_a
+           |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT id_a AS id_new, id_b AS id_hist,
+           |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+           |ORDER BY id_new, id_hist""".stripMargin
+      }),
+
     // -------------------------------------------- duplicate CLUSTERS
     // Pairwise near-dup pairs upgraded to components: min-label
     // propagation over the verified LSH pairs (operators/Components)

@@ -402,6 +402,60 @@ object QueriesText {
               |  FROM scored) WHERE rk <= 3
               |ORDER BY doc_id, score DESC, term""".stripMargin)),
 
+    // ------------------------------------------------- BM25 retrieval
+    // Query-by-document retrieval (operators/Bm25): docs 0-4 are the
+    // queries, docs >= 5 the corpus; each query's distinct tokens probe
+    // the tf postings through an inverted-index join and BM25
+    // (k1 = 1.2, b = 0.75, RATIONAL idf — see Bm25's scaladoc for the
+    // cross-engine exactness argument) ranks the top-5 hits. This is
+    // the retrieval primitive behind query-by-example decontamination
+    // audits; the oracle replays tf/df/dl/avgdl and the ordered
+    // term-fold scoring end-to-end.
+    Q("q_text_bm25_topk",
+      (s, d) => {
+        import graft.operators.Bm25
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val corpus = toks.filter(col("doc_id") >= 5)
+        val queryTerms = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term")).distinct()
+        Bm25.topK(corpus, queryTerms, k1 = 1.2, b = 0.75, k = 5)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+              |  FROM documents),
+              |corpus AS (SELECT doc_id, term FROM toks WHERE doc_id >= 5),
+              |tf AS (SELECT doc_id, term, count(*) AS tf
+              |       FROM corpus GROUP BY doc_id, term),
+              |dl AS (SELECT doc_id, count(*) AS dl
+              |       FROM corpus GROUP BY doc_id),
+              |dfreq AS (SELECT term, count(*) AS df
+              |          FROM (SELECT DISTINCT doc_id, term FROM corpus)
+              |          GROUP BY term),
+              |st AS (SELECT count(*) AS n_docs,
+              |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              |       FROM dl),
+              |qt AS (SELECT DISTINCT doc_id AS qid, term FROM toks
+              |       WHERE doc_id < 5),
+              |parts AS (
+              |  SELECT q.qid, t.doc_id, q.term,
+              |    ((st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+              |      * (t.tf * (1.2e0 + 1.0e0))
+              |      / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
+              |          + 0.75e0 * (l.dl / st.avgdl))) AS part
+              |  FROM qt q
+              |  JOIN dfreq d USING (term)
+              |  JOIN tf t USING (term)
+              |  JOIN dl l ON l.doc_id = t.doc_id, st),
+              |tot AS (SELECT qid, doc_id,
+              |          list_sum(list(part ORDER BY term)) AS score
+              |        FROM parts GROUP BY qid, doc_id)
+              |SELECT qid, rk, doc_id, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+              |  FROM tot) WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin)),
+
     // ------------------------------------------------ content fingerprint
     // Fingerprint survives case/punctuation/whitespace noise: fp of the
     // raw text equals fp of a deliberately-mangled copy.

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 top-k retrieval over an inverted-index join — the ranked
+  * sibling of the TF-IDF characteristic-terms query (QueriesText), and
+  * the retrieval primitive curation pipelines use for
+  * query-by-document decontamination and targeted corpus audits.
+  *
+  * The idf uses the RATIONAL form `(N − df + ½) / (df + ½)` instead of
+  * its logarithm: per query term the log is a monotone transform, and
+  * summing rational idfs (vs summing logs) reweights terms while
+  * keeping every factor an exactly-representable ratio of exact
+  * integer counts — libm `ln` differs across engines in the last ulp
+  * and would break the bit-exact oracle hash (same trade as
+  * q_text_tfidf_terms). The tf saturation and length normalization are
+  * textbook BM25: `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+  *
+  * 100 TB shape: `tf`/`dl`/`df` are one partial-aggregated pass each
+  * over the exploded token frame, shuffling (doc, term) counts, never
+  * text. Scoring is an equi-join of the (small) query term list against
+  * the df frame and the tf postings on `term` — the classic
+  * inverted-index probe; AQE broadcasts the query side. The corpus
+  * constants (N, avgdl) ride in on a broadcast 1-row aggregate. The
+  * per-(query, doc) score sums its term parts in term order (ordered
+  * fold) so ranks can never split on float summation order.
+  */
+object Bm25 {
+
+  /** Score `queryTerms` (qid, term — distinct) against the corpus token
+    * frame `corpusToks` (doc_id, term — one row per token occurrence)
+    * and keep each query's top `k` docs by BM25.
+    *
+    * Output: (qid, rk, doc_id, score), rk 1-based by (score desc,
+    * doc_id).
+    */
+  def topK(corpusToks: DataFrame, queryTerms: DataFrame,
+           k1: Double, b: Double, k: Int): DataFrame = {
+    // One (doc, term) aggregation over the exploded tokens; dl and df
+    // both derive FROM tf (dl = Σ tf per doc, df = tf's row count per
+    // term — tf rows are distinct (doc, term) by construction), so the
+    // three statistics share one canonical exchange subtree and
+    // Catalyst's ReuseExchange materializes the token shuffle once.
+    val tf = corpusToks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N and avgdl as a broadcast 1-row frame; avgdl is one long/long
+    // double division of exact integer aggregates — bit-identical in
+    // the DuckDB oracle's CAST(sum AS DOUBLE)/count replay.
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val parts = queryTerms
+      .join(dfreq, Seq("term"))
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("term"),
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * (lit(k1) + lit(1.0)))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * (col("dl") / col("avgdl"))))).as("part"))
+    val scored = parts.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    Windows.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("score").desc, col("doc_id")), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("qid"), col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+}

@@ -118,6 +118,40 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Candidates for an INCREMENTAL probe: a new batch's band buckets
+    * joined against the persisted history index's buckets — the
+    * near-dup sibling of the Bloom-prefiltered exact-digest CDC path
+    * (q_sim_incremental_dedup). Emits (id_a = probe id, id_b = index
+    * id) once per colliding pair. `maxBucket` caps the HISTORY bucket
+    * size: an index bucket holding m docs charges every probe hit m
+    * verify pairs, so template buckets in the index are excluded from
+    * probing (route them to the hot-bucket report), exactly as
+    * [[candidatePairs]] does for the batch self-join.
+    *
+    * 100 TB shape: the index side (bands of the historical corpus) is a
+    * write-once artifact re-read per batch; the probe side is the small
+    * new batch, so the (band, band_value) equi-join broadcasts the
+    * probe under AQE and history is never re-shingled — only its
+    * precomputed band rows and the candidates' shingle digests move.
+    */
+  def candidatePairsAcross(probe: DataFrame, index: DataFrame,
+                           idCol: String,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val ok =
+      if (maxBucket == Int.MaxValue) index
+      else {
+        val sizes = index.groupBy(col("band"), col("band_value"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket)
+          .drop("__bn")
+        index.join(sizes, Seq("band", "band_value"))
+      }
+    probe.select(col("band"), col("band_value"), col(idCol).as("id_a"))
+      .join(ok.select(col("band"), col("band_value"), col(idCol).as("id_b")),
+        Seq("band", "band_value"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Exact Jaccard over shingle SETS for the given candidate pairs only.
     *
     * Physical shape note: `pairs` is tiny (bounded by the bucket cap),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class Bm25Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus: doc 1 = "a a b", doc 2 = "a c", doc 3 = "c c c d"
+  private val corpusToks = Seq(
+    (1L, "a"), (1L, "a"), (1L, "b"),
+    (2L, "a"), (2L, "c"),
+    (3L, "c"), (3L, "c"), (3L, "c"), (3L, "d")).toDF("doc_id", "term")
+
+  test("single-term query matches the hand formula exactly") {
+    // N = 3, avgdl = 9/3 = 3, df(a) = 2 -> idf = 1.5/2.5 = 0.6
+    // doc 1: tf 2, dl 3 -> 0.6 * 4.4 / (2 + 1.2*(0.25 + 0.75*1.0)) = 0.825
+    // doc 2: tf 1, dl 2 -> 0.6 * 2.2 / (1 + 1.2*(0.25 + 0.75*2/3))
+    val q = Seq((100L, "a")).toDF("qid", "term")
+    val rows = Bm25.topK(corpusToks, q, k1 = 1.2, b = 0.75, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((100L, 1, 1L), (100L, 2, 2L))) // doc 3 lacks 'a' entirely
+    assert(math.abs(rows(0)._4 - 0.825) < 1e-12)
+    assert(math.abs(rows(1)._4 - 0.6 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3.0))) < 1e-12)
+  }
+
+  test("multi-term scores sum per term and rerank accordingly") {
+    // qid 101 = {a, d}: doc 3 scores on d alone with idf (3-1+.5)/1.5 =
+    // 5/3, tf 1, dl 4 -> (5/3) * 2.2 / (1 + 1.2*(0.25 + 0.75*4/3)) =
+    // 2.2/1.5 ≈ 1.467 — above doc 1's 0.825 on a: rare terms dominate.
+    val q = Seq((101L, "a"), (101L, "d")).toDF("qid", "term")
+    val rows = Bm25.topK(corpusToks, q, k1 = 1.2, b = 0.75, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, 3L), (2, 1L), (3, 2L)))
+  }
+
+  test("length normalization: same tf ranks the shorter doc higher") {
+    // Two docs with tf(x) = 1 but different lengths; b = 0.75 penalizes
+    // the longer one, so it must rank second.
+    val toks = Seq((1L, "x"), (1L, "y"), (1L, "y"), (1L, "y"), (1L, "y"),
+      (2L, "x"), (2L, "y")).toDF("doc_id", "term")
+    val q = Seq((7L, "x")).toDF("qid", "term")
+    val rows = Bm25.topK(toks, q, k1 = 1.2, b = 0.75, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, 2L), (2, 1L)))
+  }
+}

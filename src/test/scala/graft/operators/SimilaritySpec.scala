@@ -207,6 +207,38 @@ class SimilaritySpec extends AnyFunSuite {
     books.unpersist(); codes.unpersist()
   }
 
+  test("incremental probe finds edits against the index, caps hot buckets") {
+    // History is docs 1-4 (2 an exact dup of 1); the probe batch holds a
+    // light edit of doc 3 and an unrelated doc. The edit must surface as
+    // a candidate against its original via the band join; the unrelated
+    // doc must not reach Jaccard 0.8 against anything.
+    val hist = docs
+    val batch = Seq(
+      (10L, "the quick brown fox leaps over the lazy dogs"), // edit of 3
+      (11L, "nothing in common with the corpus at all okay")
+    ).toDF("id", "text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.lshBands(
+        Similarity.minhashSignature(
+          Similarity.charShingles(df, "id", "text", 5), "id", 8), "id", 8, 2)
+    val cand = Similarity.candidatePairsAcross(
+      bandsOf(batch), bandsOf(hist), "id")
+    val hs = Similarity.hashedShingles(
+      Similarity.charShingles(batch.unionByName(hist), "id", "text", 5), "id")
+    val verified = Similarity.jaccardForPairsHashed(cand, hs, "id")
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((10L, 3L)))
+    assert(!verified.exists(_._1 == 11L))
+    // a history bucket over the cap contributes no candidates
+    val capped = Similarity.candidatePairsAcross(
+      bandsOf(batch), bandsOf(hist), "id", maxBucket = 1)
+    // docs 1/2 are identical -> their shared buckets have size >= 2 and
+    // are dropped; doc 10 can still hit 3 or 4 (buckets of one)
+    val ids = capped.select("id_b").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L))
+  }
+
   test("IVFPQ recall@3 tracks IVF's (pruning dominates, ADC+rerank costs little)") {
     // The composed index can't beat its own cell pruning: recall is
     // bounded by IVF-at-nProbe=2 (~0.57 here). The PQ stage only loses

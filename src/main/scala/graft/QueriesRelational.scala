@@ -385,6 +385,60 @@ object QueriesRelational {
           .mkString("", " UNION ALL ", " ORDER BY col_name")
       }),
 
+    // ------------------------------------ frequency-sketch certification
+    // The frequency sibling of the HLL certification above: heavy-hitter
+    // detection via a count-min sketch (operators/CountMin — d=3 rows ×
+    // w=256 buckets, constant size at any corpus scale, cell-wise
+    // mergeable so Spark's partial aggregation IS the sketch merge).
+    // The report takes the true top-10 keys (the exact side the sketch
+    // replaces at scale), probes the sketch for each, and emits the
+    // one-sided overshoot — cm_estimate >= exact_n always, and the gap
+    // is colliding keys' mass. Hashes are the md5 family, so the oracle
+    // replays every cell count and min-probe bit-exactly.
+    Q("q_profile_heavy_hitters",
+      (s, d) => {
+        import graft.operators.CountMin
+        val keys = Tables.lineitem(s, d)
+          .select(col("l_partkey").cast("string").as("key"))
+        val sk = CountMin.sketch(keys, "key", depth = 3, width = 256)
+        val top = keys.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("key")).limit(10)
+        CountMin.estimate(top, "key", sk, depth = 3, width = 256)
+          .select(col("key"), col("exact_n"), col("cm_estimate"),
+            (col("cm_estimate") - col("exact_n")).as("over_count"))
+          .orderBy(col("exact_n").desc, col("key"))
+      },
+      Some {
+        import graft.functions.HashFns
+        def cellSql(src: String) =
+          s"""SELECT $src.*, CAST(t.d AS INT) AS d,
+             |    (CASE CAST(t.d AS INT)
+             |       WHEN 0 THEN ${HashFns.hashFamilySql("h", 0)}
+             |       WHEN 1 THEN ${HashFns.hashFamilySql("h", 1)}
+             |       WHEN 2 THEN ${HashFns.hashFamilySql("h", 2)}
+             |     END) % 256 AS bucket
+             |  FROM $src, unnest(range(3)) t(d)""".stripMargin
+        s"""WITH k AS (
+           |  SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+           |hh AS (SELECT key, ${HashFns.md5LongSql("key")} AS h FROM k),
+           |cells AS (${cellSql("hh")}),
+           |sk AS (SELECT d, bucket, count(*) AS c FROM cells
+           |       GROUP BY d, bucket),
+           |top AS (
+           |  SELECT key, count(*) AS exact_n FROM k GROUP BY key
+           |  ORDER BY exact_n DESC, key LIMIT 10),
+           |th AS (SELECT key, exact_n, ${HashFns.md5LongSql("key")} AS h
+           |       FROM top),
+           |probes AS (${cellSql("th")}),
+           |est AS (
+           |  SELECT key, exact_n, min(c) AS cm_estimate
+           |  FROM probes JOIN sk USING (d, bucket)
+           |  GROUP BY key, exact_n)
+           |SELECT key, exact_n, cm_estimate,
+           |  cm_estimate - exact_n AS over_count
+           |FROM est ORDER BY exact_n DESC, key""".stripMargin
+      }),
+
     // -------------------------------------- group-wise normalization
     // Feature engineering's z-score per group: ONE aggregate computes
     // exact decimal moments (Σv, Σv² — order-independent, so partial

@@ -226,30 +226,27 @@ object QueriesSimilarity {
     Q("q_sim_lsh_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val hist = docs.filter(col("doc_id") < 400)
-          .select(col("doc_id"), col("text"))
         val edited = docs.filter(col("doc_id") < 30)
           .select((col("doc_id") + 2000).as("doc_id"),
             concat(col("text"), lit(" revised edition")).as("text"))
-        val batch = docs.filter(col("doc_id") >= 400)
-          .select(col("doc_id"), col("text"))
+        val all = docs.select(col("doc_id"), col("text"))
           .unionByName(edited)
-        val histHs = Similarity.hashedShingles(
-          Similarity.charShingles(hist, "doc_id", "text", 5), "doc_id")
+        // Signatures are per-doc independent, so this REPLAY query runs
+        // one shared shingle/sig/band pipeline over history ∪ batch and
+        // splits the band rows by id afterward (ids are disjoint: hist
+        // < 400, batch >= 400) — in production the history side of the
+        // probe join below is read from the persisted index artifact,
+        // not recomputed (candidatePairsAcross's contract).
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(all, "doc_id", "text", 5), "doc_id")
           .cache()
-        val histBands = Similarity.lshBands(
-          Similarity.minhashFromHashes(histHs, "doc_id", K), "doc_id", K, R)
-        val batchHs = Similarity.hashedShingles(
-          Similarity.charShingles(batch, "doc_id", "text", 5), "doc_id")
+        val bands = Similarity.lshBands(
+          Similarity.minhashFromHashes(hs, "doc_id", K), "doc_id", K, R)
           .cache()
-        val batchBands = Similarity.lshBands(
-          Similarity.minhashFromHashes(batchHs, "doc_id", K), "doc_id", K, R)
         val cand = Similarity.candidatePairsAcross(
-          batchBands, histBands, "doc_id", maxBucket = 20)
-        // ids are disjoint (hist < 400, batch >= 400), so one unioned
-        // digest frame serves both sides of the Jaccard verification
-        Similarity.jaccardForPairsHashed(
-            cand, batchHs.unionByName(histHs), "doc_id")
+          bands.filter(col("doc_id") >= 400),
+          bands.filter(col("doc_id") < 400), "doc_id", maxBucket = 20)
+        Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
           .filter(col("jaccard") >= 0.8)
           .select(col("id_a").as("id_new"), col("id_b").as("id_hist"),
             col("jaccard"))
@@ -381,6 +378,77 @@ object QueriesSimilarity {
            |  SELECT e.src, r.lbl FROM e JOIN reach r ON r.id = e.dst)
            |SELECT id, min(lbl) AS component FROM reach
            |GROUP BY id ORDER BY id""".stripMargin
+      }),
+
+    // ----------------------------------------------- k-NN graph PageRank
+    // Graph centrality over the embedding 3-NN graph
+    // (operators/PageRank): nodes that many neighborhoods point at are
+    // the corpus's "hub" content — the weighting curation pipelines put
+    // behind importance sampling. Edges here are brute-force exact
+    // top-3 cosine (the recall-oracle convention; the ANN family
+    // provides the bucketed edge builder at scale), then 5 damped
+    // iterations, every iteration stabilized to the 1e-12 grid with
+    // source-ordered contribution folds — the oracle unrolls and
+    // replays all 5 bit-exactly.
+    Q("q_graph_pagerank",
+      (s, d) => {
+        import graft.operators.PageRank
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            (Similarity.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb"))).as("cos"))
+        val edges = Windows.topKPerGroup(pairs, Seq(col("src")),
+            Seq(col("cos").desc, col("nid")), 3)
+          .select(col("src"), col("nid").as("dst"))
+        PageRank.run(edges, damping = 0.85, iters = 5)
+          .select(col("id").as("vec_id"), col("r").as("pagerank"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        import graft.functions.Stabilize.stabSql
+        val iterSql = (1 to 5).map { t =>
+          s"""c$t AS (
+             |  SELECT e.dst, list_sum(list(r.r / o.od ORDER BY e.src)) AS s
+             |  FROM edges e
+             |  JOIN r${t - 1} r ON r.id = e.src
+             |  JOIN outdeg o ON o.src = e.src
+             |  GROUP BY e.dst),
+             |r$t AS (
+             |  SELECT nd.id,
+             |    ${stabSql(s"(1.0e0 - 0.85e0) / st.n " +
+                  s"+ 0.85e0 * coalesce(c$t.s, 0.0e0)", 12)} AS r
+             |  FROM nodes nd
+             |  LEFT JOIN c$t ON c$t.dst = nd.id
+             |  CROSS JOIN st)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS nid,
+           |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+           |      AS cos
+           |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+           |edges AS (
+           |  SELECT src, nid AS dst FROM (
+           |    SELECT src, nid, row_number() OVER (
+           |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
+           |    FROM pairs) WHERE rk <= 3),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM edges
+           |  UNION ALL SELECT dst FROM edges)),
+           |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+           |st AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT id, ${stabSql("1.0e0 / st.n", 12)} AS r
+           |       FROM nodes, st),
+           |$iterSql
+           |SELECT id AS vec_id, r AS pagerank FROM r5 ORDER BY vec_id""".stripMargin
       }),
 
     // ------------------------------------------------ LSH hot-bucket report

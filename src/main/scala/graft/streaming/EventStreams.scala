@@ -247,6 +247,46 @@ object EventStreams {
       } finally fresh.unpersist()
     }
 
+  /** Streaming count-min maintenance: each micro-batch's d×w sketch
+    * INCREMENT lands in its own `batch=<id>` partition (overwrite —
+    * a replayed batch rewrites the same partition, so the sink is
+    * idempotent by construction, the same contract as [[dedupIngest]]'s
+    * output), and readers fold increments cell-wise ([[readSketch]]) —
+    * CountMin's merge law, proven directly in CountMinSpec, is what
+    * makes merge-on-read exact. Unlike the JDBC rollup ledger, no
+    * transaction is needed: the increment is keyed BY batch, so
+    * replay can only replace, never double-add.
+    *
+    * This is the streaming face of frequency profiling at corpus
+    * scale: per-batch state is d×w counters regardless of batch size
+    * or key cardinality, and the merged artifact answers heavy-hitter
+    * probes (q_profile_heavy_hitters) without any per-key state store.
+    */
+  def sketchIngest(items: DataFrame, itemCol: String, depth: Int,
+                   width: Int, sketchDir: String): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchIngestBatch(batch, batchId, itemCol, depth, width, sketchDir)
+      }
+
+  /** One micro-batch of [[sketchIngest]], exposed so replay
+    * idempotency is directly testable.
+    */
+  def sketchIngestBatch(batch: DataFrame, batchId: Long, itemCol: String,
+                        depth: Int, width: Int, sketchDir: String): Unit =
+    if (!batch.isEmpty)
+      graft.operators.CountMin.sketch(batch, itemCol, depth, width)
+        .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+
+  /** Merge-on-read of a [[sketchIngest]] directory: cell-wise sum of
+    * the per-batch increments = the sketch of the whole stream.
+    */
+  def readSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
   /** Streaming materialized-view rollup: each micro-batch's per-(day,
     * type) partial aggregate is ADDED into a JDBC serving table with
     * one additive MERGE (Jdbc.upsertAdditive) — the rolling-aggregate

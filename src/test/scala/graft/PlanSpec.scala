@@ -153,7 +153,8 @@ class PlanSpec extends AnyFunSuite {
       "q_mm_image_decode"         -> (3, 3),
       "q_sim_ann_ivfpq"           -> (90, 33),
       "q_text_bm25_topk"          -> (41, 10),
-      "q_sim_lsh_incremental"     -> (43, 40))
+      "q_sim_lsh_incremental"     -> (51, 50),
+      "q_profile_heavy_hitters"   -> (8, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -156,6 +156,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketchIngest folds per-batch count-min increments; replay replaces") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch")
+    val dir = s"$base/sketch"
+    val input = MemoryStream[String](spark)
+    val q = EventStreams.sketchIngest(
+      input.toDF().toDF("key"), "key", depth = 3, width = 8, dir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val all = Seq("a", "a", "b", "c", "a", "b", "d", "e")
+    try {
+      input.addData(all.take(4): _*); q.processAllAvailable()
+      input.addData(all.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val merged = cells(EventStreams.readSketch(spark, dir))
+    val direct = cells(graft.operators.CountMin.sketch(
+      all.toDF("key"), "key", 3, 8))
+    assert(merged == direct) // merge-on-read == one-shot batch sketch
+    // replaying batch 1 (same id, same data) must leave the merge
+    // unchanged: the increment overwrites its own partition
+    EventStreams.sketchIngestBatch(
+      all.drop(4).toDF("key"), 1L, "key", 3, 8, dir)
+    assert(cells(EventStreams.readSketch(spark, dir)) == direct)
+  }
+
   test("aggRollupSink accumulates across batches; replay adds nothing") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_rollup")
     val url = s"jdbc:derby:$dbDir/rolldb;create=true"

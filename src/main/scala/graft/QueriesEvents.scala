@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Sessionize
+import graft.operators.{Sampling, Sessionize}
 import graft.sources.Tables
 
 /** Event-stream analytics over the `events` table (ts/user_id/event_type/
@@ -160,6 +160,29 @@ object QueriesEvents {
               |SELECT doc_id, r.source AS source, rk, quota FROM r JOIN q
               |  ON r.source = q.source
               |WHERE rk <= quota ORDER BY r.source, rk""".stripMargin)),
+
+    // --------------------------------------- weighted (πps) sampling
+    // Importance sampling by document weight (operators/Sampling):
+    // sequential Poisson order sampling — the 50 smallest u/w keys win,
+    // giving inclusion probability ≈ n·w/Σw. Weight here is n_chars
+    // (longer docs preferred — the "sample by token contribution"
+    // shape). The u/w key is one integer-derived IEEE division, so the
+    // selected SET is bit-reproducible across engines — where the
+    // Efraimidis-Spirakis pow/ln keys would hang the selection boundary
+    // on libm ulps (q_sample_mixture's note).
+    Q("q_sample_weighted",
+      (s, d) => Sampling.sequentialPoisson(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50, seed = 0),
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, n_chars,
+              |    (${graft.functions.HashFns.md5LongSql(
+                   "CAST(doc_id AS VARCHAR)", 0)} + 1)
+              |      / 1152921504606846976.0 / n_chars AS key
+              |  FROM documents WHERE n_chars > 0),
+              |sel AS (SELECT doc_id, n_chars FROM k
+              |        ORDER BY key, doc_id LIMIT 50)
+              |SELECT doc_id, n_chars FROM sel ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------ sessionization
     Q("q_ev_sessionize",

@@ -298,6 +298,67 @@ object QueriesSources {
              |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events
              |WHERE user_id < 100 AND CAST(ts AS DATE) = DATE '2024-01-03'
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------- Z-order layout key
+    // Certification of the lake's multi-dimensional clustering key
+    // (Lake.zValue — the OPTIMIZE ZORDER BY primitive): every lineitem
+    // row's (l_partkey, l_suppkey) interleaves into a 32-bit Morton
+    // code, and the report buckets rows by the code's top nibble —
+    // each of the 16 z-buckets must cover one bounded QUADRANT of the
+    // key space (its min/max on BOTH dims stay inside the quadrant's
+    // rectangle, which is exactly why per-file min/max stats can skip
+    // scans on either column after a z-sort; LakeZOrderSpec asserts
+    // the physical-file version over writeZOrdered). The oracle
+    // mirrors the shift-mask spread operation for operation.
+    Q("q_lake_zorder",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"))
+        // rank-reduce each dim to its 16-bit range (the scaladoc's
+        // required pre-step; exact-integer scaling so both engines
+        // agree bit-for-bit), THEN interleave — raw keys at small SF
+        // occupy few bits and would land every row in bucket 0
+        val st = li.agg(max(col("l_partkey")).as("xm"),
+          max(col("l_suppkey")).as("ym"))
+        li.crossJoin(broadcast(st))
+          .withColumn("x16",
+            floor(col("l_partkey") * 65536 / (col("xm") + 1)).cast("long"))
+          .withColumn("y16",
+            floor(col("l_suppkey") * 65536 / (col("ym") + 1)).cast("long"))
+          .withColumn("bucket",
+            shiftright(Lake.zValue(col("x16"), col("y16")), 28))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_pk"),
+            max(col("l_partkey")).as("max_pk"),
+            min(col("l_suppkey")).as("min_sk"),
+            max(col("l_suppkey")).as("max_sk"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH st AS (
+             |  SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym
+             |  FROM lineitem),
+             |t0 AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    CAST(floor(l_partkey * 65536 / (xm + 1)) AS BIGINT)
+             |      & 65535 AS x0,
+             |    CAST(floor(l_suppkey * 65536 / (ym + 1)) AS BIGINT)
+             |      & 65535 AS y0
+             |  FROM lineitem, st),
+             |t1 AS (SELECT *, ((x0 | (x0 << 8)) & 16711935) AS x1,
+             |               ((y0 | (y0 << 8)) & 16711935) AS y1 FROM t0),
+             |t2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+             |               ((y1 | (y1 << 4)) & 252645135) AS y2 FROM t1),
+             |t3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+             |               ((y2 | (y2 << 2)) & 858993459) AS y3 FROM t2),
+             |t4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+             |               ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM t3),
+             |z AS (SELECT pk, sk,
+             |        ((x4 | (y4 << 1)) >> 28) AS bucket FROM t4)
+             |SELECT bucket, count(*) AS n,
+             |  min(pk) AS min_pk, max(pk) AS max_pk,
+             |  min(sk) AS min_sk, max(sk) AS max_sk
+             |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Canonical lake layout (SURVEY §7.4#8): parquet partitioned by day.
@@ -25,6 +25,48 @@ object Lake {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit dimension
+    * values — the multi-dimensional clustering key behind lake Z-ORDER
+    * layout (Delta/Iceberg's OPTIMIZE ZORDER BY): sorting by `zValue`
+    * co-clusters rows that are close in BOTH dimensions, so per-file
+    * min/max stats prune scans filtered on EITHER column, where a
+    * lexicographic sort only skips on the leading one.
+    *
+    * Inputs are masked to 16 bits — at real scale callers rank-reduce
+    * each dimension to its 16-bit bucket first (equi-depth bin id,
+    * epoch-hour, grid cell). The spread is the magic-number shift-mask
+    * cascade (5 exact integer ops per dimension, codegen'd, and
+    * mirrored operation-for-operation by the DuckDB oracle in
+    * q_lake_zorder).
+    */
+  def zValue(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val t0 = c.bitwiseAND(lit(0xFFFFL))
+      val t1 = t0.bitwiseOR(shiftleft(t0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val t2 = t1.bitwiseOR(shiftleft(t1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val t3 = t2.bitwiseOR(shiftleft(t2, 2)).bitwiseAND(lit(0x33333333L))
+      t3.bitwiseOR(shiftleft(t3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-ordered rewrite: range-partition by [[zValue]] into `nFiles`
+    * files, each sorted by the z key — every file then covers one
+    * compact z-range, i.e. a bounded rectangle in (x, y) space, and
+    * parquet min/max footer stats skip files for predicates on either
+    * dimension. Range boundaries come from Spark's reservoir sample
+    * (layout-only nondeterminism: file CONTENTS bounds are what
+    * skipping reads, and LakeZOrderSpec asserts the invariants —
+    * disjoint per-file z-ranges, bounded per-file dimension spans).
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Bucketed table: hash-bucket rows by `key` into `buckets` files per
     * partition and record the bucketing in the catalog. Two tables

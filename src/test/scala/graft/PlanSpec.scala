@@ -154,7 +154,11 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_ann_ivfpq"           -> (90, 33),
       "q_text_bm25_topk"          -> (41, 10),
       "q_sim_lsh_incremental"     -> (51, 50),
-      "q_profile_heavy_hitters"   -> (8, 5))
+      "q_profile_heavy_hitters"   -> (8, 5),
+      // map-side keys + TakeOrdered: a shuffle appearing here means the
+      // sampler stopped being the zero-shuffle top-n it exists to be
+      "q_sample_weighted"         -> (1, 3),
+      "q_lake_zorder"             -> (10, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

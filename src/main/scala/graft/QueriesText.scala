@@ -24,6 +24,43 @@ object QueriesText {
   /** DuckDB mirror of TextFns.normalize. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' +',' ','g'))"
+
+  /** Shared CTE chain of the BM25 oracle (docs 0-4 query docs >= 5):
+    * tf/dl/df/avgdl statistics, rational-idf scoring, ordered term
+    * folds — ends at `tot(qid, doc_id, score)`. Used verbatim by
+    * q_text_bm25_topk and the RRF fusion oracle so the two replays
+    * cannot drift.
+    */
+  private lazy val bm25CtesSql =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, term FROM toks WHERE doc_id >= 5),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM corpus GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl
+       |       FROM corpus GROUP BY doc_id),
+       |dfreq AS (SELECT term, count(*) AS df
+       |          FROM (SELECT DISTINCT doc_id, term FROM corpus)
+       |          GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |       FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS qid, term FROM toks
+       |       WHERE doc_id < 5),
+       |parts AS (
+       |  SELECT q.qid, t.doc_id, q.term,
+       |    ((st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+       |      * (t.tf * (1.2e0 + 1.0e0))
+       |      / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
+       |          + 0.75e0 * (l.dl / st.avgdl))) AS part
+       |  FROM qt q
+       |  JOIN dfreq d USING (term)
+       |  JOIN tf t USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id, st),
+       |tot AS (SELECT qid, doc_id,
+       |          list_sum(list(part ORDER BY term)) AS score
+       |        FROM parts GROUP BY qid, doc_id)""".stripMargin
   private val stopListSql =
     TextFns.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -421,39 +458,88 @@ object QueriesText {
           .select(col("doc_id").as("qid"), col("term")).distinct()
         Bm25.topK(corpus, queryTerms, k1 = 1.2, b = 0.75, k = 5)
       },
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
-              |  FROM documents),
-              |corpus AS (SELECT doc_id, term FROM toks WHERE doc_id >= 5),
-              |tf AS (SELECT doc_id, term, count(*) AS tf
-              |       FROM corpus GROUP BY doc_id, term),
-              |dl AS (SELECT doc_id, count(*) AS dl
-              |       FROM corpus GROUP BY doc_id),
-              |dfreq AS (SELECT term, count(*) AS df
-              |          FROM (SELECT DISTINCT doc_id, term FROM corpus)
-              |          GROUP BY term),
-              |st AS (SELECT count(*) AS n_docs,
-              |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              |       FROM dl),
-              |qt AS (SELECT DISTINCT doc_id AS qid, term FROM toks
-              |       WHERE doc_id < 5),
-              |parts AS (
-              |  SELECT q.qid, t.doc_id, q.term,
-              |    ((st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
-              |      * (t.tf * (1.2e0 + 1.0e0))
-              |      / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
-              |          + 0.75e0 * (l.dl / st.avgdl))) AS part
-              |  FROM qt q
-              |  JOIN dfreq d USING (term)
-              |  JOIN tf t USING (term)
-              |  JOIN dl l ON l.doc_id = t.doc_id, st),
-              |tot AS (SELECT qid, doc_id,
-              |          list_sum(list(part ORDER BY term)) AS score
-              |        FROM parts GROUP BY qid, doc_id)
+      Some(s"""WITH $bm25CtesSql
               |SELECT qid, rk, doc_id, score FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
               |  FROM tot) WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin)),
+
+    // ------------------------------------------ hybrid retrieval (RRF)
+    // Reciprocal-rank fusion of the two retrieval modalities this
+    // library certifies separately (operators/Fusion, Cormack et al.
+    // 2009): the BM25 lexical top-20 and the embedding cosine top-20
+    // each contribute 1/(60 + rank) per hit, scores add, and the fused
+    // top-5 decides — rank-space fusion needs no score calibration
+    // between a postings ranker and a vector ranker, which is why it's
+    // the default hybrid combiner in RAG stacks. The oracle replays
+    // BOTH rankers (the BM25 chain verbatim via the shared CTEs, the
+    // cosine ranker like q_sim_cosine_topk) and the value-ordered part
+    // fold end-to-end.
+    Q("q_text_rrf_fusion",
+      (s, d) => {
+        import graft.operators.{Bm25, Fusion}
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val lexical = Bm25.topK(
+          toks.filter(col("doc_id") >= 5),
+          toks.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid"), col("term")).distinct(),
+          k1 = 1.2, b = 0.75, k = 20)
+          .select(col("qid"), col("doc_id"), col("rk"))
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        val cos = q.crossJoin(c).select(col("qid"), col("doc_id"),
+          (Similarity.dot(col("qe"), col("ce"))
+            / (col("qn") * col("cn"))).as("cos"))
+        val semantic = Windows.topKPerGroup(cos, Seq(col("qid")),
+            Seq(col("cos").desc, col("doc_id")), 20)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("qid"), col("doc_id"), col("rk"))
+        Fusion.rrf(Seq(lexical, semantic), k0 = 60, topK = 5)
+      },
+      Some(s"""WITH $bm25CtesSql,
+              |lex AS (
+              |  SELECT qid, doc_id, rk FROM (
+              |    SELECT qid, doc_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+              |    FROM tot) WHERE rk <= 20),
+              |ev AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum(list_transform(embedding,
+              |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              |  FROM embeddings),
+              |cos AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+              |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+              |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              |      / (q.nrm * c.nrm) AS cos
+              |  FROM ev q, ev c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+              |sem AS (
+              |  SELECT qid, doc_id, rk FROM (
+              |    SELECT qid, doc_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY cos DESC, doc_id) AS rk
+              |    FROM cos) WHERE rk <= 20),
+              |parts2 AS (
+              |  SELECT qid, doc_id, 1.0e0 / (60 + rk) AS part FROM lex
+              |  UNION ALL
+              |  SELECT qid, doc_id, 1.0e0 / (60 + rk) AS part FROM sem),
+              |fused AS (
+              |  SELECT qid, doc_id,
+              |    list_sum(list(part ORDER BY part)) AS rrf_score
+              |  FROM parts2 GROUP BY qid, doc_id)
+              |SELECT qid, rk, doc_id, rrf_score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rk
+              |  FROM fused) WHERE rk <= 5
               |ORDER BY qid, rk""".stripMargin)),
 
     // ------------------------------------------------ content fingerprint

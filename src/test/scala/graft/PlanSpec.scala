@@ -158,7 +158,8 @@ class PlanSpec extends AnyFunSuite {
       // map-side keys + TakeOrdered: a shuffle appearing here means the
       // sampler stopped being the zero-shuffle top-n it exists to be
       "q_sample_weighted"         -> (1, 3),
-      "q_lake_zorder"             -> (10, 5))
+      "q_lake_zorder"             -> (10, 5),
+      "q_text_rrf_fusion"         -> (54, 15))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -222,12 +222,16 @@ object QueriesSimilarity {
     // appended) — edits defeat the exact-digest path but land in the
     // same buckets, so the probe must catch them (long docs stay above
     // the 0.8 Jaccard bar; short ones dilute below it identically in
-    // both engines).
+    // both engines). Re-keying is +1000000 — OUTSIDE every sf's real id
+    // domain: a collision (the +2000 convention collides with real docs
+    // at sf0.1) would merge two documents' shingles under one id in the
+    // per-id signature aggregation and silently dilute the edit pairs
+    // below the Jaccard bar on BOTH engines.
     Q("q_sim_lsh_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val edited = docs.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 2000).as("doc_id"),
+          .select((col("doc_id") + 1000000).as("doc_id"),
             concat(col("text"), lit(" revised edition")).as("text"))
         val all = docs.select(col("doc_id"), col("text"))
           .unionByName(edited)
@@ -261,7 +265,7 @@ object QueriesSimilarity {
         s"""WITH all_docs AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 2000, text || ' revised edition'
+           |  SELECT doc_id + 1000000, text || ' revised edition'
            |  FROM documents WHERE doc_id < 30),
            |sh AS (
            |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle

@@ -498,11 +498,8 @@ object QueriesText {
         val cos = q.crossJoin(c).select(col("qid"), col("doc_id"),
           (Similarity.dot(col("qe"), col("ce"))
             / (col("qn") * col("cn"))).as("cos"))
-        val semantic = Windows.topKPerGroup(cos, Seq(col("qid")),
-            Seq(col("cos").desc, col("doc_id")), 20)
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-              .orderBy(col("cos").desc, col("doc_id"))))
+        val semantic = Windows.topKPerGroupRanked(cos, Seq(col("qid")),
+            Seq(col("cos").desc, col("doc_id")), 20, "rk")
           .select(col("qid"), col("doc_id"), col("rk"))
         Fusion.rrf(Seq(lexical, semantic), k0 = 60, topK = 5)
       },

@@ -68,10 +68,8 @@ object Bm25 {
         transform(array_sort(collect_list(struct(col("term"), col("part")))),
           x => x.getField("part")),
         lit(0.0), (acc, x) => acc + x).as("score"))
-    Windows.topKPerGroup(scored, Seq(col("qid")),
-        Seq(col("score").desc, col("doc_id")), k)
-      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id"))))
+    Windows.topKPerGroupRanked(scored, Seq(col("qid")),
+        Seq(col("score").desc, col("doc_id")), k, "rk")
       .select(col("qid"), col("rk"), col("doc_id"), col("score"))
       .orderBy(col("qid"), col("rk"))
   }

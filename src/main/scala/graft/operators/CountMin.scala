@@ -38,12 +38,19 @@ object CountMin {
     * an inner join drops them (estimate 0 by convention).
     */
   def estimate(keys: DataFrame, itemCol: String, sk: DataFrame,
-               depth: Int, width: Int): DataFrame =
+               depth: Int, width: Int): DataFrame = {
+    // probe under fresh names so a caller column named d/bucket/c can
+    // neither collide in the join nor be grouped/aggregated by mistake
+    val d = Dedup.freshName(keys, "__cm_d")
+    val b = Dedup.freshName(keys, "__cm_bucket")
+    val cv = Dedup.freshName(keys, "__cm_c")
     keys.select(col("*"),
-        posexplode(buckets(itemCol, depth, width)).as(Seq("d", "bucket")))
-      .join(broadcast(sk), Seq("d", "bucket"))
+        posexplode(buckets(itemCol, depth, width)).as(Seq(d, b)))
+      .join(broadcast(sk.select(col("d").as(d), col("bucket").as(b),
+        col("c").as(cv))), Seq(d, b))
       .groupBy(keys.columns.map(col).toIndexedSeq: _*)
-      .agg(min(col("c")).as("cm_estimate"))
+      .agg(min(col(cv)).as("cm_estimate"))
+  }
 
   /** The d bucket positions of one item: family-hash i of the item's
     * md5-long, mod `width` (family hashes are non-negative, so `%` is

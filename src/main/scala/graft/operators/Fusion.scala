@@ -38,10 +38,8 @@ object Fusion {
       .groupBy(col("qid"), col("doc_id"))
       .agg(aggregate(array_sort(collect_list(col("part"))),
         lit(0.0), (acc, x) => acc + x).as("rrf_score"))
-    Windows.topKPerGroup(scored, Seq(col("qid")),
-        Seq(col("rrf_score").desc, col("doc_id")), topK)
-      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("rrf_score").desc, col("doc_id"))))
+    Windows.topKPerGroupRanked(scored, Seq(col("qid")),
+        Seq(col("rrf_score").desc, col("doc_id")), topK, "rk")
       .select(col("qid"), col("rk"), col("doc_id"), col("rrf_score"))
       .orderBy(col("qid"), col("rk"))
   }

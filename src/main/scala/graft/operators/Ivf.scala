@@ -80,10 +80,8 @@ object Ivf {
       .select(col("qid"), col("nid"),
         (Similarity.dot(col("qe"), col("ce"))
           / (col("qnrm") * col("cenrm"))).as("cos_sim"))
-    Windows.topKPerGroup(hits, Seq(col("qid")),
-        Seq(col("cos_sim").desc, col("nid")), k)
-      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("nid"))))
+    Windows.topKPerGroupRanked(hits, Seq(col("qid")),
+        Seq(col("cos_sim").desc, col("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"))
       .orderBy(col("qid"), col("rk"))
   }

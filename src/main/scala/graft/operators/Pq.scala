@@ -115,11 +115,8 @@ object Pq {
         transform(array_sort(collect_list(struct(col("sub"), col("part")))),
           x => x.getField("part")),
         lit(0.0), (acc, x) => acc + x).as("adc"))
-    Windows.topKPerGroup(scored, Seq(col("qid")),
-        Seq(col("adc").desc, col("id")), k)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("adc").desc, col("id"))))
+    Windows.topKPerGroupRanked(scored, Seq(col("qid")),
+        Seq(col("adc").desc, col("id")), k, "rk")
       .select(col("qid"), col("rk"), col("id").as("nid"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -171,11 +168,8 @@ object Pq {
       .select(col("qid"), col("nid"),
         (Similarity.dot(col("qe"), col("ce"))
           / (col("qnrm") * col("cenrm"))).as("cos_sim"))
-    Windows.topKPerGroup(exact, Seq(col("qid")),
-        Seq(col("cos_sim").desc, col("nid")), k)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("cos_sim").desc, col("nid"))))
+    Windows.topKPerGroupRanked(exact, Seq(col("qid")),
+        Seq(col("cos_sim").desc, col("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -198,11 +192,8 @@ object Pq {
       .join(q, Seq("qid")).join(c, Seq("nid"))
       .select(col("qid"), col("nid"),
         Similarity.dot(col("__qv"), col("__cv")).as("dp"))
-    Windows.topKPerGroup(exact, Seq(col("qid")),
-        Seq(col("dp").desc, col("nid")), k)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("dp").desc, col("nid"))))
+    Windows.topKPerGroupRanked(exact, Seq(col("qid")),
+        Seq(col("dp").desc, col("nid")), k, "rk")
       .select(col("qid"), col("rk"), col("nid"))
       .orderBy(col("qid"), col("rk"))
   }

@@ -35,11 +35,12 @@ object Sampling {
                         n: Int, seed: Int): DataFrame = {
     val u = (HashFns.md5Long(col(idCol).cast("string"), seed) + lit(1L))
       .cast("double") / lit(math.pow(2, 60))
+    val k = Dedup.freshName(df, "__k") // never clobber a caller column
     df.filter(col(weightCol) > 0)
-      .withColumn("__k", u / col(weightCol))
-      .orderBy(col("__k"), col(idCol))
+      .withColumn(k, u / col(weightCol))
+      .orderBy(col(k), col(idCol))
       .limit(n)
-      .drop("__k")
+      .drop(k)
       .orderBy(col(idCol))
   }
 }

@@ -155,8 +155,17 @@ object Windows {
   def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                    k: Int): DataFrame = {
     val rk = Dedup.freshName(df, "__rk")
-    df.withColumn(rk, rowNumber(keys, order))
-      .filter(col(rk) <= k)
-      .drop(rk)
+    topKPerGroupRanked(df, keys, order, k, rk).drop(rk)
   }
+
+  /** [[topKPerGroup]] KEEPING the rank as `rankCol` (1-based). Callers
+    * that output the rank use this instead of re-computing an identical
+    * row_number over a second Window node (the ANN/BM25/RRF call sites
+    * all did exactly that before this existed — one window, one sort).
+    */
+  def topKPerGroupRanked(df: DataFrame, keys: Seq[Column],
+                         order: Seq[Column], k: Int,
+                         rankCol: String): DataFrame =
+    df.withColumn(rankCol, rowNumber(keys, order))
+      .filter(col(rankCol) <= k)
 }

@@ -237,11 +237,15 @@ object Jdbc {
     }
     val on = keys.map(k => keyEq(df, k)).mkString(" AND ")
     // null-safe "state differs" over the tracked attrs (Derby has no
-    // IS DISTINCT FROM; string attrs go through the VARCHAR cast like
-    // keys do, since Derby cannot compare CLOBs)
+    // IS DISTINCT FROM; string attrs go through a VARCHAR cast since
+    // Derby cannot compare CLOBs). The cast is Derby's MAXIMUM VARCHAR
+    // width (32672), not keyEq's 512: truncating an INEQUALITY compare
+    // would make states that differ only past the cutoff look equal and
+    // silently drop the change from history — keys can afford 512
+    // because they only need to MATCH, and real keys are short.
     def side(alias: String, c: String) = df.schema(c).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        s"CAST($alias.${q(c)} AS VARCHAR(512))"
+        s"CAST($alias.${q(c)} AS VARCHAR(32672))"
       case _ => s"$alias.${q(c)}"
     }
     val differs = attrs.map { c =>

@@ -329,6 +329,35 @@ object QueriesEvents {
              |      GROUP BY e.user_id)
              |SELECT (SELECT count(*) FROM v) AS n_view,
              |       (SELECT count(*) FROM c) AS n_view_click,
-             |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin))
+             |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)),
+
+    // --------------------------------------------- EWMA smoothing
+    // Per-user exponentially weighted moving average of the event
+    // value, folded in event-time order with alpha = 1/4 (an exact
+    // binary fraction, so each fold step is representation-error-free
+    // and the two engines' sequential folds agree bit-for-bit; DuckDB's
+    // list_reduce seeds from the first element exactly like the Spark
+    // fold's element_at(vs, 1) seed). One hash shuffle on user_id; the
+    // per-key series packs into one task, which scales on the #keys
+    // axis — see Timeseries.ewma's scaladoc for the associative affine
+    // segmented form and why it's not used.
+    Q("q_ev_ewma",
+      (s, d) => {
+        graft.operators.Timeseries.ewma(Tables.events(s, d),
+            Seq("user_id"), Seq(col("ts"), col("event_id")),
+            "value", alpha = 0.25)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH sm AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    last(value ORDER BY ts, event_id) AS last_value,
+             |    list_reduce(list(value ORDER BY ts, event_id),
+             |      (a, b) -> a * CAST(0.75 AS DOUBLE)
+             |              + b * CAST(0.25 AS DOUBLE)) AS ewma
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY user_id)
+             |SELECT user_id, n_events, last_value, ewma,
+             |  last_value - ewma AS drift
+             |FROM sm ORDER BY user_id""".stripMargin))
   )
 }

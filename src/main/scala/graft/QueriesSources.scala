@@ -359,6 +359,37 @@ object QueriesSources {
              |SELECT bucket, count(*) AS n,
              |  min(pk) AS min_pk, max(pk) AS max_pk,
              |  min(sk) AS min_sk, max(sk) AS max_sk
-             |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // -------------------------------------- range-partition planner
+    // Balanced split points for a sorted lake layout (the deterministic
+    // analogue of RangePartitioner's reservoir sampling): boundaries
+    // are exact order statistics on a floor() quantization grid, ids
+    // assigned by counting boundaries below each row's grid value —
+    // all integer arithmetic, so the plan replays bit-for-bit in the
+    // oracle. See Lake.rangePartitionPlan for the shuffle shape (one
+    // histogram shuffle + broadcast boundary array, never a data sort).
+    Q("q_lake_range_partition",
+      (s, d) => Lake.rangePartitionPlan(
+        Tables.lineitem(s, d), "l_extendedprice", k = 8),
+      Some("""WITH vals AS (
+             |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS gv
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+             |hist AS (SELECT gv, count(*) AS c FROM vals GROUP BY gv),
+             |cum AS (SELECT gv, sum(c) OVER (ORDER BY gv) AS cum
+             |        FROM hist),
+             |bnd AS (
+             |  SELECT t.i, min(cum.gv) AS b
+             |  FROM cum, n, unnest(range(1, 8)) t(i)
+             |  WHERE cum.cum >= (t.i * n.n + 7) // 8
+             |  GROUP BY t.i),
+             |asg AS (
+             |  SELECT v.gv, CAST((SELECT count(*) FROM bnd
+             |    WHERE bnd.b < v.gv) AS BIGINT) AS pid
+             |  FROM vals v)
+             |SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(gv) AS lo, max(gv) AS hi
+             |FROM asg GROUP BY pid ORDER BY pid""".stripMargin))
   )
 }

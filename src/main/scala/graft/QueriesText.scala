@@ -1028,7 +1028,85 @@ object QueriesText {
       Some(s"""SELECT doc_id, source,
               |  CASE WHEN ${HashFns.md5LongSql("source", 7)} % 100 < 90
               |    THEN 'train' ELSE 'eval' END AS split
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------ source mixing under a token budget
+    // The data-mixing step of pretraining-corpus assembly (Pile/Dolma
+    // style): each source carries a declared mixing weight (curated
+    // src0-4 get 3x the weight of web-crawl sources), the corpus
+    // budget here is half the total token count, and each source's
+    // admission rate is its allotted tokens over its actual tokens,
+    // capped at 1. Rates are basis-point INTEGERS (floor arithmetic
+    // throughout — no float shares), and admission is the portable
+    // doc_id hash against the per-source threshold, so the sample is
+    // reproducible across runs, engines, and partitionings. Shape: one
+    // shuffle to count per-source tokens, a broadcast of the tiny
+    // per-source rate table, then a map-only admission pass + one
+    // re-aggregation of the admitted docs.
+    Q("q_text_mixture_budget",
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(col("doc_id"),
+          col("source"), TextFns.wordCount(col("text")).as("toks"))
+        val per = tok.groupBy(col("source"))
+          .agg(sum(col("toks")).as("t_tokens"))
+          .withColumn("weight",
+            when(substring(col("source"), 4, 10).cast("int") < 5,
+              lit(3L)).otherwise(lit(1L)))
+        val tot = per.agg(
+          expr("sum(t_tokens) div 2").as("budget"),
+          sum(col("weight")).as("wsum"))
+        val rated = per.crossJoin(broadcast(tot))
+          .withColumn("alloc_tokens", expr("(budget * weight) div wsum"))
+          .withColumn("rate_bp", least(lit(10000L),
+            expr("(10000 * alloc_tokens) div t_tokens")))
+        val sel = tok
+          .join(broadcast(rated.select(col("source"), col("rate_bp"))),
+            Seq("source"))
+          .filter(HashFns.md5Long(col("doc_id").cast("string"), seed = 23)
+            % 10000 < col("rate_bp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sel"), sum(col("toks")).as("sel_tokens"))
+        rated.join(sel, Seq("source"), "left")
+          .select(col("source"), col("weight"), col("t_tokens"),
+            col("alloc_tokens"), col("rate_bp"),
+            coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+            coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              |      AS BIGINT) AS toks
+              |  FROM documents),
+              |per AS (
+              |  SELECT source, CAST(sum(toks) AS BIGINT) AS t_tokens,
+              |    CASE WHEN CAST(substr(source, 4) AS INT) < 5
+              |      THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+              |      AS weight
+              |  FROM tok GROUP BY source),
+              |tot AS (
+              |  SELECT CAST(sum(t_tokens) // 2 AS BIGINT) AS budget,
+              |    CAST(sum(weight) AS BIGINT) AS wsum FROM per),
+              |rated AS (
+              |  SELECT p.source, p.weight, p.t_tokens,
+              |    CAST((t.budget * p.weight) // t.wsum AS BIGINT)
+              |      AS alloc_tokens,
+              |    CAST(least(10000, (10000 * ((t.budget * p.weight)
+              |      // t.wsum)) // p.t_tokens) AS BIGINT) AS rate_bp
+              |  FROM per p, tot t),
+              |sel AS (
+              |  SELECT tok.source, CAST(count(*) AS BIGINT) AS n_sel,
+              |    CAST(sum(tok.toks) AS BIGINT) AS sel_tokens
+              |  FROM tok JOIN rated r ON tok.source = r.source
+              |  WHERE ${HashFns.md5LongSql("CAST(doc_id AS VARCHAR)", 23)}
+              |    % 10000 < r.rate_bp
+              |  GROUP BY tok.source)
+              |SELECT r.source, r.weight, r.t_tokens, r.alloc_tokens,
+              |  r.rate_bp,
+              |  COALESCE(s.n_sel, CAST(0 AS BIGINT)) AS n_sel,
+              |  COALESCE(s.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
+              |FROM rated r LEFT JOIN sel s ON r.source = s.source
+              |ORDER BY r.source""".stripMargin))
   )
 
   /** GPT-3-style n-gram decontamination (both q_text_contamination

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series smoothing operators.
+  *
+  * Reference anchor: the notebooks smooth training-load series with
+  * rolling means (`ML Python Scripts/ML_Model_Data_Cleaning.ipynb`,
+  * ATL/CTL exponential decay in `Final Datasets/atl.csv`'s derivation);
+  * the general form every monitoring/feature pipeline needs is the
+  * exponentially weighted moving average, so the engine ships it as a
+  * first-class grouped operator.
+  */
+object Timeseries {
+
+  /** Per-key exponentially weighted moving average, folded in event-time
+    * order: `s_1 = x_1`, `s_t = (1-alpha)*s_{t-1} + alpha*x_t`.
+    *
+    * Engine-portability contract: `alpha` (and `1-alpha`) must be exact
+    * binary fractions (k/2^m, e.g. 0.25/0.75) so each fold step is one
+    * IEEE multiply-add chain with no representation error — two engines
+    * folding the same doubles in the same order then agree bit-for-bit
+    * (DuckDB mirror: `list_reduce(list(v ORDER BY ord), ...)`, which
+    * seeds from the first element exactly like this fold).
+    *
+    * Scale shape: one hash shuffle on the keys; each key's series is
+    * packed into a single task (`collect_list`), which is the right
+    * trade while series-per-key are bounded (events per user/device —
+    * the 100 TB axis is #keys, which spreads across tasks). For
+    * unbounded single-key series the fold is an affine map `s' = A*s +
+    * B` per segment and composes associatively, so a segmented
+    * map-side partial exists — but it re-orders float operations and
+    * breaks the bit-exact contract, so this operator keeps the
+    * sequential fold and documents the trade.
+    *
+    * Null values are filtered before folding (Spark's `collect_list`
+    * skips nulls but DuckDB's `list()` keeps them; filtering makes both
+    * engines see the same series).
+    *
+    * Output: key columns + `n_events`, `last_value`, `ewma`, and
+    * `drift` = last_value - ewma (a control-chart style deviation of
+    * the newest point from its smoothed history).
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val ks = keyCols.map(col)
+    val vs = transform(
+      array_sort(collect_list(struct(ordCols :+ col(valueCol).as("__v"): _*))),
+      x => x.getField("__v"))
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_events"), vs.as("__vs"))
+    g.select(ks ++ Seq(
+        col("n_events"),
+        element_at(col("__vs"), size(col("__vs"))).as("last_value"),
+        aggregate(
+          slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
+          element_at(col("__vs"), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)).as("ewma")): _*)
+      .withColumn("drift", col("last_value") - col("ewma"))
+  }
+}

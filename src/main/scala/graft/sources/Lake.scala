@@ -95,6 +95,57 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** Range-partition PLANNER: balanced split points for laying a column
+    * out as `k` sorted ranges (the boundary-sampling step inside
+    * Spark's own RangePartitioner / a sorted-lake `partitionedBy` plan,
+    * made deterministic and exact instead of sample-based).
+    *
+    * Boundaries are ORDER STATISTICS on a quantization GRID:
+    * `grid(v) = floor(v)` buckets the column (the grid keeps the
+    * histogram bounded regardless of row count — the same
+    * bounded-domain contract as operators/Percentiles), boundary i is
+    * the smallest grid value whose cumulative count reaches rank
+    * ⌈i·n/k⌉, and a row's partition id is the number of boundaries
+    * strictly below its grid value. All arithmetic is INTEGER (grid
+    * values are longs, ranks are ceil-divided longs), so the plan is
+    * bit-reproducible across engines and runs.
+    *
+    * Shape: one histogram shuffle (map-side combined, O(grid) rows), a
+    * cumulative window over the HISTOGRAM (single-partition over the
+    * grid, never the data — same contract as Percentiles), then a
+    * broadcast of the (k-1)-element boundary array and a map-only
+    * assignment + one summary aggregation.
+    *
+    * Output: one row per partition id — `pid`, `n_rows`, `lo`, `hi`
+    * (observed grid min/max). Empty ranges (a hot grid value spanning
+    * multiple ranks) simply don't appear.
+    */
+  def rangePartitionPlan(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 ranges, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol)).as("gv"))
+    val hist = vals.groupBy(col("gv")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("gv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = vals.agg(count(lit(1)).as("n"))
+    val ranks = n.select(explode(sequence(lit(1), lit(k - 1))).as("i"),
+        col("n"))
+      .withColumn("rank", expr(s"(i * n + ${k - 1}) div $k"))
+    val bnd = cum.crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("i")).agg(min(col("gv")).as("b"))
+    val bnds = bnd.agg(sort_array(collect_list(col("b"))).as("bnds"))
+    vals.crossJoin(broadcast(bnds))
+      .select(col("gv"),
+        size(filter(col("bnds"), b => b < col("gv"))).cast("long").as("pid"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"), min(col("gv")).as("lo"),
+        max(col("gv")).as("hi"))
+      .orderBy(col("pid"))
+  }
+
   /** Small-file compaction, PARTITION-SELECTIVE: only `day=` directories
     * whose file count exceeds what their bytes need (> ceil(bytes /
     * targetBytesPerFile) files) are rewritten; every other day's files

@@ -431,6 +431,68 @@ object QueriesCoverage {
              |  ON l.o_custkey = r.o_custkey AND r.snap_ts >= l.o_orderdate
              |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)),
 
+    // ---------------------------------------------- nearest as-of join
+    // The two-directional completion of the pair above: each open order
+    // picks up the customer's CLOSEST finished order in either time
+    // direction (ties and exact date hits resolve backward). One union
+    // + one window sort serves both directions (AsOf.joinNearest); the
+    // oracle composes DuckDB's native backward and strictly-forward
+    // ASOF joins and replays the same delta comparison, pinning the
+    // choice rule against an independent implementation.
+    Q("q_asof_nearest",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val left = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val snaps = Dedup.keepLatest(
+            o.filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey"), col("o_orderdate").as("snap_ts"),
+                col("o_totalprice").as("snap_price"),
+                col("o_orderkey").as("snap_key")),
+            Seq("o_custkey", "snap_ts"), col("snap_key"))
+          .drop("snap_key")
+        AsOf.joinNearest(left, snaps, "o_custkey", "o_orderdate", "snap_ts",
+            Seq("snap_price"), (a, b) => datediff(a, b))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("snap_ts"), col("snap_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""WITH l AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |  WHERE o_orderstatus = 'O'),
+             |r AS (
+             |  SELECT o_custkey, snap_ts, snap_price FROM (
+             |    SELECT o_custkey, o_orderdate AS snap_ts,
+             |      o_totalprice AS snap_price,
+             |      row_number() OVER (
+             |        PARTITION BY o_custkey, o_orderdate
+             |        ORDER BY o_orderkey DESC) AS rn
+             |    FROM orders WHERE o_orderstatus = 'F') WHERE rn = 1),
+             |b AS (
+             |  SELECT l.o_custkey, l.o_orderkey, l.o_orderdate,
+             |    r.snap_ts AS bts, r.snap_price AS bp
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.o_custkey = r.o_custkey
+             |   AND r.snap_ts <= l.o_orderdate),
+             |f AS (
+             |  SELECT l.o_custkey, l.o_orderkey,
+             |    r.snap_ts AS fts, r.snap_price AS fp
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.o_custkey = r.o_custkey
+             |   AND r.snap_ts > l.o_orderdate)
+             |SELECT b.o_custkey, b.o_orderkey, b.o_orderdate,
+             |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+             |         OR date_diff('day', b.bts, b.o_orderdate)
+             |         <= date_diff('day', b.o_orderdate, f.fts))
+             |    THEN b.bts ELSE f.fts END AS snap_ts,
+             |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+             |         OR date_diff('day', b.bts, b.o_orderdate)
+             |         <= date_diff('day', b.o_orderdate, f.fts))
+             |    THEN b.bp ELSE f.fp END AS snap_price
+             |FROM b JOIN f ON b.o_custkey = f.o_custkey
+             |  AND b.o_orderkey = f.o_orderkey
+             |ORDER BY b.o_custkey, b.o_orderkey""".stripMargin)),
+
     // ------------------------------------------- grid-binned spatial join
     // J4 (the reference README's aspirational ST_Contains example) as a
     // Spark-native rewrite: points and rectangles bin onto a 10-degree

@@ -209,6 +209,90 @@ object QueriesSimilarity {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // --------------------------------- LSH candidates, edit-distance verify
+    // Same banded-LSH candidate generation as q_sim_lsh_neardup, but the
+    // verification metric is LEVENSHTEIN distance — the fuzzy-dedup
+    // variant used when near-dups are edits (typos, template fills,
+    // boilerplate patches) rather than shingle-set overlap. Thresholding
+    // is pure integer arithmetic (lev*5 <= max(len) == lev <= 0.2*max),
+    // and the O(len^2) DP runs only on CANDIDATE pairs — the LSH stage
+    // bounds the quadratic work exactly as it does for Jaccard. Both
+    // engines implement classic unit-cost Levenshtein, so the verify is
+    // exact (edit_sim's one int/int division is a single IEEE op).
+    Q("q_sim_lsh_editdist",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // uniq feeds three consumers (shingling + both text joins);
+        // cached so the dedup window runs once, as the materialized
+        // exact-dedup stage would at scale (Verify/Bench clearCache
+        // between queries)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id").cache()
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
+        val t = uniq.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        cand
+          .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta"),
+            col("len").as("__la")), Seq("id_a"))
+          .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb"),
+            col("len").as("__lb")), Seq("id_b"))
+          .withColumn("lev",
+            levenshtein(col("__ta"), col("__tb")).cast("long"))
+          .filter(col("lev") * 5 <= greatest(col("__la"), col("__lb")))
+          .select(col("id_a"), col("id_b"), col("lev"),
+            (lit(1.0) - col("lev").cast("double") /
+              greatest(col("__la"), col("__lb")).cast("double"))
+              .as("edit_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH uniq AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hh AS ($baseHashSql),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN ok USING (band, bv)
+           |  JOIN bands b USING (band, bv)
+           |  WHERE a.doc_id < b.doc_id),
+           |t AS (SELECT doc_id, text,
+           |        CAST(length(text) AS BIGINT) AS len FROM uniq)
+           |SELECT c.id_a, c.id_b,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           |  CAST(1 AS DOUBLE) - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+           |    / CAST(greatest(a.len, b.len) AS DOUBLE) AS edit_sim
+           |FROM cand c
+           |JOIN t a ON a.doc_id = c.id_a
+           |JOIN t b ON b.doc_id = c.id_b
+           |WHERE CAST(levenshtein(a.text, b.text) AS BIGINT) * 5
+           |  <= greatest(a.len, b.len)
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ------------------------------------ incremental LSH near-dup probe
     // The NEAR-dup sibling of q_sim_incremental_dedup's exact-digest CDC
     // path: a new batch lands against a historical corpus whose MinHash
@@ -1472,6 +1556,58 @@ object QueriesSimilarity {
               |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
               |    AS BIGINT) AS is_kept
               |FROM assign a LEFT JOIN dropped d USING (vec_id)
-              |ORDER BY a.vec_id""".stripMargin))
+              |ORDER BY a.vec_id""".stripMargin)),
+
+    // ------------------------- dominant principal direction (power iter)
+    // Two matrix-free power iterations over the embedding matrix: the
+    // top singular direction used for all-but-the-top de-biasing and
+    // corpus drift monitoring. The d x d covariance never materializes
+    // — each iteration is a per-row dot (map) plus a per-DIMENSION
+    // aggregation (state O(d), dimensions spread across tasks). Every
+    // float reduction folds in an explicit order (row dots by index,
+    // dimension sums by vec_id, the norm by dimension), so the DuckDB
+    // replay below is bit-identical — see Spectral.scala for the
+    // ordered-fold contract and the commutative-sum relaxation at
+    // production scale.
+    Q("q_emb_power_iteration",
+      (s, d) => graft.operators.Spectral.powerIterationLoadings(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, iters = 2),
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+             |  FROM embeddings),
+             |lng AS (
+             |  SELECT vec_id, CAST(u.i AS BIGINT) AS j,
+             |    xd[CAST(u.i AS INT)] AS x
+             |  FROM e, unnest(range(1, 65)) u(i)),
+             |d1 AS (
+             |  SELECT vec_id, list_sum(list_transform(xd,
+             |    x -> x * CAST(0.125 AS DOUBLE))) AS d
+             |  FROM e),
+             |s1 AS (
+             |  SELECT lng.j, list_sum(list(lng.x * d1.d
+             |    ORDER BY lng.vec_id)) AS sv
+             |  FROM lng JOIN d1 USING (vec_id) GROUP BY lng.j),
+             |n1 AS (
+             |  SELECT sqrt(list_sum(list(sv * sv ORDER BY j))) AS nrm
+             |  FROM s1),
+             |v1l AS (
+             |  SELECT list(sv / nrm ORDER BY j) AS vl FROM s1, n1),
+             |d2 AS (
+             |  SELECT e.vec_id, list_sum(list_transform(
+             |    list_zip(e.xd, v1l.vl),
+             |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d
+             |  FROM e, v1l),
+             |s2 AS (
+             |  SELECT lng.j, list_sum(list(lng.x * d2.d
+             |    ORDER BY lng.vec_id)) AS sv
+             |  FROM lng JOIN d2 USING (vec_id) GROUP BY lng.j),
+             |n2 AS (
+             |  SELECT sqrt(list_sum(list(sv * sv ORDER BY j))) AS nrm
+             |  FROM s2)
+             |SELECT s2.j AS dim, s2.sv / n2.nrm AS loading,
+             |  n2.nrm AS eig
+             |FROM s2, n2 ORDER BY dim""".stripMargin))
   )
 }

@@ -450,4 +450,49 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class EwmaState(n: Long, lastTs: Long, lastValue: Double,
+                             ewma: Double)
+
+  final case class EwmaOut(user_id: Long, n_events: Long,
+                           last_value: Double, ewma: Double, drift: Double)
+
+  /** Streaming sibling of graft.operators.Timeseries.ewma: per-key
+    * EWMA maintained incrementally with O(1) state (n, last ts, last
+    * value, current smoothed value) — the live metric smoother behind
+    * a monitoring dashboard or drift alert. Emits each key's refreshed
+    * row per micro-batch (Update-mode shape).
+    *
+    * Within a micro-batch rows fold in (ts, event_id) order — the same
+    * discipline as [[sessionize]] — so when batches arrive in event-time
+    * order (replay, log-shipped ingestion) the result is IDENTICAL,
+    * bit-for-bit, to the batch operator's ordered fold (alpha is the
+    * same exact binary fraction; StreamingSpec proves the equivalence).
+    * Cross-batch out-of-order arrivals fold in arrival order, the
+    * standard processing-order trade of an O(1)-state smoother — an
+    * event-time-exact variant would buffer per-key series under a
+    * watermark, paying O(series) state for no steady-state benefit.
+    */
+  def ewmaUpdates(events: Dataset[Event], alpha: Double)(
+      implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur = Some(cur match {
+              case Some(s) => EwmaState(s.n + 1, e.ts.getTime, e.value,
+                s.ewma * (1.0 - alpha) + e.value * alpha)
+              case None => EwmaState(1L, e.ts.getTime, e.value, e.value)
+            })
+          }
+          val s = cur.get
+          state.update(s)
+          EwmaOut(user, s.n, s.lastValue, s.ewma, s.lastValue - s.ewma)
+      }
+  }
 }

@@ -313,6 +313,26 @@ class OperatorsSpec extends AnyFunSuite {
       ("l4", null))) // key 2: snapshot at 9 is before 12
   }
 
+  test("asof joinNearest: two-directional choice, ties resolve backward") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1, 5, "hit"), (1, 10, "tie"), (1, 13, "fwd"),
+      (1, 30, "bwd"), (2, 7, "none"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1, 5, 50.0), (1, 15, 150.0))
+      .toDF("k", "snap_ts", "price")
+    val r = AsOf.joinNearest(left, right, "k", "ts", "snap_ts",
+        Seq("price"), (a, b) => a - b)
+      .orderBy("k", "ts").collect()
+      .map(x => (x.getAs[String]("tag"), x.getAs[Any]("snap_ts"),
+        x.getAs[Any]("price"))).toSeq
+    assert(r == Seq(
+      ("hit", 5, 50.0),    // exact hit: delta 0, backward
+      ("tie", 5, 50.0),    // |10-5| == |15-10|: backward wins
+      ("fwd", 15, 150.0),  // 15 is closer than 5
+      ("bwd", 15, 150.0),  // nothing after 30: backward only
+      ("none", null, null))) // key 2 has no right rows
+  }
+
   test("connectedComponents: chains merge to min label, components stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")

@@ -392,4 +392,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(0).getLong(0) == 10L && rows(0).getLong(1) == 20L)
     } finally q.stop()
   }
+
+  test("ewmaUpdates: in-order replay is bit-identical to the batch fold") {
+    val events = Seq(
+      Event(1, ts("2024-03-01 10:00:00"), 1, "m", 4.0),
+      Event(2, ts("2024-03-01 10:01:00"), 1, "m", 8.0),
+      Event(3, ts("2024-03-01 10:02:00"), 1, "m", 1.0),
+      Event(4, ts("2024-03-01 10:03:00"), 1, "m", 5.0),
+      Event(5, ts("2024-03-01 10:00:30"), 2, "m", 10.0),
+      Event(6, ts("2024-03-01 10:04:00"), 2, "m", 30.0))
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.ewmaUpdates(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_spec")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // two event-time-ordered micro-batches, keys interleaved — the
+      // cross-batch fold must continue from state, not restart
+      input.addData(events.take(3))
+      q.processAllAvailable()
+      input.addData(events.drop(3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_events, last_value, ewma, drift FROM ewma_spec")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) } // latest update
+      val batch = graft.operators.Timeseries.ewma(
+          events.toDF(), Seq("user_id"), Seq(col("ts"), col("event_id")),
+          "value", alpha = 0.25)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      assert(got.keySet == Set(1L, 2L))
+      got.foreach { case (u, r) =>
+        val b = batch(u)
+        assert(r.getLong(1) == b._1, s"user $u n")
+        assert(r.getDouble(2) == b._2, s"user $u last_value")
+        assert(r.getDouble(3) == b._3, s"user $u ewma (bit-exact)")
+        assert(r.getDouble(4) == b._4, s"user $u drift")
+      }
+    } finally q.stop()
+  }
 }

@@ -976,6 +976,28 @@ object QueriesRelational {
              |  FROM orders) WHERE rk <= 3
              |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    // O2 scale path: same answer and oracle as q_o2_topk_per_group,
+    // but via the bounded-buffer AGGREGATE (operators/TopK) — map-side
+    // combine reduces a hot priority to 3 rows per map task, immune to
+    // the one skewed group that serializes the row_number window at
+    // 100 TB (the top-k analogue of the keepFirstAgg precedent; the
+    // no-Window plan shape is PlanSpec-pinned).
+    Q("q_o2_topk_per_group_agg",
+      (s, d) => graft.operators.TopK.topKPerGroupAgg(
+          Tables.orders(s, d).select(col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderkey")),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // ------------------------------------------------------------- N1/N2
     Q("q_n1_struct_expand",
       (s, d) => Tables.orders(s, d)

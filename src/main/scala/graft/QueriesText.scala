@@ -1030,6 +1030,128 @@ object QueriesText {
               |    THEN 'train' ELSE 'eval' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------ snapshot drift gate (chi-sq)
+    // Distribution-shift check between two corpus snapshots (first vs
+    // second half of the id space standing in for "last crawl" vs "new
+    // crawl"): Pearson's chi-squared over equi-depth n_chars bins of
+    // the REFERENCE snapshot. Chi-squared instead of PSI/KL on purpose:
+    // no logarithm, so every term is integer-derived IEEE arithmetic
+    // and the report replays bit-for-bit (operators/Drift scaladoc has
+    // the shuffle shape: one ref histogram + broadcast boundaries +
+    // two map-only assignments).
+    Q("q_drift_chisq",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mid = docs.agg(expr("(max(doc_id) + 1) div 2").as("m"))
+        val sided = docs.crossJoin(broadcast(mid))
+        graft.operators.Drift.chiSquared(
+          sided.filter(col("doc_id") < col("m")),
+          sided.filter(col("doc_id") >= col("m")),
+          "n_chars", bins = 10)
+      },
+      Some("""WITH mid AS (
+             |  SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+             |refv AS (
+             |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
+             |  WHERE doc_id < m AND n_chars IS NOT NULL),
+             |curv AS (
+             |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
+             |  WHERE doc_id >= m AND n_chars IS NOT NULL),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM refv),
+             |hist AS (SELECT gv, count(*) AS c FROM refv GROUP BY gv),
+             |cum AS (SELECT gv, sum(c) OVER (ORDER BY gv) AS cum
+             |        FROM hist),
+             |bnd AS (
+             |  SELECT t.i, min(cum.gv) AS b
+             |  FROM cum, n, unnest(range(1, 10)) t(i)
+             |  WHERE cum.cum >= (t.i * n.n + 9) // 10
+             |  GROUP BY t.i),
+             |refb AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM (
+             |    SELECT CAST((SELECT count(*) FROM bnd
+             |      WHERE bnd.b < r.gv) AS BIGINT) AS bin FROM refv r)
+             |  GROUP BY bin),
+             |curb AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM (
+             |    SELECT CAST((SELECT count(*) FROM bnd
+             |      WHERE bnd.b < c.gv) AS BIGINT) AS bin FROM curv c)
+             |  GROUP BY bin),
+             |tot AS (
+             |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM refv)
+             |    AS ref_total,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM curv) AS cur_total),
+             |per AS (
+             |  SELECT bin, COALESCE(ref_n, CAST(0 AS BIGINT)) AS ref_n,
+             |    COALESCE(cur_n, CAST(0 AS BIGINT)) AS cur_n
+             |  FROM refb FULL OUTER JOIN curb USING (bin)),
+             |per2 AS (
+             |  SELECT bin, ref_n, cur_n,
+             |    CAST(ref_n AS DOUBLE) * CAST(cur_total AS DOUBLE)
+             |      / CAST(ref_total AS DOUBLE) AS expected,
+             |    CASE WHEN ref_n = 0 THEN CAST(cur_n AS DOUBLE)
+             |      ELSE (CAST(cur_n AS DOUBLE)
+             |             - CAST(ref_n AS DOUBLE) * CAST(cur_total AS DOUBLE)
+             |               / CAST(ref_total AS DOUBLE))
+             |         * (CAST(cur_n AS DOUBLE)
+             |             - CAST(ref_n AS DOUBLE) * CAST(cur_total AS DOUBLE)
+             |               / CAST(ref_total AS DOUBLE))
+             |         / (CAST(ref_n AS DOUBLE) * CAST(cur_total AS DOUBLE)
+             |               / CAST(ref_total AS DOUBLE))
+             |    END AS contrib
+             |  FROM per, tot),
+             |t AS (SELECT list_sum(list(contrib ORDER BY bin)) AS chisq
+             |      FROM per2)
+             |SELECT bin, ref_n, cur_n, expected, contrib, chisq
+             |FROM per2, t ORDER BY bin""".stripMargin)),
+
+    // --------------------------------------- BPE merge-rule training
+    // Three rounds of distributed BPE merge induction (Sennrich et al.
+    // 2016) over word tokens (= phrase induction; the operator is
+    // initial-tokenization-agnostic): count adjacent pairs corpus-wide,
+    // adopt the most frequent (ties: count DESC, left, right), rewrite
+    // greedily left-to-right, repeat — merged tokens participate in
+    // later rounds. Per round: one map-side pair explode + one counted
+    // shuffle + a TakeOrdered top-1 + a broadcast map-only rewrite.
+    // Output is pure integers/strings; the oracle unrolls the three
+    // rounds with list_reduce replaying the exact greedy fold.
+    Q("q_text_bpe_merges",
+      (s, d) => graft.operators.Bpe.trainMerges(
+        Tables.documents(s, d)
+          .select(TextFns.tokens(col("text")).as("toks")),
+        "toks", iters = 3),
+      Some {
+        def round(src: String, b: String, p: String): String =
+          s"""$p AS (
+             |  SELECT toks[CAST(u.i AS INT)] AS pair_l,
+             |    toks[CAST(u.i AS INT) + 1] AS pair_r, count(*) AS pair_n
+             |  FROM $src, unnest(range(1, len(toks))) u(i)
+             |  GROUP BY 1, 2),
+             |$b AS (
+             |  SELECT pair_l, pair_r, CAST(pair_n AS BIGINT) AS pair_n
+             |  FROM $p ORDER BY pair_n DESC, pair_l, pair_r LIMIT 1)"""
+            .stripMargin
+        def apply(src: String, b: String, dst: String): String =
+          s"""$dst AS (
+             |  SELECT list_reduce(list_transform(toks, x -> [x]),
+             |    (acc, t) -> CASE
+             |      WHEN acc[-1] = $b.pair_l AND t[1] = $b.pair_r
+             |      THEN list_concat(acc[1:len(acc)-1],
+             |        [$b.pair_l || '_' || $b.pair_r])
+             |      ELSE list_concat(acc, t) END) AS toks
+             |  FROM $src, $b)""".stripMargin
+        s"""WITH t0 AS (
+           |  SELECT string_split($normSql, ' ') AS toks FROM documents),
+           |${round("t0", "b1", "p1")},
+           |${apply("t0", "b1", "t1")},
+           |${round("t1", "b2", "p2")},
+           |${apply("t1", "b2", "t2")},
+           |${round("t2", "b3", "p3")}
+           |SELECT CAST(1 AS BIGINT) AS iter, * FROM b1
+           |UNION ALL SELECT CAST(2 AS BIGINT), * FROM b2
+           |UNION ALL SELECT CAST(3 AS BIGINT), * FROM b3
+           |ORDER BY iter""".stripMargin
+      }),
+
     // ------------------------------ source mixing under a token budget
     // The data-mixing step of pretraining-corpus assembly (Pile/Dolma
     // style): each source carries a declared mixing weight (curated

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * monitoring gate a training-data pipeline runs before admitting a new
+  * crawl batch ("did document length / quality / language mix shift?").
+  *
+  * Pearson's χ² over equi-depth bins of the REFERENCE snapshot:
+  * boundaries are exact order statistics of the reference, both
+  * snapshots assign by counting boundaries below their value, and the
+  * statistic is Σ (cur_i − e_i)² / e_i with e_i = ref_i · curTotal /
+  * refTotal.
+  *
+  * Scale shape: each snapshot is scanned ONCE, into its value
+  * histogram; totals, boundaries, bin assignment, and bin counts all
+  * derive from the cached histograms (O(grid) rows), so the corpus
+  * cost is exactly two passes however many downstream consumers the
+  * report has. The cumulative window runs over the HISTOGRAM (the
+  * same bounded-domain contract as operators/Percentiles), and bin
+  * assignment weights each distinct value by its count instead of
+  * re-touching rows.
+  *
+  * χ² is used instead of PSI/KL deliberately: it needs NO logarithm —
+  * every term is integer-derived IEEE arithmetic (one multiply, one
+  * divide, one squared difference per bin), and the cross-bin total
+  * folds in bin order, so the whole report is bit-reproducible across
+  * engines. A bin with no reference mass (possible when a duplicated
+  * boundary value absorbs the tail) contributes `cur_i` by the
+  * standard unexpected-mass convention, guarding the zero division.
+  *
+  * `valueCol` must satisfy the bounded-domain histogram contract
+  * (integer-ish grids: lengths, counts, quantized scores).
+  */
+object Drift {
+
+  /** One row per occupied bin: `bin`, `ref_n`, `cur_n`, `expected`,
+    * `contrib`, plus the constant `chisq` total (folded in bin order).
+    */
+  def chiSquared(ref: DataFrame, cur: DataFrame, valueCol: String,
+                 bins: Int): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val v = col(valueCol)
+    def histOf(d: DataFrame): DataFrame = d.filter(v.isNotNull)
+      .groupBy(v.cast("long").as("gv")).agg(count(lit(1)).as("c"))
+    // one corpus pass per side; every consumer below reads the cache
+    // (Verify/Bench clearCache() between queries)
+    val refHist = histOf(ref).cache()
+    val curHist = histOf(cur).cache()
+
+    val cum = refHist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("gv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = refHist.agg(sum(col("c")).as("n"))
+    val ranks = n.select(explode(sequence(lit(1), lit(bins - 1))).as("i"),
+        col("n"))
+      .withColumn("rank", expr(s"(i * n + ${bins - 1}) div $bins"))
+    val bnds = cum.crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("i")).agg(min(col("gv")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("bnds"))
+
+    // bin assignment over the HISTOGRAM, weighted by each value's count
+    def binned(h: DataFrame): DataFrame =
+      h.crossJoin(broadcast(bnds))
+        .select(size(filter(col("bnds"), b => b < col("gv")))
+          .cast("long").as("bin"), col("c"))
+        .groupBy(col("bin")).agg(sum(col("c")).as("n"))
+
+    val refB = binned(refHist).withColumnRenamed("n", "ref_n")
+    val curB = binned(curHist).withColumnRenamed("n", "cur_n")
+    val tot = refHist.agg(sum(col("c")).as("ref_total"))
+      .crossJoin(curHist.agg(sum(col("c")).as("cur_total")))
+    val per = refB.join(curB, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("ref_n").cast("double") * col("cur_total").cast("double")
+          / col("ref_total").cast("double"))
+      .withColumn("contrib", when(col("ref_n") === 0,
+          col("cur_n").cast("double"))
+        .otherwise(
+          (col("cur_n").cast("double") - col("expected")) *
+            (col("cur_n").cast("double") - col("expected")) /
+            col("expected")))
+      .select(col("bin"), col("ref_n"), col("cur_n"), col("expected"),
+        col("contrib"))
+    val total = per.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("bin"),
+        col("contrib").as("__c")))), x => x.getField("__c")),
+      lit(0.0), (a, x) => a + x).as("chisq"))
+    per.crossJoin(broadcast(total)).orderBy(col("bin"))
+  }
+}

@@ -164,6 +164,11 @@ class PlanSpec extends AnyFunSuite {
       // q_emb_power_iteration is NOT pinned: its cached loop-invariant
       // frames print their full lineage per reuse (the PageRank
       // precedent), so exchange counts are meaningless there.
+      // (q_text_bpe_merges and q_drift_chisq are NOT pinned: both
+      // cache loop-invariant/histogram frames, and InMemoryRelation
+      // reprints its build lineage per consumer — counts there track
+      // printing, not work; same waiver as q_graph_pagerank and
+      // q_emb_power_iteration.)
       "q_ev_ewma"                 -> (5, 3),
       "q_text_mixture_budget"     -> (29, 10),
       "q_lake_range_partition"    -> (18, 8),
@@ -171,7 +176,8 @@ class PlanSpec extends AnyFunSuite {
       // prints per reuse, so counts include that repetition (stable
       // across SFs: measured 48/24 at both sf0.001 and sf0.01)
       "q_sim_lsh_editdist"        -> (60, 30),
-      "q_asof_nearest"            -> (8, 5))
+      "q_asof_nearest"            -> (8, 5),
+      "q_o2_topk_per_group_agg"   -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan
@@ -247,6 +253,19 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(d)
     assert(!plan.contains("Window"),
       s"skew-safe dedup regressed to a window plan:\n$plan")
+    assert(plan.contains("Aggregate"),
+      s"expected an aggregate-based plan:\n$plan")
+  }
+
+  test("topKPerGroupAgg is a bounded-buffer aggregate, never a window") {
+    // Same contract as the dedup pin: the udaf's whole point is O(k)
+    // state with map-side combine; a Window node here means the skew
+    // immunity silently regressed to a per-group sort.
+    val d = df("q_o2_topk_per_group_agg")
+    d.collect()
+    val plan = planString(d)
+    assert(!plan.contains("Window"),
+      s"skew-safe top-k regressed to a window plan:\n$plan")
     assert(plan.contains("Aggregate"),
       s"expected an aggregate-based plan:\n$plan")
   }

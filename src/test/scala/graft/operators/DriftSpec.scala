@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DriftSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(ref: Seq[Long], cur: Seq[Long], bins: Int) =
+    Drift.chiSquared(ref.toDF("v"), cur.toDF("v"), "v", bins)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+
+  test("identical snapshots give chisq exactly zero") {
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val got = run(xs, xs, bins = 5)
+    // equal totals + identical histogram: expected == cur_n exactly
+    got.foreach { case (_, rn, cn, e, c, chi) =>
+      assert(rn == cn); assert(e == cn.toDouble)
+      assert(c == 0.0); assert(chi == 0.0)
+    }
+  }
+
+  test("a shifted snapshot produces positive drift mass where it moved") {
+    val ref = (1L to 100L).toSeq
+    val cur = (51L to 150L).toSeq // upper half doubled, lower gone
+    val got = run(ref, cur, bins = 4)
+    assert(got.map(_._5).sum > 50.0)
+    assert(got.forall(_._6 == got.head._6)) // total repeated per row
+  }
+
+  test("a bin with no reference mass falls back to unexpected-mass") {
+    // ref is one hot value -> the single boundary equals it, so every
+    // ref row lands in bin 0; cur rows above the boundary land in the
+    // ref-empty bin 1, contributing cur_n by convention
+    val got = run(Seq(1L, 1L, 1L, 1L), Seq(5L, 5L), bins = 2)
+    val byBin = got.map(g => g._1 -> g).toMap
+    assert(byBin(1L)._2 == 0L && byBin(1L)._3 == 2L)
+    assert(byBin(1L)._5 == 2.0)
+    // bin 0: expected = 4 * 2/4 = 2, observed 0 -> (0-2)^2/2 = 2
+    assert(byBin(0L)._5 == 2.0)
+    assert(got.head._6 == 4.0)
+  }
+}

@@ -331,6 +331,48 @@ object QueriesEvents {
              |       (SELECT count(*) FROM c) AS n_view_click,
              |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)),
 
+    // ------------------------------------- Markov transition matrix
+    // First-order event-type transition model over each user's
+    // event-time-ordered stream: counts of (from → to) steps and their
+    // row-normalized probabilities — the product-analytics "what
+    // happens after X" model and the stats behind next-event
+    // prediction baselines. One per-user window (lead) + two keyed
+    // aggregations; p is a single exact int/int IEEE division, so no
+    // stabilizer is needed.
+    Q("q_ev_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val steps = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+        val counts = steps.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = counts.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("__ft"))
+        counts.join(fromTot, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("__ft").cast("double")).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |f AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS ft
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(f.ft AS DOUBLE) AS p
+             |FROM c JOIN f USING (from_type)
+             |ORDER BY c.from_type, c.to_type""".stripMargin)),
+
     // --------------------------------------------- EWMA smoothing
     // Per-user exponentially weighted moving average of the event
     // value, folded in event-time order with alpha = 1/4 (an exact

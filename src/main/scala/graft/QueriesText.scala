@@ -1030,6 +1030,87 @@ object QueriesText {
               |    THEN 'train' ELSE 'eval' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------- interpolated bigram-LM score
+    // The bigram upgrade of q_text_unigram_nll's quality signal:
+    // per-doc negative log-likelihood under a Jelinek-Mercer
+    // interpolated bigram LM trained on the corpus itself,
+    // p(w2|w1) = 0.75·c(w1,w2)/c(w1) + 0.25·c(w2)/N (λ an exact binary
+    // fraction; c(w1) is the full unigram count — the standard
+    // history-count simplification, mirrored on both sides). Repetitive
+    // or template docs score low NLL, incoherent token soup scores
+    // high. Same exactness treatment as the unigram query: every
+    // probability is integer-ratio IEEE arithmetic, ln + an unordered
+    // per-doc sum absorbed by the 6-decimal stabilizer.
+    Q("q_text_bigram_nll",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val t = col("toks")
+        val big = toked.filter(size(t) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(t) - 1),
+            j => struct(element_at(t, j).as("w1"),
+              element_at(t, j + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val uni = toked.select(explode(t).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val total = uni.agg(sum(col("cu")).as("n_total"))
+        val bi = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        big
+          .join(bi, Seq("w1", "w2"))
+          .join(uni.select(col("tok").as("w1"), col("cu").as("c1")),
+            Seq("w1"))
+          .join(uni.select(col("tok").as("w2"), col("cu").as("c2")),
+            Seq("w2"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            log(lit(0.75) * col("cb").cast("double") / col("c1").cast("double")
+              + lit(0.25) * col("c2").cast("double")
+                / col("n_total").cast("double")).as("__lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("__lp")).as("__slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            stab6(-col("__slp") / col("n_bigrams").cast("double"))
+              .as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |big AS (
+              |  SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+              |    toks[CAST(u.i AS INT) + 1] AS w2
+              |  FROM t, unnest(range(1, len(toks))) u(i)
+              |  WHERE len(toks) >= 2),
+              |uni AS (
+              |  SELECT unnest(toks) AS tok FROM t),
+              |cu AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+              |n AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM cu),
+              |cb AS (SELECT w1, w2, count(*) AS cb FROM big
+              |       GROUP BY w1, w2),
+              |lp AS (
+              |  SELECT big.doc_id,
+              |    ln(CAST(0.75 AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+              |         / CAST(u1.cu AS DOUBLE)
+              |       + CAST(0.25 AS DOUBLE) * CAST(u2.cu AS DOUBLE)
+              |         / CAST(n.n_total AS DOUBLE)) AS lp
+              |  FROM big
+              |  JOIN cb ON cb.w1 = big.w1 AND cb.w2 = big.w2
+              |  JOIN cu u1 ON u1.tok = big.w1
+              |  JOIN cu u2 ON u2.tok = big.w2, n),
+              |s AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |    sum(lp) AS slp
+              |  FROM lp GROUP BY doc_id)
+              |SELECT doc_id, n_bigrams,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "-slp / CAST(n_bigrams AS DOUBLE)", 6)} AS nll
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------ snapshot drift gate (chi-sq)
     // Distribution-shift check between two corpus snapshots (first vs
     // second half of the id space standing in for "last crawl" vs "new

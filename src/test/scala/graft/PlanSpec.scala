@@ -177,7 +177,9 @@ class PlanSpec extends AnyFunSuite {
       // across SFs: measured 48/24 at both sf0.001 and sf0.01)
       "q_sim_lsh_editdist"        -> (60, 30),
       "q_asof_nearest"            -> (8, 5),
-      "q_o2_topk_per_group_agg"   -> (5, 3))
+      "q_o2_topk_per_group_agg"   -> (5, 3),
+      "q_text_bigram_nll"         -> (29, 10),
+      "q_ev_markov_transitions"   -> (18, 4))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -239,8 +239,28 @@ object QueriesSimilarity {
             col("len").as("__la")), Seq("id_a"))
           .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb"),
             col("len").as("__lb")), Seq("id_b"))
+          // length difference lower-bounds edit distance, so this
+          // integer precheck discards ~2/3 of candidates before any
+          // O(len^2) DP runs (semantically redundant with the lev
+          // threshold below — pure pruning)
+          .filter(abs(col("__la") - col("__lb")) * 5
+            <= greatest(col("__la"), col("__lb")))
+          // the surviving pair frame is only a few MB, so AQE's
+          // byte-based coalescing would collapse it into ONE task and
+          // serialize all the DP work there (measured 30 s -> the DP is
+          // CPU-bound, not byte-bound); spread pairs explicitly before
+          // the expensive verify
+          .repartition(64, col("id_a"), col("id_b"))
           .withColumn("lev",
             levenshtein(col("__ta"), col("__tb")).cast("long"))
+          // aggregate barrier on the SAME keys the repartition used
+          // (no extra shuffle): the threshold filter can't be pushed
+          // below an aggregate output, so the O(len^2) levenshtein is
+          // evaluated exactly ONCE per pair instead of once in the
+          // filter and again in the projection
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(min(col("lev")).as("lev"), min(col("__la")).as("__la"),
+            min(col("__lb")).as("__lb"))
           .filter(col("lev") * 5 <= greatest(col("__la"), col("__lb")))
           .select(col("id_a"), col("id_b"), col("lev"),
             (lit(1.0) - col("lev").cast("double") /

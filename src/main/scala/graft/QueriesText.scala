@@ -1030,6 +1030,56 @@ object QueriesText {
               |    THEN 'train' ELSE 'eval' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------- cross-source contamination matrix
+    // Corpus-hygiene analysis: for every source pair, how many RARE
+    // word 3-grams they share — the pairwise generalization of the
+    // train/eval decontamination check (mirror-site detection, scraped
+    // duplicates across crawls, license-laundered copies). The join is
+    // the rare-ngram inverted index with the SAME df <= 50 cap as the
+    // decontamination path: the cap bounds every ngram's bucket, so
+    // pair work is O(ngrams * cap^2) worst case, never quadratic in
+    // corpus size.
+    Q("q_text_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toked = docs.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+          .distinct()
+        val rare = ng.groupBy(col("ngram"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
+          .select(col("ngram"))
+        val srcNg = ng.join(rare, Seq("ngram"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("ngram")).distinct()
+        val a = srcNg.select(col("ngram"), col("source").as("src_a"))
+        val b = srcNg.select(col("ngram"), col("source").as("src_b"))
+        a.join(b, Seq("ngram")).filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |ng AS (
+              |  SELECT DISTINCT doc_id,
+              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+              |      || ' ' || toks[CAST(i AS INT)+2] AS ngram
+              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+              |  WHERE len(toks) >= 3),
+              |rare AS (SELECT ngram FROM ng GROUP BY ngram
+              |         HAVING count(*) <= 50),
+              |sn AS (
+              |  SELECT DISTINCT d.source, ng.ngram
+              |  FROM ng JOIN rare USING (ngram)
+              |  JOIN documents d USING (doc_id))
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM sn a JOIN sn b USING (ngram)
+              |WHERE a.source < b.source
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----------------------------------- interpolated bigram-LM score
     // The bigram upgrade of q_text_unigram_nll's quality signal:
     // per-doc negative log-likelihood under a Jelinek-Mercer

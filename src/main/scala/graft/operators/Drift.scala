@@ -36,19 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Builds the (gv, c) value histogram a snapshot contributes — the
+    * persisted artifact a monitoring pipeline keeps per snapshot so
+    * later gates never re-scan the corpus.
+    */
+  def valueHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
+      .groupBy(v.cast("long").as("gv")).agg(count(lit(1)).as("c"))
+  }
+
   /** One row per occupied bin: `bin`, `ref_n`, `cur_n`, `expected`,
     * `contrib`, plus the constant `chisq` total (folded in bin order).
     */
   def chiSquared(ref: DataFrame, cur: DataFrame, valueCol: String,
-                 bins: Int): DataFrame = {
-    require(bins >= 2, s"need at least 2 bins, got $bins")
-    val v = col(valueCol)
-    def histOf(d: DataFrame): DataFrame = d.filter(v.isNotNull)
-      .groupBy(v.cast("long").as("gv")).agg(count(lit(1)).as("c"))
-    // one corpus pass per side; every consumer below reads the cache
+                 bins: Int): DataFrame =
+    // one corpus pass per side; every consumer inside reads the cache
     // (Verify/Bench clearCache() between queries)
-    val refHist = histOf(ref).cache()
-    val curHist = histOf(cur).cache()
+    chiSquaredFromHists(valueHistogram(ref, valueCol).cache(),
+      valueHistogram(cur, valueCol).cache(), bins)
+
+  /** [[chiSquared]] from pre-built `(gv, c)` histograms (e.g. a
+    * persisted reference snapshot vs a streaming micro-batch). The
+    * hists are consumed several times — callers holding anything
+    * expensive should cache them first.
+    */
+  def chiSquaredFromHists(refHist: DataFrame, curHist: DataFrame,
+                          bins: Int): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
 
     val cum = refHist.withColumn("cum", sum(col("c")).over(
       Window.orderBy(col("gv"))

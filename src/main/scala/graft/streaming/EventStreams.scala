@@ -451,6 +451,45 @@ object EventStreams {
       }
   }
 
+  /** Streaming drift gate: every micro-batch's value distribution is
+    * chi-squared against a PERSISTED reference histogram (written once
+    * by graft.operators.Drift.valueHistogram — the gate never re-scans
+    * the reference corpus), and a one-row verdict lands in
+    * `reportDir/batch=<id>` (overwrite: a replayed batch rewrites its
+    * own partition, the same idempotency contract as [[dedupIngest]]'s
+    * output). This is the admission check in front of a corpus ingest:
+    * read the report, alert or quarantine when `chisq` jumps.
+    */
+  def driftGate(stream: DataFrame, valueCol: String, refHistDir: String,
+                bins: Int, reportDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftGateBatch(batch, batchId, valueCol, refHistDir, bins,
+          reportDir)
+      }
+
+  /** One micro-batch of [[driftGate]], exposed for direct replay
+    * testing. Emits (batch_id, n_cur, chisq).
+    */
+  def driftGateBatch(batch: DataFrame, batchId: Long, valueCol: String,
+                     refHistDir: String, bins: Int,
+                     reportDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val refHist = spark.read.parquet(refHistDir)
+      val curHist = graft.operators.Drift
+        .valueHistogram(batch, valueCol).cache()
+      try {
+        val report = graft.operators.Drift
+          .chiSquaredFromHists(refHist, curHist, bins)
+        report.agg(sum(col("cur_n")).as("n_cur"),
+            max(col("chisq")).as("chisq"))
+          .select(lit(batchId).as("batch_id"), col("n_cur"), col("chisq"))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+      } finally curHist.unpersist()
+    }
+
   final case class EwmaState(n: Long, lastTs: Long, lastValue: Double,
                              ewma: Double)
 

@@ -393,6 +393,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftGate: per-batch chisq verdicts against a persisted reference") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_gate").toString
+    val refDir = s"$dir/ref"
+    val repDir = s"$dir/rep"
+    // reference snapshot: uniform over 1..20 (via value histogram)
+    val ref = (1 to 20).map(i => Event(i.toLong,
+      ts("2024-03-01 09:00:00"), 1, "m", i.toDouble)).toDF()
+    graft.operators.Drift.valueHistogram(ref, "value")
+      .write.parquet(refDir)
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.driftGate(input.toDF(), "value", refDir,
+        bins = 4, reportDir = repDir)
+      .start()
+    try {
+      // batch 0: same uniform distribution -> chisq exactly 0
+      input.addData((1 to 20).map(i => Event(100 + i.toLong,
+        ts("2024-03-01 10:00:00"), 1, "m", i.toDouble)))
+      q.processAllAvailable()
+      // batch 1: all mass in the top bin -> large chisq
+      input.addData((1 to 20).map(i => Event(200 + i.toLong,
+        ts("2024-03-01 11:00:00"), 1, "m", 20.0)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(repDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0)._2 == 20L && rows(0)._3 == 0.0)
+      assert(rows(1)._2 == 20L && rows(1)._3 > 20.0)
+      // replaying a batch overwrites its partition, not duplicates it
+      EventStreams.driftGateBatch(
+        (1 to 20).map(i => Event(200 + i.toLong,
+          ts("2024-03-01 11:00:00"), 1, "m", 20.0)).toDF(),
+        1L, "value", refDir, 4, repDir)
+      assert(spark.read.parquet(repDir).count() == 2)
+    } finally q.stop()
+  }
+
   test("ewmaUpdates: in-order replay is bit-identical to the batch fold") {
     val events = Seq(
       Event(1, ts("2024-03-01 10:00:00"), 1, "m", 4.0),

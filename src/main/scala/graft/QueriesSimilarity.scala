@@ -1578,6 +1578,77 @@ object QueriesSimilarity {
               |FROM assign a LEFT JOIN dropped d USING (vec_id)
               |ORDER BY a.vec_id""".stripMargin)),
 
+    // --------------------------------- kNN label propagation (2 rounds)
+    // Semi-supervised corpus labeling: a 20% seed slice (vec_id % 5 ==
+    // 0 keeps its label — the "human-labeled" subset) propagates to
+    // the rest over the cosine kNN-3 graph via clamped weighted
+    // majority vote (operators/LabelProp). The brute-force kNN edge
+    // build is the same LABELED-baseline path as q_graph_pagerank (at
+    // corpus scale the edges come from the IVF/LSH candidate index
+    // instead); the vote is a skew-safe max_by aggregate and every
+    // weight sum folds in neighbor order, so the oracle replays the
+    // rounds bit-for-bit.
+    Q("q_graph_label_prop",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            (Similarity.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb"))).as("cos"))
+        val edges = Windows.topKPerGroup(pairs, Seq(col("src")),
+            Seq(col("cos").desc, col("nid")), 3)
+          .select(col("src"), col("nid").as("dst"), col("cos").as("w"))
+        val seeds = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          when(col("vec_id") % 5 === 0, col("label")).as("lab"))
+        graft.operators.LabelProp.run(edges, seeds, iters = 2)
+          .select(col("id").as("vec_id"), col("lab").as("label_prop"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val round = (t: Int) =>
+          s"""s$t AS (
+             |  SELECT e.src, l.lab,
+             |    list_sum(list(e.w ORDER BY e.dst)) AS sc
+             |  FROM edges e
+             |  JOIN lab${t - 1} l ON l.id = e.dst
+             |  WHERE l.lab IS NOT NULL
+             |  GROUP BY e.src, l.lab),
+             |a$t AS (
+             |  SELECT src AS id, lab FROM (
+             |    SELECT src, lab, row_number() OVER (
+             |      PARTITION BY src ORDER BY sc DESC, lab) AS rn
+             |    FROM s$t) WHERE rn = 1),
+             |lab$t AS (
+             |  SELECT l0.id, COALESCE(l0.lab, a$t.lab) AS lab
+             |  FROM lab0 l0 LEFT JOIN a$t USING (id))""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+           |  FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS nid,
+           |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+           |      AS cos
+           |  FROM e0 a, e0 b WHERE a.vec_id <> b.vec_id),
+           |edges AS (
+           |  SELECT src, nid AS dst, cos AS w FROM (
+           |    SELECT src, nid, cos, row_number() OVER (
+           |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
+           |    FROM pairs) WHERE rk <= 3),
+           |lab0 AS (
+           |  SELECT vec_id AS id,
+           |    CASE WHEN vec_id % 5 = 0 THEN label END AS lab
+           |  FROM embeddings),
+           |${round(1)},
+           |${round(2)}
+           |SELECT id AS vec_id, lab AS label_prop FROM lab2
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ------------------------- dominant principal direction (power iter)
     // Two matrix-free power iterations over the embedding matrix: the
     // top singular direction used for all-but-the-top de-biasing and

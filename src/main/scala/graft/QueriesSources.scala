@@ -390,6 +390,49 @@ object QueriesSources {
              |  FROM vals v)
              |SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
              |  min(gv) AS lo, max(gv) AS hi
-             |FROM asg GROUP BY pid ORDER BY pid""".stripMargin))
+             |FROM asg GROUP BY pid ORDER BY pid""".stripMargin)),
+
+    // --------------------------------------- compaction packing plan
+    // First-fit-decreasing packing of per-day "file" sizes into
+    // target-capacity output groups — the grouping step of small-file
+    // compaction. The fold input is file METADATA (30 rows), so the
+    // sequential FFD costs nothing at any data scale; the oracle
+    // replays the identical fold with a list-accumulator list_reduce,
+    // including first-fit index arithmetic (see Lake.packPlan).
+    Q("q_lake_pack_plan",
+      (s, d) => Lake.packPlan(
+        graft.sources.Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("sz")),
+        "sz", "day", targetBins = 8),
+      Some {
+        val ip = "list_position(list_transform(acc, " +
+          "a -> a + t[1] <= one.cap), true)"
+        s"""WITH it AS (
+           |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT)
+           |    AS sz
+           |  FROM events GROUP BY 1),
+           |one AS (
+           |  SELECT list(sz ORDER BY sz DESC, day) AS sizes,
+           |    CAST(sum(sz) // 8 AS BIGINT) AS cap
+           |  FROM it),
+           |packed AS (
+           |  SELECT one.cap,
+           |    list_reduce(list_transform(sizes, x -> [x]),
+           |      (acc, t) -> CASE
+           |        WHEN $ip = 0 THEN list_concat(acc, t)
+           |        ELSE list_concat(list_concat(
+           |          list_slice(acc, 1, $ip - 1),
+           |          [acc[$ip] + t[1]]),
+           |          list_slice(acc, $ip + 1, len(acc)))
+           |      END) AS loads
+           |  FROM one)
+           |SELECT CAST(u.i AS BIGINT) AS bin,
+           |  loads[CAST(u.i AS INT)] AS load, cap,
+           |  CAST(loads[CAST(u.i AS INT)] AS DOUBLE)
+           |    / CAST(cap AS DOUBLE) AS util
+           |FROM packed, unnest(range(1, len(loads) + 1)) u(i)
+           |ORDER BY bin""".stripMargin
+      })
   )
 }

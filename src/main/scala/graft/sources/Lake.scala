@@ -95,6 +95,55 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** Compaction PACKING planner: first-fit-decreasing bin packing of
+    * file (or partition) sizes into target-capacity output groups —
+    * the grouping decision inside a small-file compaction pass
+    * ([[compact]] rewrites days independently; this plans which inputs
+    * COALESCE into which outputs when many small units must combine).
+    *
+    * FFD is inherently sequential, and that is fine AT SCALE because
+    * its input is file METADATA — one row per file/partition, tiny by
+    * construction however big the data is. The fold runs over one
+    * collected array (size DESC, `ordCol` ASC — fully deterministic),
+    * with the bin-load list as the accumulator; the DuckDB oracle
+    * replays the identical fold via list_reduce with a list
+    * accumulator, including the first-fit index arithmetic
+    * (array_position's 0-when-absent convention matches DuckDB's
+    * list_position exactly).
+    *
+    * `cap` = total size div `targetBins` (floor): an item larger than
+    * cap opens its own (overfull) bin, the standard FFD behavior.
+    * Output: one row per bin — `bin` (1-based, in creation order),
+    * `load`, `cap`, `util` (= load/cap, one exact IEEE division).
+    */
+  def packPlan(items: DataFrame, sizeCol: String, ordCol: String,
+               targetBins: Int): DataFrame = {
+    require(targetBins >= 1, s"targetBins must be positive: $targetBins")
+    val one = items.agg(
+      transform(array_sort(collect_list(struct(
+          (-col(sizeCol)).as("__k"), col(ordCol).as("__o"),
+          col(sizeCol).as("__s")))),
+        x => x.getField("__s")).as("__sizes"),
+      expr(s"sum($sizeCol) div $targetBins").as("cap"))
+    val loads = aggregate(col("__sizes"), array().cast("array<long>"),
+      (acc, x) => {
+        val fits = transform(acc, a => (a + x) <= col("cap"))
+        val ip = array_position(fits, true) // 0 when nothing fits
+        when(ip === 0, concat(acc, array(x)))
+          .otherwise(concat(
+            slice(acc, lit(1), (ip - 1).cast("int")),
+            array(get(acc, (ip - 1).cast("int")) + x),
+            slice(acc, (ip + 1).cast("int"),
+              (size(acc) - ip).cast("int"))))
+      })
+    one.select(col("cap"), posexplode(loads.as("__loads")))
+      .select((col("pos") + 1).cast("long").as("bin"),
+        col("col").as("load"), col("cap"),
+        (col("col").cast("double") / col("cap").cast("double"))
+          .as("util"))
+      .orderBy(col("bin"))
+  }
+
   /** Range-partition PLANNER: balanced split points for laying a column
     * out as `k` sorted ranges (the boundary-sampling step inside
     * Spark's own RangePartitioner / a sorted-lake `partitionedBy` plan,

@@ -180,7 +180,8 @@ class PlanSpec extends AnyFunSuite {
       "q_o2_topk_per_group_agg"   -> (5, 3),
       "q_text_bigram_nll"         -> (29, 10),
       "q_ev_markov_transitions"   -> (18, 4),
-      "q_text_source_overlap"     -> (37, 12))
+      "q_text_source_overlap"     -> (37, 12),
+      "q_lake_pack_plan"          -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

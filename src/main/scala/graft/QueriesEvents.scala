@@ -331,6 +331,52 @@ object QueriesEvents {
              |       (SELECT count(*) FROM c) AS n_view_click,
              |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)),
 
+    // ------------------------------------------ time-weighted average
+    // TWAP per user: each value is weighted by how long it was the
+    // CURRENT value (micros until the next event) — the standard
+    // duration-weighted summary for irregularly sampled series, where
+    // a plain mean over-counts bursts. Exactness: dt is integer
+    // MICROseconds and the weighted sum runs in DECIMAL (order-free,
+    // so partial aggregation can't change it); the 6-decimal
+    // stabilizer absorbs the one representation boundary — the exact
+    // decimal wsum exceeds 2^53 in its scaled form, so the
+    // decimal->double conversions can differ in the last ulp.
+    Q("q_ev_twap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("__next", lead(col("ts"), 1).over(w))
+          .filter(col("__next").isNotNull)
+          .withColumn("__dt", unix_micros(col("__next"))
+            - unix_micros(col("ts")))
+          .groupBy(col("user_id"))
+          .agg(sum(col("__dt")).as("span_us"),
+            sum(col("value").cast("decimal(18,2)") * col("__dt"))
+              .as("__wsum"))
+          .select(col("user_id"), col("span_us"),
+            graft.functions.Stabilize.stab(
+              col("__wsum").cast("double") / col("span_us").cast("double"),
+              6).as("twap"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH st AS (
+             |  SELECT user_id, value,
+             |    epoch_us(lead(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id))
+             |      - epoch_us(ts) AS dt
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_us,
+             |    sum(CAST(value AS DECIMAL(18,2)) * dt) AS wsum
+             |  FROM st WHERE dt IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, span_us,
+             |  round_even((CAST(wsum AS DOUBLE)
+             |    / CAST(span_us AS DOUBLE)) * 1000000.0, 0) / 1000000.0
+             |    AS twap
+             |FROM g ORDER BY user_id""".stripMargin)),
+
     // ------------------------------------- Markov transition matrix
     // First-order event-type transition model over each user's
     // event-time-ordered stream: counts of (from → to) steps and their

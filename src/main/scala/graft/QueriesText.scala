@@ -1030,6 +1030,53 @@ object QueriesText {
               |    THEN 'train' ELSE 'eval' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // -------------------------- negative sampling for contrastive pairs
+    // Training-pair construction for contrastive/embedding training:
+    // each anchor document draws 3 negatives from a SHARED ~2% hash-
+    // selected pool (the distributed analogue of in-batch negatives —
+    // the pool broadcasts, so no anchor x corpus cross join exists),
+    // ranked by a pair-seeded portable hash so the draw is
+    // reproducible across runs, engines, and partitionings. Exact
+    // duplicates of the anchor (same content digest) are excluded —
+    // a copy of the anchor is a FALSE negative.
+    Q("q_text_negative_sampling",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pool = docs.filter(
+            HashFns.md5Long(col("doc_id").cast("string"), seed = 41)
+              % 50 === 0)
+          .select(col("doc_id").as("neg_id"), md5(col("text")).as("__nh"))
+        val anchors = docs.select(col("doc_id"), md5(col("text")).as("__ah"))
+        val scored = anchors.crossJoin(broadcast(pool))
+          .filter(col("doc_id") =!= col("neg_id")
+            && col("__ah") =!= col("__nh"))
+          .withColumn("__hk", HashFns.md5Long(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("neg_id").cast("string")), seed = 43))
+        graft.operators.Windows.topKPerGroupRanked(scored,
+            Seq(col("doc_id")), Seq(col("__hk"), col("neg_id")), 3, "rk")
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("neg_id"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""WITH pool AS (
+              |  SELECT doc_id AS neg_id, md5(text) AS nh FROM documents
+              |  WHERE ${HashFns.md5LongSql("CAST(doc_id AS VARCHAR)", 41)}
+              |    % 50 = 0),
+              |a AS (SELECT doc_id, md5(text) AS ah FROM documents),
+              |sc AS (
+              |  SELECT a.doc_id, p.neg_id,
+              |    ${HashFns.md5LongSql(
+                     "CAST(a.doc_id AS VARCHAR) || ':' || " +
+                       "CAST(p.neg_id AS VARCHAR)", 43)} AS hk
+              |  FROM a, pool p
+              |  WHERE a.doc_id <> p.neg_id AND a.ah <> p.nh)
+              |SELECT doc_id, CAST(rn AS BIGINT) AS rk, neg_id FROM (
+              |  SELECT doc_id, neg_id, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY hk, neg_id) AS rn
+              |  FROM sc)
+              |WHERE rn <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ------------------------------- cross-source contamination matrix
     // Corpus-hygiene analysis: for every source pair, how many RARE
     // word 3-grams they share — the pairwise generalization of the

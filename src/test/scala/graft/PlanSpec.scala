@@ -181,7 +181,9 @@ class PlanSpec extends AnyFunSuite {
       "q_text_bigram_nll"         -> (29, 10),
       "q_ev_markov_transitions"   -> (18, 4),
       "q_text_source_overlap"     -> (37, 12),
-      "q_lake_pack_plan"          -> (5, 3))
+      "q_lake_pack_plan"          -> (5, 3),
+      "q_ev_twap"                 -> (5, 3),
+      "q_text_negative_sampling"  -> (8, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

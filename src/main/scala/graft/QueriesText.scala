@@ -1030,6 +1030,75 @@ object QueriesText {
               |    THEN 'train' ELSE 'eval' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------- cross-source quantile normalization
+    // Feature normalization for heterogeneous corpora: each document's
+    // length is mapped to the GLOBAL value at its within-source
+    // quantile, so sources with systematically long/short docs become
+    // comparable (the batch-effect correction of quantile
+    // normalization, on the engine's exact order-statistic machinery).
+    // All rank arithmetic is integer — rank r of n_s maps to global
+    // rank 1 + (r-1)(N-1) div (n_s-1) — and the global lookup is a
+    // range join of doc ranks against the broadcast cumulative
+    // HISTOGRAM (O(grid) rows), never a corpus self-join.
+    Q("q_text_quantile_norm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ranked = docs
+          .withColumn("__r", row_number().over(w).cast("long"))
+          .withColumn("__ns", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))))
+        val hist = docs.groupBy(col("n_chars").as("__gv"))
+          .agg(count(lit(1)).as("__c"))
+        val cum = hist.withColumn("__cum", sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("__gv"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("__lo", col("__cum") - col("__c") + 1)
+        val n = docs.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("__tgt", when(col("__ns") === 1,
+              expr("(__n + 1) div 2"))
+            .otherwise(lit(1) + expr(
+              "((__r - 1) * (__n - 1)) div (__ns - 1)")))
+          .join(broadcast(cum),
+            col("__tgt") >= col("__lo") && col("__tgt") <= col("__cum"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("__gv").as("norm_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+             |      AS ns
+             |  FROM docs),
+             |hist AS (SELECT n_chars AS gv, count(*) AS c FROM docs
+             |         GROUP BY 1),
+             |cum AS (
+             |  SELECT gv, c, sum(c) OVER (ORDER BY gv) AS cum,
+             |    sum(c) OVER (ORDER BY gv) - c + 1 AS lo
+             |  FROM hist),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+             |tgt AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CASE WHEN ns = 1 THEN (n.n + 1) // 2
+             |      ELSE 1 + ((r - 1) * (n.n - 1)) // (ns - 1) END AS tgt
+             |  FROM ranked, n)
+             |SELECT t.doc_id, t.source, t.n_chars, c.gv AS norm_chars
+             |FROM tgt t JOIN cum c ON t.tgt >= c.lo AND t.tgt <= c.cum
+             |ORDER BY t.doc_id""".stripMargin))
+
+    ,
     // -------------------------- negative sampling for contrastive pairs
     // Training-pair construction for contrastive/embedding training:
     // each anchor document draws 3 negatives from a SHARED ~2% hash-

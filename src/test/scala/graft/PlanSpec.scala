@@ -183,7 +183,8 @@ class PlanSpec extends AnyFunSuite {
       "q_text_source_overlap"     -> (37, 12),
       "q_lake_pack_plan"          -> (5, 3),
       "q_ev_twap"                 -> (5, 3),
-      "q_text_negative_sampling"  -> (8, 5))
+      "q_text_negative_sampling"  -> (8, 5),
+      "q_text_quantile_norm"      -> (18, 8))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -47,6 +47,65 @@ object QueriesSimilarity {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Shared CTE chain of the near-dup CLUSTER oracles (dedup -> shingle
+    * -> sign -> band -> capped candidates -> exact Jaccard >= 0.8 ->
+    * undirected edges -> recursive reachability). Ends at `reach`; the
+    * cluster query appends its component SELECT, the canonical query
+    * appends the argmax CTEs — one definition, two consumers, zero
+    * drift.
+    */
+  private lazy val dupClusterCtesSql: String = {
+    val bandValSql = (0 until K / R).map { b =>
+      val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $b THEN $bv"
+    }.mkString(" ")
+    s"""WITH RECURSIVE uniq AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+       |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+       |hh AS ($baseHashSql),
+       |sig AS (
+       |  SELECT doc_id,
+       |  $sigSelectSql
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+       |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+       |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |       HAVING count(*) <= 20),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN ok USING (band, bv)
+       |  JOIN bands b USING (band, bv)
+       |  WHERE a.doc_id < b.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, h FROM hh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd a ON a.doc_id = c.id_a
+       |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+       |  GROUP BY c.id_a, c.id_b),
+       |prs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |      UNION SELECT id_b, id_a FROM prs),
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.lbl FROM e JOIN reach r ON r.id = e.dst)""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ------------------------------------------------- exact content dedup
@@ -434,59 +493,58 @@ object QueriesSimilarity {
           .connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
-      Some {
-        val bandValSql = (0 until K / R).map { b =>
-          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
-            .mkString(" || ':' || ")
-          s"WHEN $b THEN $bv"
-        }.mkString(" ")
-        s"""WITH RECURSIVE uniq AS (
-           |  SELECT doc_id, text FROM (
-           |    SELECT doc_id, text, row_number() OVER (
-           |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-           |    FROM documents) WHERE rn = 1),
-           |sh AS (
-           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-           |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
-           |hh AS ($baseHashSql),
-           |sig AS (
-           |  SELECT doc_id,
-           |  $sigSelectSql
-           |  FROM hh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
-           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
-           |  FROM sig, (SELECT unnest(range(${K / R})) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) <= 20),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a
-           |  JOIN ok USING (band, bv)
-           |  JOIN bands b USING (band, bv)
-           |  WHERE a.doc_id < b.doc_id),
-           |shd AS (SELECT DISTINCT doc_id, h FROM hh),
-           |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-           |  FROM cand c
-           |  JOIN shd a ON a.doc_id = c.id_a
-           |  JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
-           |  GROUP BY c.id_a, c.id_b),
-           |prs AS (
-           |  SELECT id_a, id_b FROM inter
-           |  JOIN sz sa ON sa.doc_id = id_a
-           |  JOIN sz sb ON sb.doc_id = id_b
-           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8),
-           |e AS (SELECT id_a AS src, id_b AS dst FROM prs
-           |      UNION SELECT id_b, id_a FROM prs),
-           |reach(id, lbl) AS (
-           |  SELECT DISTINCT src, src FROM e
-           |  UNION
-           |  SELECT e.src, r.lbl FROM e JOIN reach r ON r.id = e.dst)
+      Some(s"""$dupClusterCtesSql
            |SELECT id, min(lbl) AS component FROM reach
-           |GROUP BY id ORDER BY id""".stripMargin
-      }),
+           |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ------------------------------ canonical document per dup cluster
+    // The step that CLOSES the near-dup story: detect (LSH) -> verify
+    // (Jaccard) -> cluster (connected components) -> and here, pick
+    // each cluster's canonical survivor (longest text, ties to the
+    // lowest id — the usual keep-the-most-complete-copy rule) and map
+    // every member to it. The argmax is the skew-safe max_by aggregate;
+    // everything upstream is the proven q_sim_dup_clusters pipeline.
+    Q("q_sim_dup_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
+        val pairs = Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+        val cl = comp.join(docs.select(col("doc_id").as("id"),
+          col("n_chars")), Seq("id"))
+        val canon = cl.groupBy(col("component"))
+          .agg(max_by(col("id"), struct(col("n_chars"), -col("id")))
+            .as("canonical_id"))
+        cl.join(broadcast(canon), Seq("component"))
+          .select(col("id"), col("component"), col("canonical_id"),
+            (col("id") === col("canonical_id")).as("is_kept"))
+          .orderBy(col("id"))
+      },
+      Some(s"""$dupClusterCtesSql,
+           |comp AS (SELECT id, min(lbl) AS component FROM reach
+           |         GROUP BY id),
+           |cl AS (
+           |  SELECT c.id, c.component, CAST(d.n_chars AS BIGINT)
+           |    AS n_chars
+           |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+           |can AS (
+           |  SELECT component, id AS canonical_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY component
+           |      ORDER BY n_chars DESC, id) AS rn
+           |    FROM cl) WHERE rn = 1)
+           |SELECT cl.id, cl.component, can.canonical_id,
+           |  cl.id = can.canonical_id AS is_kept
+           |FROM cl JOIN can USING (component)
+           |ORDER BY cl.id""".stripMargin)),
 
     // ----------------------------------------------- k-NN graph PageRank
     // Graph centrality over the embedding 3-NN graph

@@ -184,7 +184,10 @@ class PlanSpec extends AnyFunSuite {
       "q_lake_pack_plan"          -> (5, 3),
       "q_ev_twap"                 -> (5, 3),
       "q_text_negative_sampling"  -> (8, 5),
-      "q_text_quantile_norm"      -> (18, 8))
+      "q_text_quantile_norm"      -> (18, 8),
+      // final plan sits ABOVE the checkpoint-truncated components, so
+      // the counts cover only the canonical-selection joins
+      "q_sim_dup_canonical"       -> (13, 6))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -976,6 +976,71 @@ object QueriesRelational {
              |  FROM orders) WHERE rk <= 3
              |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)),
 
+    // ------------------------------------------ winsorized aggregates
+    // Outlier-robust totals: prices clip to the exact p01/p99 ORDER
+    // STATISTICS (ranks ceil(0.01n)/ceil(0.99n) off the cumulative
+    // value histogram — data values, not interpolations, so clipped
+    // rows keep their 2-decimal grid and the per-flag sums stay exact
+    // DECIMAL arithmetic end to end). One histogram shuffle + a
+    // broadcast of the two cutoffs + one map-side-combined aggregation;
+    // the robust-stats sibling of the MAD outlier gate.
+    Q("q_agg_winsorize",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val vals = li.select(col("l_extendedprice").as("v"))
+        val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+        val cum = hist.withColumn("__cum", sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        val n = vals.agg(count(lit(1)).as("__n"))
+        val cuts = cum.crossJoin(broadcast(n)).agg(
+          min(when(col("__cum") >= expr("(__n + 99) div 100"),
+            col("v"))).as("lo"),
+          min(when(col("__cum") >= expr("(99 * __n + 99) div 100"),
+            col("v"))).as("hi"))
+        li.crossJoin(broadcast(cuts))
+          .select(col("l_returnflag"),
+            when(col("l_extendedprice") < col("lo"), col("lo"))
+              .when(col("l_extendedprice") > col("hi"), col("hi"))
+              .otherwise(col("l_extendedprice")).as("__w"),
+            (col("l_extendedprice") < col("lo")).cast("long").as("__nlo"),
+            (col("l_extendedprice") > col("hi")).cast("long").as("__nhi"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__nlo")).as("n_lo_clipped"),
+            sum(col("__nhi")).as("n_hi_clipped"),
+            sum(col("__w").cast("decimal(18,2)")).cast("double")
+              .as("sum_winsorized"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT l_extendedprice AS v FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+             |hist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+             |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+             |        FROM hist),
+             |cuts AS (
+             |  SELECT
+             |    min(CASE WHEN cum >= (n.n + 99) // 100 THEN v END)
+             |      AS lo,
+             |    min(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN v END)
+             |      AS hi
+             |  FROM cum, n)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN l_extendedprice < cuts.lo
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+             |  CAST(sum(CASE WHEN l_extendedprice > cuts.hi
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped,
+             |  CAST(sum(CAST(CASE WHEN l_extendedprice < cuts.lo
+             |      THEN cuts.lo
+             |      WHEN l_extendedprice > cuts.hi THEN cuts.hi
+             |      ELSE l_extendedprice END AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS sum_winsorized
+             |FROM lineitem, cuts
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // O2 scale path: same answer and oracle as q_o2_topk_per_group,
     // but via the bounded-buffer AGGREGATE (operators/TopK) — map-side
     // combine reduces a hot priority to 3 rows per map task, immune to

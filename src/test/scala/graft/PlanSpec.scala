@@ -187,7 +187,8 @@ class PlanSpec extends AnyFunSuite {
       "q_text_quantile_norm"      -> (18, 8),
       // final plan sits ABOVE the checkpoint-truncated components, so
       // the counts cover only the canonical-selection joins
-      "q_sim_dup_canonical"       -> (13, 6))
+      "q_sim_dup_canonical"       -> (13, 6),
+      "q_agg_winsorize"           -> (18, 8))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -33,4 +33,18 @@ class LakePackSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.map(_._2).sum == 12L)
   }
+
+  test("conservation and capacity laws over a generated size mix") {
+    // pseudo-random but fixed sizes: every byte lands in exactly one
+    // bin, and no bin exceeds cap unless it holds a single oversize
+    // item (which FFD places alone)
+    val sizes = (1L to 40L).map(i => i -> ((i * 7919) % 900 + 100))
+    val total = sizes.map(_._2).sum
+    val got = plan(sizes, targetBins = 6)
+    val cap = got.head._3
+    assert(got.map(_._2).sum == total)
+    val over = got.filter(_._2 > cap)
+    assert(over.forall(b => sizes.exists(_._2 == b._2)),
+      s"overfull bins must be single oversize items: $over")
+  }
 }

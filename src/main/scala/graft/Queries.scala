@@ -30,7 +30,8 @@ object Queries {
     QueriesText.qs,
     QueriesSimilarity.qs,
     QueriesEvents.qs,
-    QueriesMultimodal.qs
+    QueriesMultimodal.qs,
+    QueriesGovernance.qs
   )
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

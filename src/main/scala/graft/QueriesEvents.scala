@@ -446,6 +446,80 @@ object QueriesEvents {
              |  GROUP BY user_id)
              |SELECT user_id, n_events, last_value, ewma,
              |  last_value - ewma AS drift
-             |FROM sm ORDER BY user_id""".stripMargin))
+             |FROM sm ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------ trajectory / sequence assembly
+    // The SFT/behavioral-cloning export step: each user's event stream
+    // assembled into ONE ordered token sequence ("view click purchase
+    // …"), the shape every trajectory-training pipeline materializes.
+    // One hash shuffle on user_id; the in-group sort happens inside
+    // `array_sort` on the collected structs — no window, no global
+    // sort, and the per-key cost is bounded by that key's event count
+    // (a pathological key should be chunked by session first —
+    // q_ev_sessionize feeds this directly). Struct sort order
+    // (ts, event_id, event_type) is total because event_id is unique.
+    Q("q_ev_trajectory",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x("event_type"))).as("trajectory"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  string_agg(event_type, ' ' ORDER BY ts, event_id)
+             |    AS trajectory
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------- grouped robust anomaly detection
+    // Per-event-type median/MAD outliers — the grouped sibling of
+    // q_agg_mad_outliers, composed from the grouped exact-histogram
+    // percentile (operators/Percentiles.groupedExactByHistogram): each
+    // type's median costs O(its distinct values), the 5-row robust-
+    // stats frames broadcast, and the flagging pass is map-only. The
+    // per-type baseline matters: a value that is normal for `purchase`
+    // can be 5 MADs out for `click`.
+    Q("q_ev_anomaly_grouped",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value").as("v"))
+        val med = graft.operators.Percentiles
+          .groupedExactByHistogram(ev, Seq("event_type"), "v",
+            Seq(0.5 -> "med_raw"))
+          .select(col("event_type"), stab6(col("med_raw")).as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("v") - col("med")))
+        val mad = graft.operators.Percentiles
+          .groupedExactByHistogram(dev, Seq("event_type"), "dev",
+            Seq(0.5 -> "mad_raw"))
+          .select(col("event_type"), stab6(col("mad_raw")).as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .filter(col("dev") > lit(4.5) * col("mad"))
+          .select(col("event_id"), col("event_type"), col("v"),
+            col("med"), col("mad"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH m AS (
+           |  SELECT event_type, ${st("quantile_cont(value, 0.5)")} AS med
+           |  FROM events GROUP BY 1),
+           |d AS (
+           |  SELECT e.event_id, e.event_type, e.value AS v, m.med,
+           |    abs(e.value - m.med) AS dev
+           |  FROM events e JOIN m USING (event_type)),
+           |md AS (
+           |  SELECT event_type, ${st("quantile_cont(dev, 0.5)")} AS mad
+           |  FROM d GROUP BY 1)
+           |SELECT event_id, event_type, v, med, mad
+           |FROM d JOIN md USING (event_type)
+           |WHERE dev > 4.5 * mad ORDER BY event_id""".stripMargin
+      })
   )
 }

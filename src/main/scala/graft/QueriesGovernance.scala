@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Eval, Privacy}
+import graft.sources.Tables
+
+/** Data-governance and model-evaluation queries: privacy release gates
+  * (k-anonymity, l-diversity) over the customer table and classifier
+  * evaluation (rank AUC, reliability bins) over the document corpus.
+  *
+  * These extend the reference's surface the same way the similarity /
+  * text families do: a pipeline exporting user-derived training data
+  * needs a release gate, and a pipeline training a quality filter
+  * needs in-engine evaluation of that filter at corpus scale (the
+  * fastText-quality-classifier loop of CCNet/RedPajama-style curation).
+  *
+  * Oracle-parity rules are the repo-wide ones (Queries.scala header):
+  * exact integer arithmetic everywhere except single final IEEE
+  * divisions, identical aliases both sides, total ORDER BY.
+  */
+object QueriesGovernance {
+
+  /** Quasi-identifier set used by both privacy queries: market segment
+    * plus the account-balance thousand-bin (coarse, realistic QIs);
+    * nation is the sensitive attribute.
+    */
+  private val kanonPrepSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+      |  c_nationkey
+      |FROM customer""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ------------------------------------------ k-anonymity suppression
+    // Release gate: rows whose (segment, balance-bin) equivalence class
+    // has fewer than k=20 members get their quasi-identifiers nulled.
+    // One census groupBy + one join back on the same keys (shared
+    // partitioning); no windows, so a giant equivalence class costs its
+    // aggregate, never a single-task sort (operators/Privacy).
+    Q("q_priv_kanon",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"))
+        Privacy.kAnonymitySuppress(c, Seq("c_mktsegment", "bal_bin"), 20L)
+          .select(col("c_custkey"), col("c_mktsegment"), col("bal_bin"),
+            col("k_size"), col("suppressed"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH base AS ($kanonPrepSql),
+              |census AS (
+              |  SELECT c_mktsegment, bal_bin, count(*) AS k_size
+              |  FROM base GROUP BY 1, 2)
+              |SELECT b.c_custkey,
+              |  CASE WHEN c.k_size < 20 THEN NULL
+              |       ELSE b.c_mktsegment END AS c_mktsegment,
+              |  CASE WHEN c.k_size < 20 THEN NULL
+              |       ELSE b.bal_bin END AS bal_bin,
+              |  c.k_size, c.k_size < 20 AS suppressed
+              |FROM base b JOIN census c USING (c_mktsegment, bal_bin)
+              |ORDER BY b.c_custkey""".stripMargin)),
+
+    // --------------------------------------------- l-diversity audit
+    // Homogeneity-attack audit: per equivalence class, the number of
+    // DISTINCT sensitive values (nation); a k-anonymous class where
+    // everyone shares a nation still leaks it. One aggregation pass
+    // with (QI, sensitive)-level partial aggregation.
+    Q("q_priv_ldiversity",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"),
+          col("c_nationkey"))
+        Privacy.lDiversityReport(c, Seq("c_mktsegment", "bal_bin"),
+            "c_nationkey", 10L)
+          .orderBy(col("c_mktsegment"), col("bal_bin"))
+      },
+      Some(s"""WITH base AS ($kanonPrepSql)
+              |SELECT c_mktsegment, bal_bin,
+              |  count(*) AS k_size,
+              |  count(DISTINCT c_nationkey) AS l_distinct,
+              |  count(DISTINCT c_nationkey) >= 10 AS diverse
+              |FROM base GROUP BY 1, 2
+              |ORDER BY c_mktsegment, bal_bin""".stripMargin)),
+
+    // ------------------------------------------------- rank-based AUC
+    // Evaluate a curation scorer (here the length heuristic n_chars)
+    // against a binary target (is-English) by Mann-Whitney AUC with
+    // ties counted half. The corpus collapses to a score histogram
+    // first, so the ranking pass is O(distinct scores) — see
+    // operators/Eval.aucByRank. Integer numerator, one IEEE division.
+    Q("q_eval_auc",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").as("label"))
+        Eval.aucByRank(docs, "score", "label").orderBy(col("n_pos"))
+      },
+      Some("""WITH h AS (
+             |  SELECT n_chars AS s,
+             |    count(*) FILTER (WHERE lang = 'en') AS pos,
+             |    count(*) - count(*) FILTER (WHERE lang = 'en') AS neg
+             |  FROM documents GROUP BY 1),
+             |c AS (
+             |  SELECT s, pos, neg, sum(neg) OVER (ORDER BY s) AS negUpTo
+             |  FROM h)
+             |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg) AS BIGINT) AS n_neg,
+             |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+             |    CAST(sum(pos * (2 * (negUpTo - neg) + neg)) AS DOUBLE)
+             |      / (2.0 * sum(pos) * sum(neg))
+             |  ELSE NULL END AS auc
+             |FROM c ORDER BY n_pos""".stripMargin)),
+
+    // --------------------------------------------- reliability bins
+    // Calibration diagram for the same scorer: equi-width score bins
+    // with exact positive rate and decimal-exact mean score. A single
+    // partial-aggregated groupBy over the corpus.
+    Q("q_eval_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").as("label"))
+        Eval.calibrationBins(docs, "score", "label", 50.0)
+          .orderBy(col("bin"))
+      },
+      Some("""SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+             |    AS n_pos,
+             |  CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+             |    / count(*) AS pos_rate,
+             |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+             |    / count(*) AS mean_score
+             |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------ precision-recall curve
+    // The operating-point companion to q_eval_auc: one row per DISTINCT
+    // score threshold t (predict positive when score >= t) with exact
+    // tp / predicted counts and the two IEEE divisions. Same
+    // histogram-first shape — the curve is O(distinct scores) long no
+    // matter the corpus size, and the cumulative pass is a window over
+    // that histogram.
+    Q("q_eval_pr_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = Tables.documents(s, d)
+          .select(col("n_chars").as("threshold"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("__y"))
+          .groupBy(col("threshold"))
+          .agg(sum(col("__y")).as("__pos"),
+            (count(lit(1)) - sum(col("__y"))).as("__neg"))
+        val wDesc = Window.orderBy(col("threshold").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totals = hist.agg(sum(col("__pos")).as("__p"))
+        hist
+          .withColumn("tp", sum(col("__pos")).over(wDesc))
+          .withColumn("n_pred",
+            sum(col("__pos") + col("__neg")).over(wDesc))
+          .crossJoin(broadcast(totals))
+          .select(col("threshold"), col("tp"), col("n_pred"),
+            (col("tp").cast("double") / col("n_pred")).as("precision"),
+            (col("tp").cast("double") / col("__p")).as("recall"))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH h AS (
+             |  SELECT n_chars AS threshold,
+             |    count(*) FILTER (WHERE lang = 'en') AS pos,
+             |    count(*) AS n
+             |  FROM documents GROUP BY 1),
+             |c AS (
+             |  SELECT threshold,
+             |    sum(pos) OVER (ORDER BY threshold DESC) AS tp,
+             |    sum(n) OVER (ORDER BY threshold DESC) AS n_pred,
+             |    sum(pos) OVER () AS p
+             |  FROM h)
+             |SELECT threshold, CAST(tp AS BIGINT) AS tp,
+             |  CAST(n_pred AS BIGINT) AS n_pred,
+             |  CAST(tp AS DOUBLE) / n_pred AS precision,
+             |  CAST(tp AS DOUBLE) / p AS recall
+             |FROM c ORDER BY threshold""".stripMargin))
+  )
+}

@@ -106,6 +106,75 @@ object QueriesSimilarity {
        |  SELECT e.src, r.lbl FROM e JOIN reach r ON r.id = e.dst)""".stripMargin
   }
 
+  /** Shared DuckDB replay of the WHOLE IVF pipeline (train ->
+    * assign -> probe -> score -> top-3). Used VERBATIM by both
+    * q_sim_ann_ivf and q_sim_ann_ivf_lake: same answer, different
+    * physical plan (the lake variant serves the index from
+    * cell-partitioned parquet with partition pruning) — the
+    * q_u2_dedup_keep_first_agg shared-oracle precedent.
+    */
+  private lazy val ivfOracleSql: String =
+    s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |         ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |s0 AS (
+              |  SELECT e.vec_id, e.embedding, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, seeds c),
+              |a0 AS (
+              |  SELECT vec_id, embedding, cid
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT cid, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cid, i),
+              |cents0 AS (
+              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cid),
+              |cents AS (
+              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, cents c),
+              |assign AS (
+              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
+              |         nrm AS cenrm
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM scored) WHERE rn = 1),
+              |queries AS (
+              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
+              |probes AS (
+              |  SELECT qid, qe, qnrm, cell FROM (
+              |    SELECT q.qid, q.qe, q.qnrm, c.cid AS cell,
+              |      ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm) AS psim,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
+              |          DESC, c.cid) AS rk
+              |    FROM queries q, cents c) WHERE rk <= 2),
+              |hits AS (
+              |  SELECT p.qid, a.nid,
+              |    ${dotSql("p.qe", "a.ce")} / (p.qnrm * a.cenrm) AS cos_sim
+              |  FROM probes p JOIN assign a USING (cell)
+              |  WHERE p.qid <> a.nid)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+              |  FROM hits)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ------------------------------------------------- exact content dedup
@@ -546,6 +615,64 @@ object QueriesSimilarity {
            |FROM cl JOIN can USING (component)
            |ORDER BY cl.id""".stripMargin)),
 
+    // --------------------------- near-dup-cluster-safe train/eval split
+    // q_split_leakage_safe splits by source; this closes the harder
+    // leak: two near-duplicate documents landing on opposite sides of
+    // the split (train memorizes, eval "verifies"). Every document maps
+    // to a GROUP KEY — its exact-dup representative (min doc_id per
+    // content digest), lifted to its near-dup component label when the
+    // representative sits in an LSH cluster — and the hash split is a
+    // pure function of that key, so an entire dup cluster always lands
+    // on one side. Plan-wise this is the proven cluster pipeline plus
+    // one digest aggregate and two key joins; the component frame is
+    // tiny (only clustered docs) and broadcasts.
+    Q("q_split_cluster_safe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rep = docs.groupBy(md5(col("text")).as("__dig"))
+          .agg(min(col("doc_id")).as("rep"))
+        val withRep = docs.select(col("doc_id"), md5(col("text"))
+            .as("__dig"))
+          .join(rep, Seq("__dig"))
+        val uniq = Dedup.exactByContent(docs, "text", "doc_id")
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        val cand = Similarity.candidatePairs(bands, "doc_id",
+          maxBucket = 20)
+        val pairs = Similarity.jaccardForPairsHashed(cand, hs, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "rep")
+        withRep.join(broadcast(comp), Seq("rep"), "left")
+          .withColumn("group_key",
+            coalesce(col("component"), col("rep")))
+          .select(col("doc_id"), col("group_key"),
+            when(HashFns.md5Long(col("group_key").cast("string"),
+                seed = 7) % 100 < 90, lit("train"))
+              .otherwise(lit("eval")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$dupClusterCtesSql,
+           |comp AS (SELECT id, min(lbl) AS component FROM reach
+           |         GROUP BY id),
+           |rep AS (SELECT md5(text) AS dig, min(doc_id) AS rep
+           |        FROM documents GROUP BY 1),
+           |m AS (SELECT d.doc_id, r.rep FROM documents d
+           |      JOIN rep r ON md5(d.text) = r.dig),
+           |g AS (SELECT m.doc_id,
+           |        coalesce(c.component, m.rep) AS group_key
+           |      FROM m LEFT JOIN comp c ON c.id = m.rep)
+           |SELECT doc_id, group_key,
+           |  CASE WHEN ${HashFns.md5LongSql(
+                  "CAST(group_key AS VARCHAR)", 7)} % 100 < 90
+           |    THEN 'train' ELSE 'eval' END AS split
+           |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------- k-NN graph PageRank
     // Graph centrality over the embedding 3-NN graph
     // (operators/PageRank): nodes that many neighborhoods point at are
@@ -976,66 +1103,58 @@ object QueriesSimilarity {
             col("nrm").as("qnrm"))
         Ivf.search(queries, cents, assigned, nProbe = 2, k = 3)
       },
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding,
-              |         ${normSql("embedding")} AS nrm
-              |  FROM embeddings),
-              |seeds AS (
-              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-              |  FROM e WHERE vec_id < 8),
-              |s0 AS (
-              |  SELECT e.vec_id, e.embedding, c.cid,
-              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
-              |      AS csim
-              |  FROM e, seeds c),
-              |a0 AS (
-              |  SELECT vec_id, embedding, cid
-              |  FROM (SELECT *, row_number() OVER (
-              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-              |        FROM s0) WHERE rn = 1),
-              |dims AS (
-              |  SELECT cid, CAST(i AS INT) AS i,
-              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
-              |      * 1000000.0, 0) / 1000000.0 AS cv
-              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
-              |  GROUP BY cid, i),
-              |cents0 AS (
-              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
-              |  GROUP BY cid),
-              |cents AS (
-              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
-              |scored AS (
-              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
-              |      AS csim
-              |  FROM e, cents c),
-              |assign AS (
-              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
-              |         nrm AS cenrm
-              |  FROM (SELECT *, row_number() OVER (
-              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-              |        FROM scored) WHERE rn = 1),
-              |queries AS (
-              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
-              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
-              |probes AS (
-              |  SELECT qid, qe, qnrm, cell FROM (
-              |    SELECT q.qid, q.qe, q.qnrm, c.cid AS cell,
-              |      ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm) AS psim,
-              |      row_number() OVER (PARTITION BY q.qid
-              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
-              |          DESC, c.cid) AS rk
-              |    FROM queries q, cents c) WHERE rk <= 2),
-              |hits AS (
-              |  SELECT p.qid, a.nid,
-              |    ${dotSql("p.qe", "a.ce")} / (p.qnrm * a.cenrm) AS cos_sim
-              |  FROM probes p JOIN assign a USING (cell)
-              |  WHERE p.qid <> a.nid)
-              |SELECT qid, rk, nid FROM (
-              |  SELECT qid, nid, row_number() OVER (
-              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
-              |  FROM hits)
-              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+      Some(ivfOracleSql)),
+
+    // --------------------------------- IVF served from partitioned lake
+    // The SERVING half of the IVF story: the index (cell, member
+    // vector) persists as parquet PARTITIONED BY cell, and a query
+    // batch reads ONLY its probed cells — at 100 TB the ANN scan cost
+    // is nProbe/nCells of the corpus, enforced by the storage layout
+    // itself (partition pruning), not by a runtime join. The probed
+    // cell set is known after the broadcast centroid scoring and is
+    // tiny (<= nSeeds), so collecting it to the driver to push a
+    // static IN filter into the scan is the documented one-row-per-
+    // bucket exception (cf. Windows bucket-carry); PlanSpec pins that
+    // the served scan's partition filter actually prunes. Same answer
+    // as q_sim_ann_ivf (shared oracle) — only the physical plan
+    // differs.
+    Q("q_sim_ann_ivf_lake",
+      (s, d) => {
+        import graft.operators.Ivf
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val cents = Ivf.lloydCentroids(e, nSeeds = 8)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_lake").toString
+        Ivf.assign(e, cents).write.mode("overwrite")
+          .partitionBy("cell").parquet(dir)
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qnrm"))
+        val probes = Windows.topKPerGroup(
+          queries.crossJoin(broadcast(cents))
+            .select(col("qid"), col("qe"), col("qnrm"),
+              col("cid").as("cell"),
+              (Similarity.dot(col("qe"), col("cvec"))
+                / (col("qnrm") * col("cnrm"))).as("psim")),
+          Seq(col("qid")), Seq(col("psim").desc, col("cell")), 2)
+        val cells = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0))
+        val served = s.read.parquet(dir)
+          .filter(col("cell").isin(cells: _*))
+          .select(col("cell").cast("long").as("cell"), col("nid"),
+            col("ce"), col("cenrm"))
+        val hits = probes.join(served, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (Similarity.dot(col("qe"), col("ce"))
+              / (col("qnrm") * col("cenrm"))).as("cos_sim"))
+        Windows.topKPerGroupRanked(hits, Seq(col("qid")),
+            Seq(col("cos_sim").desc, col("nid")), 3, "rk")
+          .select(col("qid"), col("rk"), col("nid"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(ivfOracleSql)),
 
     // -------------------------------------------- product quantization
     // PQ-ADC ANN with exact refinement (operators/Pq, Jégou et al.

@@ -974,6 +974,68 @@ object QueriesText {
                    6)} AS nll
               |FROM s, n ORDER BY doc_id""".stripMargin)),
 
+    // --------------------- DSIR-style importance weights for selection
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // each raw document by the log-likelihood ratio of a TARGET-domain
+    // unigram LM (here: the English slice) against the RAW-corpus LM,
+    // add-1 smoothed over the shared vocabulary; high weights mark
+    // documents distributionally closest to the target. Both LMs come
+    // out of ONE vocabulary aggregate (count + filtered count per
+    // token, map-side combined), scoring is the same join + per-doc
+    // aggregate shape as q_text_unigram_nll, and the ratio's constant
+    // term ln(T_raw+V) − ln(T_tgt+V) attaches after a 1-row broadcast.
+    // At 100 TB nothing here is new plan-wise: one token shuffle, one
+    // doc aggregate. Per-doc mean of ln-ratios is 6-decimal-stabilized
+    // (float summation order differs across engines); counts are exact.
+    Q("q_text_dsir",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        val vocab = toked.groupBy(col("tok"))
+          .agg(count(lit(1)).as("c_raw"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+        val totals = vocab.agg(sum(col("c_raw")).as("t_raw"),
+          sum(col("c_tgt")).as("t_tgt"), count(lit(1)).as("v"))
+        toked.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(log((col("c_tgt") + 1).cast("double"))
+              - log((col("c_raw") + 1).cast("double"))).as("__slr"))
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"), col("n_tokens"),
+            stab6(col("__slr") / col("n_tokens").cast("double")
+              + log((col("t_raw") + col("v")).cast("double"))
+              - log((col("t_tgt") + col("v")).cast("double")))
+              .as("dsir_weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |    unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents),
+              |v AS (
+              |  SELECT tok, count(*) AS c_raw,
+              |    count(*) FILTER (WHERE lang = 'en') AS c_tgt
+              |  FROM t GROUP BY 1),
+              |n AS (
+              |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+              |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+              |    count(*) AS v
+              |  FROM v),
+              |s AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens,
+              |    sum(ln(CAST(c_tgt + 1 AS DOUBLE))
+              |      - ln(CAST(c_raw + 1 AS DOUBLE))) AS slr
+              |  FROM t JOIN v USING (tok) GROUP BY 1)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "slr / CAST(n_tokens AS DOUBLE)" +
+                   " + ln(CAST(t_raw + v AS DOUBLE))" +
+                   " - ln(CAST(t_tgt + v AS DOUBLE))", 6)} AS dsir_weight
+              |FROM s, n ORDER BY doc_id""".stripMargin)),
+
     // ---------------------- deterministic corpus shuffle into shards
     // The training-export step every pretraining pipeline ends with:
     // a GLOBAL pseudo-random shuffle of the corpus, materialized as N

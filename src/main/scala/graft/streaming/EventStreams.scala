@@ -490,6 +490,54 @@ object EventStreams {
       } finally curHist.unpersist()
     }
 
+  /** Streaming k-anonymity release gate: a micro-batch row is released
+    * with its quasi-identifiers intact only when its equivalence class
+    * has reached `k` members CUMULATIVELY (all batches up to and
+    * including this one); smaller-class rows land with QIs nulled
+    * (operators/Privacy.suppressWithCensus). The census persists as
+    * per-batch increments in `censusDir/batch=<id>` (overwrite — a
+    * replayed batch REPLACES its own increment, the [[sketchIngest]]
+    * idempotency contract) and the gated output lands in
+    * `outDir/batch=<id>` the same way; the cumulative read filters
+    * `batch <= batchId`, so replaying an old batch reproduces its
+    * original census view even after later batches landed.
+    *
+    * Release is append-time monotone: a class crossing `k` in batch N
+    * releases batch N's rows; rows suppressed in earlier batches are
+    * NOT retro-released (that is a backfill — rerun
+    * Privacy.kAnonymitySuppress over the raw lake with the final
+    * census). At 100 TB the census increment is O(distinct QI combos)
+    * per batch with map-side combine, and the cumulative fold is a
+    * partial-aggregated sum over increments — no per-key state store.
+    */
+  def privacyGate(rows: DataFrame, quasiCols: Seq[String], k: Long,
+                  outDir: String, censusDir: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        privacyGateBatch(batch, batchId, quasiCols, k, outDir, censusDir)
+      }
+
+  /** One micro-batch of [[privacyGate]], exposed for direct replay
+    * testing.
+    */
+  def privacyGateBatch(batch: DataFrame, batchId: Long,
+                       quasiCols: Seq[String], k: Long,
+                       outDir: String, censusDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      batch.groupBy(quasiCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$censusDir/batch=$batchId")
+      val census = spark.read.parquet(censusDir)
+        .filter(col("batch") <= batchId)
+        .groupBy(quasiCols.map(col): _*)
+        .agg(sum(col("n")).as("k_size"))
+      graft.operators.Privacy
+        .suppressWithCensus(batch, quasiCols, census, k)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   final case class EwmaState(n: Long, lastTs: Long, lastValue: Double,
                              ewma: Double)
 

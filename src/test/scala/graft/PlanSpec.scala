@@ -188,7 +188,19 @@ class PlanSpec extends AnyFunSuite {
       // final plan sits ABOVE the checkpoint-truncated components, so
       // the counts cover only the canonical-selection joins
       "q_sim_dup_canonical"       -> (13, 6),
-      "q_agg_winsorize"           -> (18, 8))
+      "q_agg_winsorize"           -> (18, 8),
+      // round-9 additions (measured via PlanProbe + ~25%, stable
+      // across sf0.001 and sf0.01)
+      "q_priv_kanon"              -> (8, 5),
+      "q_priv_ldiversity"         -> (8, 3),
+      "q_eval_auc"                -> (5, 3),
+      "q_eval_calibration"        -> (5, 3),
+      "q_text_dsir"               -> (19, 7),
+      "q_split_cluster_safe"      -> (10, 5),
+      "q_ev_trajectory"           -> (5, 3),
+      "q_ev_anomaly_grouped"      -> (25, 9),
+      "q_eval_pr_curve"           -> (13, 5),
+      "q_sim_ann_ivf_lake"        -> (28, 14))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan
@@ -252,6 +264,20 @@ class PlanSpec extends AnyFunSuite {
     // adds a range exchange — anything more means a wasted shuffle
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("IVF lake serving scan is partition-pruned to the probed cells") {
+    // The whole point of q_sim_ann_ivf_lake: the index scan must carry
+    // a PartitionFilters entry on `cell`, so only probed directories
+    // load (nProbe/nCells of the corpus at scale). An empty partition
+    // filter means the serving path silently reads the full index.
+    val d = df("q_sim_ann_ivf_lake")
+    d.collect()
+    val plan = planString(d)
+    val pruned = "PartitionFilters: \\[[^\\]]*cell[^\\]]*(?:IN|in)"
+      .r.findFirstIn(plan)
+    assert(pruned.isDefined,
+      s"served IVF scan lost its cell partition filter:\n$plan")
   }
 
   test("keepFirstAgg dedup is a partial aggregate, never a window") {

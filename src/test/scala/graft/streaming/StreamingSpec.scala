@@ -331,6 +331,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(h.select("batch_id").distinct().count() == 2L)
   }
 
+  test("privacyGate releases classes only after the cumulative census hits k") {
+    val base = java.nio.file.Files.createTempDirectory("graft_privgate")
+    val out = s"$base/out"; val census = s"$base/census"
+    def run(id: Long, rows: Seq[(Long, String)]): Unit =
+      EventStreams.privacyGateBatch(rows.toDF("id", "seg"),
+        id, Seq("seg"), 3L, out, census)
+    // batch 0: A has 2 members (< 3) -> suppressed; B has 1 -> suppressed
+    run(0L, Seq((1L, "A"), (2L, "A"), (3L, "B")))
+    val b0 = spark.read.parquet(s"$out/batch=0")
+    assert(b0.filter(!col("suppressed")).count() == 0)
+    assert(b0.filter(col("seg").isNotNull).count() == 0)
+    // batch 1: A's cumulative census is 2+2=4 >= 3 -> released with QI;
+    // B stays at 2 -> still suppressed
+    run(1L, Seq((4L, "A"), (5L, "A"), (6L, "B")))
+    val b1 = spark.read.parquet(s"$out/batch=1")
+    assert(b1.filter(col("seg") === "A").count() == 2)
+    assert(b1.filter(col("id") === 6L).head().getAs[Boolean]("suppressed"))
+    // batch-0 rows are NOT retro-released (append-time monotone gate)
+    assert(spark.read.parquet(s"$out/batch=0")
+      .filter(col("seg").isNotNull).count() == 0)
+    // crash-replay of batch 1: census increment REPLACES (no double
+    // count) and the released output is reproduced exactly
+    run(1L, Seq((4L, "A"), (5L, "A"), (6L, "B")))
+    val b1r = spark.read.parquet(s"$out/batch=1")
+    assert(b1r.filter(col("seg") === "A").count() == 2)
+    assert(spark.read.parquet(census)
+      .filter(col("seg") === "A")
+      .agg(org.apache.spark.sql.functions.sum(col("n")))
+      .head().getLong(0) == 4L)
+    // replaying batch 0 AFTER batch 1 landed must reproduce batch 0's
+    // original (fully suppressed) view, not see batch 1's census
+    run(0L, Seq((1L, "A"), (2L, "A"), (3L, "B")))
+    assert(spark.read.parquet(s"$out/batch=0")
+      .filter(col("seg").isNotNull).count() == 0)
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[Event](spark)
     val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,

@@ -178,6 +178,79 @@ object QueriesGovernance {
              |  CAST(n_pred AS BIGINT) AS n_pred,
              |  CAST(tp AS DOUBLE) / n_pred AS precision,
              |  CAST(tp AS DOUBLE) / p AS recall
-             |FROM c ORDER BY threshold""".stripMargin))
+             |FROM c ORDER BY threshold""".stripMargin)),
+
+    // ------------------------------------- ε-DP noisy count release
+    // Differentially-private release of per-segment counts: n +
+    // Laplace(1/ε) with ε = 1, the Laplace draw seeded from
+    // md5(salt || segment) so the release is reproducible and
+    // cross-engine checkable (operators/Privacy.dpLaplaceCounts — the
+    // uniform is bit-exact by construction; the one ln() is 1e-6
+    // stabilized). One partial-aggregated groupBy + map-only noise.
+    Q("q_priv_dp_counts",
+      (s, d) => {
+        Privacy.dpLaplaceCounts(Tables.customer(s, d),
+            Seq("c_mktsegment"), 1.0, "dp")
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(count(*) AS BIGINT) +
+              |    ${Privacy.dpNoiseSql("c_mktsegment", 1.0, "dp")}
+              |    AS noisy_n
+              |FROM customer GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------- NDCG@10
+    // Graded-relevance ranking quality of a retrieval scorer, one row
+    // per query group. Each `source` is a "query" whose candidate set
+    // is its 25 documents, the ranker is the length heuristic
+    // (n_chars DESC, doc_id tie-break), and the graded labels come
+    // from language (en = 2, other latin = 1, zh = 0). Both rankings
+    // are windows PARTITIONED BY source (per-group state, no global
+    // sort); discounted gains are 1e-9-stabilized then DECIMAL-summed
+    // so partial-agg order can't move the result (operators/Eval).
+    Q("q_eval_ndcg",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            when(col("lang") === "en", 2L)
+              .when(col("lang") === "zh", 0L)
+              .otherwise(1L).as("rel"))
+        Eval.ndcgAtK(docs, "source", "n_chars", "rel", "doc_id", 10)
+          .orderBy(col("source"))
+      },
+      Some {
+        val term = graft.functions.Stabilize.stabSql(
+          "(pow(2.0, rel) - 1.0) / log2(CAST(rk AS DOUBLE) + 1.0)", 9)
+        val ratio = graft.functions.Stabilize.stabSql(
+          "CAST(sum(dterm) AS DOUBLE) / CAST(sum(iterm) AS DOUBLE)", 6)
+        s"""WITH r AS (
+           |  SELECT source, doc_id, n_chars,
+           |    CASE WHEN lang = 'en' THEN 2
+           |         WHEN lang = 'zh' THEN 0 ELSE 1 END AS rel
+           |  FROM documents),
+           |rk AS (
+           |  SELECT source, rel,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS r,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY rel DESC, doc_id) AS ir
+           |  FROM r),
+           |t AS (
+           |  SELECT source,
+           |    CASE WHEN r <= 10 THEN CAST(
+           |      ${term.replace("rk", "r")} AS DECIMAL(24,12))
+           |      ELSE CAST(0 AS DECIMAL(24,12)) END AS dterm,
+           |    CASE WHEN ir <= 10 THEN CAST(
+           |      ${term.replace("rk", "ir")} AS DECIMAL(24,12))
+           |      ELSE CAST(0 AS DECIMAL(24,12)) END AS iterm
+           |  FROM rk)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_rated,
+           |  CAST(sum(dterm) AS DOUBLE) AS dcg,
+           |  CAST(sum(iterm) AS DOUBLE) AS idcg,
+           |  CASE WHEN CAST(sum(iterm) AS DOUBLE) > 0
+           |    THEN $ratio END AS ndcg
+           |FROM t GROUP BY source ORDER BY source""".stripMargin
+      })
   )
 }

@@ -1537,7 +1537,75 @@ object QueriesText {
               |  COALESCE(s.n_sel, CAST(0 AS BIGINT)) AS n_sel,
               |  COALESCE(s.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
               |FROM rated r LEFT JOIN sel s ON r.source = s.source
-              |ORDER BY r.source""".stripMargin))
+              |ORDER BY r.source""".stripMargin)),
+
+    // ----------------------------------------- hashing-trick features
+    // Fixed-width signed bag-of-words without a vocabulary: bucket =
+    // md5(token) mod 64, sign = an independent md5 bit, feature value
+    // = the signed occurrence sum per (doc, bucket) with zero-sum
+    // buckets dropped (operators/Features — Weinberger et al. 2009).
+    // Map-only hashing then one partial-aggregated groupBy; the
+    // shuffle carries (doc, bucket, partial sum), never tokens.
+    Q("q_feat_hashing",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        graft.operators.Features.hashingTrick(toked, "doc_id", "tok", 64)
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some {
+        import graft.operators.Features
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, ${Features.bucketSql("tok", 64)} AS bucket,
+           |    ${Features.signSql("tok")} AS s
+           |  FROM t)
+           |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS feat_val
+           |FROM f GROUP BY doc_id, bucket
+           |HAVING sum(s) <> 0
+           |ORDER BY doc_id, bucket""".stripMargin
+      }),
+
+    // --------------------------------------- Pareto-frontier selection
+    // Budget-free document selection: keep the docs that are not
+    // dominated on (length, lexical breadth) — no other doc is >= on
+    // both n_chars and distinct-token count with one strictly greater.
+    // The distributed skyline (operators/Pareto) prefilters with a
+    // 256-bucket x-binned suffix-max broadcast (a dominated row dies
+    // without a shuffle), then resolves exactly on the tiny candidate
+    // frame; the DuckDB oracle is the definitional NOT EXISTS
+    // anti-join, tractable at oracle scale only.
+    Q("q_select_pareto",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        val types = toked.groupBy(col("doc_id"))
+          .agg(countDistinct(col("tok")).as("n_types"))
+        val pts = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .join(types, Seq("doc_id"))
+        graft.operators.Pareto.frontier2D(pts, "n_chars", "n_types")
+          .select(col("doc_id"), col("n_chars"), col("n_types"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents),
+              |ty AS (
+              |  SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT)
+              |    AS n_types
+              |  FROM t GROUP BY 1),
+              |p AS (
+              |  SELECT d.doc_id, d.n_chars, ty.n_types
+              |  FROM documents d JOIN ty USING (doc_id))
+              |SELECT doc_id, n_chars, n_types FROM p
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM p q
+              |  WHERE q.n_chars >= p.n_chars AND q.n_types >= p.n_types
+              |    AND (q.n_chars > p.n_chars OR q.n_types > p.n_types))
+              |ORDER BY doc_id""".stripMargin))
   )
 
   /** GPT-3-style n-gram decontamination (both q_text_contamination

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,5 +76,53 @@ object Eval {
         (sum(col("__y")).cast("double") / count(lit(1))).as("pos_rate"),
         (sum(col("__s")).cast("double") / count(lit(1)))
           .as("mean_score"))
+  }
+
+  /** NDCG@k per ranking group (the standard retrieval-quality metric,
+    * Järvelin & Kekäläinen 2002): rank each group's rows by `scoreCol`
+    * descending (ties broken by `tieCol` ascending so the ranking is
+    * total and reproducible), take the top k, and score
+    * `DCG@k = Σ (2^rel − 1) / log2(rank + 1)` against the ideal
+    * ordering's `IDCG@k` (rows re-ranked by relevance itself).
+    *
+    * Scale shape (100 TB): both rankings are windows PARTITIONED BY
+    * the group column — per-group state, groups spread across tasks,
+    * no global sort. The gains are integers; each discounted term is
+    * rounded to a 1e-9 grid and accumulated as an exact DECIMAL, so
+    * partial-aggregation order cannot change the sum; the final
+    * DCG/IDCG ratio takes one more 1e-6 stabilization (cross-engine
+    * log2 can differ in the last ulp).
+    *
+    * Output: one row per group `(group, n_rated, dcg, idcg, ndcg)`
+    * with ndcg null when the group has no positive-gain row.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
+              relCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stab = graft.functions.Stabilize.stab(_, _)
+    val g = col(groupCol)
+    val gain = (pow(lit(2.0), col(relCol).cast("double")) - 1.0)
+    def discounted(rankCol: Column): Column =
+      stab(gain / log2(rankCol.cast("double") + 1.0), 9)
+        .cast("decimal(24,12)")
+    val ranked = Window.partitionBy(g)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val ideal = Window.partitionBy(g)
+      .orderBy(col(relCol).desc, col(tieCol).asc)
+    df.select(g, col(scoreCol), col(relCol), col(tieCol))
+      .withColumn("__r", row_number().over(ranked))
+      .withColumn("__ir", row_number().over(ideal))
+      .select(g,
+        when(col("__r") <= k, discounted(col("__r")))
+          .otherwise(lit(0).cast("decimal(24,12)")).as("__d"),
+        when(col("__ir") <= k, discounted(col("__ir")))
+          .otherwise(lit(0).cast("decimal(24,12)")).as("__i"))
+      .groupBy(g)
+      .agg(count(lit(1)).as("n_rated"),
+        sum(col("__d")).cast("double").as("dcg"),
+        sum(col("__i")).cast("double").as("idcg"))
+      .select(g, col("n_rated"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, stab(col("dcg") / col("idcg"), 6))
+          .as("ndcg"))
   }
 }

@@ -87,4 +87,54 @@ object Privacy {
         count_distinct(col(sensitiveCol)).as("l_distinct"))
       .withColumn("diverse", col("l_distinct") >= l)
   }
+
+  /** ε-differentially-private group counts (Dwork et al. 2006) with
+    * SEEDED Laplace noise: each group's count is released as
+    * `n + Lap(1/ε)`, where the Laplace draw comes from a uniform
+    * derived deterministically from `md5(salt || group key)` — so the
+    * release is reproducible (and oracle-checkable in any engine that
+    * has md5) while still being a genuine per-group Laplace mechanism
+    * for a one-shot release of a count query with sensitivity 1.
+    *
+    * The uniform is `u = ((h mod 2^52) + 0.5) / 2^52 ∈ (0,1)` — the
+    * numerator is an exact double (2k+1 < 2^53) and the divisor a
+    * power of two, so u is bit-identical cross-engine; the inverse-CDF
+    * transform `−(1/ε)·sgn(u−1/2)·ln(1−2|u−1/2|)` involves one `ln`,
+    * whose last-ulp engine variance the 1e-6 stabilization absorbs.
+    * u = 1/2 exactly is impossible (k + 1/2 is never 2^51), so the
+    * transform never evaluates ln(0).
+    *
+    * Output: one row per group `(keys*, n, noisy_n)` — an AUDIT view;
+    * a real release projects `(keys*, noisy_n)` only. Scale: one
+    * partial-aggregated groupBy, then map-only noise.
+    */
+  def dpLaplaceCounts(df: DataFrame, keyCols: Seq[String],
+                      epsilon: Double, salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group key")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val twoPow52 = 4503599627370496L // 2^52
+    val keyStr = concat_ws("|",
+      lit(salt) +: keyCols.map(c => col(c).cast("string")): _*)
+    val h = graft.functions.HashFns.md5Long(keyStr)
+    val u = ((h % twoPow52).cast("double") + 0.5) / twoPow52.toDouble
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n",
+        col("n") + graft.functions.Stabilize.stab(noise, 6))
+  }
+
+  /** DuckDB SQL fragment mirroring [[dpLaplaceCounts]]'s noise term for
+    * a single key expression — kept adjacent so the sides can't drift.
+    * `keyExpr` must evaluate to VARCHAR.
+    */
+  def dpNoiseSql(keyExpr: String, epsilon: Double, salt: String): String = {
+    val h = graft.functions.HashFns.md5LongSql(s"'$salt|' || $keyExpr")
+    val u = s"((CAST(($h) % 4503599627370496 AS DOUBLE) + 0.5)" +
+      " / 4503599627370496.0)"
+    graft.functions.Stabilize.stabSql(
+      s"(-1.0 / $epsilon) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))",
+      6)
+  }
 }

@@ -61,4 +61,38 @@ object Timeseries {
           (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)).as("ewma")): _*)
       .withColumn("drift", col("last_value") - col("ewma"))
   }
+
+  /** Seasonal-baseline decomposition: each row's value is split into a
+    * seasonal component (the exact mean of its (key, season-slot)
+    * cell — e.g. event type × hour-of-day) and a residual. This is the
+    * profile half of an STL-style decomposition, and the right
+    * de-seasonalizer for anomaly pipelines where "normal for 3 a.m."
+    * differs from "normal for noon": a value judged against the global
+    * baseline false-alarms every rush hour.
+    *
+    * Exactness: cell means accumulate as DECIMAL(18,6) sums (order-
+    * independent, partial-aggregation safe) with one IEEE division;
+    * the residual is one IEEE subtraction. Bit-identical cross-engine.
+    *
+    * Scale shape (100 TB): one partial-aggregated groupBy over
+    * (keys × slots) — a bounded cell table (|keys|·|slots|) that
+    * BROADCASTS back onto the row stream; the flagging pass is
+    * map-only. No windows, no global sort.
+    *
+    * `slotCol` is any deterministic season-slot expression (hour,
+    * day-of-week, month…). Output: input columns + `seasonal` +
+    * `residual`.
+    */
+  def seasonalResiduals(df: DataFrame, keyCols: Seq[String],
+                        slotCol: Column, valueCol: String): DataFrame = {
+    val slotted = df.withColumn("__slot", slotCol)
+    val cellKeys = keyCols.map(col) :+ col("__slot")
+    val cells = slotted
+      .groupBy(cellKeys: _*)
+      .agg((sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    slotted.join(broadcast(cells), keyCols :+ "__slot")
+      .withColumn("residual", col(valueCol) - col("seasonal"))
+      .drop("__slot")
+  }
 }

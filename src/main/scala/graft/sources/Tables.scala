@@ -22,15 +22,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      // Floor division in pure INTEGER math: `div` truncates toward zero
-      // (wrong for pre-epoch negative nanos), and floor(x/1000.0) loses
-      // precision because epoch nanos (~1.7e18) exceed double's 53-bit
-      // mantissa. Subtracting pmod first keeps it exact and floor-like.
-      raw.withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Floor division in pure INTEGER math: `div` truncates toward zero
+        // (wrong for pre-epoch negative nanos), and floor(x/1000.0) loses
+        // precision because epoch nanos (~1.7e18) exceed double's 53-bit
+        // mantissa. Subtracting pmod first keeps it exact and floor-like.
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+      case TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet surfaces as
+        // NTZ in Spark 4, which unix_micros()/window() reject. The
+        // session timezone is pinned to UTC (graft.Sessions), so the
+        // LTZ relabel below is exact — the same micros DuckDB reads
+        // from this file as its naive TIMESTAMP.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -520,6 +520,44 @@ object QueriesEvents {
            |SELECT event_id, event_type, v, med, mad
            |FROM d JOIN md USING (event_type)
            |WHERE dev > 4.5 * mad ORDER BY event_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------- rolling 7-day distinct users
+    // Trailing-window exact distinct (the DAU/WAU rollup): for every
+    // active day, distinct users that day and over the trailing 7 days.
+    // Sliding distinct does NOT decompose into tumbling partials
+    // (distinct isn't additive), so the scale-correct exact shape is a
+    // range join of the (day, user) DISTINCT frame — already collapsed
+    // from raw events by one map-side-combining aggregate — against the
+    // tiny day dimension (broadcast: |days| is calendar-bounded), then
+    // one count_distinct per day. Raw events are touched exactly once.
+    // (The approximate sibling at extreme cardinality is an HLL-merge
+    // over tumbling sketches — operators/Profile's certified path.)
+    Q("q_ev_rolling_distinct",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = du.select(col("day").as("d")).distinct()
+        du.join(broadcast(days),
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d"))
+          .agg(
+            count_distinct(when(col("day") === col("d"), col("user_id")))
+              .as("users_1d"),
+            count_distinct(col("user_id")).as("users_7d"))
+          .select(col("d").as("day"), col("users_1d"), col("users_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM du)
+             |SELECT d AS day,
+             |  CAST(count(DISTINCT CASE WHEN u.day = d THEN u.user_id END)
+             |    AS BIGINT) AS users_1d,
+             |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+             |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1077,6 +1077,127 @@ object QueriesRelational {
       Some("""SELECT o_orderkey, o_totalprice AS price,
              |  date_part('year', o_orderdate) AS yr,
              |  o_orderstatus AS status_payload
-             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    // -------------------------------------------------- per-group OLS trend
+    // operators/Timeseries.olsByGroup: slope/intercept of extendedprice
+    // on quantity per returnflag from exact DECIMAL moment sums — the
+    // map-side-combining form of regr_slope/regr_intercept. The final
+    // double arithmetic runs over exact operands with one fixed
+    // parenthesization on both engines; the 6-decimal grid only
+    // collapses last-ulp divide noise.
+    Q("q_ts_ols_trend",
+      (s, d) => {
+        def stab6(c: Column) = graft.functions.Stabilize.stab(c, 6)
+        graft.operators.Timeseries.olsByGroup(Tables.lineitem(s, d),
+            Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+          .select(col("l_returnflag"), col("n"),
+            stab6(col("slope")).as("slope"),
+            stab6(col("intercept")).as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH m AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+           |      AS sy,
+           |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+           |      AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+           |      AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ${st("(CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)")} AS slope,
+           |  ${st("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) " +
+               "/ CAST(n AS DOUBLE)")} AS intercept
+           |FROM m ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // ------------------------------------------------- deterministic mode
+    // Exact per-group mode with a total tie-break (highest count, then
+    // SMALLEST value — `mode()` builtins tie-break arbitrarily, which
+    // is useless for an oracle-checked pipeline). Two partial
+    // aggregates: value counts, then a skew-safe max_by on
+    // struct(count, -value) — no window, so one hot group cannot
+    // serialize a task.
+    Q("q_agg_mode",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.groupBy(col("l_returnflag"))
+          .agg(max_by(col("l_quantity"),
+              struct(col("cnt"), negate(col("l_quantity")))).as("mode_qty"),
+            max(col("cnt")).as("mode_cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_returnflag, l_quantity, cnt, row_number() OVER (
+             |    PARTITION BY l_returnflag
+             |    ORDER BY cnt DESC, l_quantity) AS rk
+             |  FROM c)
+             |SELECT l_returnflag, l_quantity AS mode_qty,
+             |  CAST(cnt AS BIGINT) AS mode_cnt
+             |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------ key-skew diagnostic
+    // operators/Profile.keySkewReport: frequency concentration of a
+    // prospective shuffle key as exact integer ratios (max share, HHI,
+    // effective key count) — the number a salting/AQE decision wants,
+    // computed sort-free (a Gini needs a global rank; HHI is two plain
+    // aggregates). Bit-identical across engines: every output is a
+    // ratio of exact integers.
+    Q("q_profile_key_skew",
+      (s, d) => graft.operators.Profile.keySkewReport(
+        Tables.lineitem(s, d), Seq("l_suppkey")),
+      Some("""WITH c AS (
+             |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS total,
+             |  CAST(max(c) AS BIGINT) AS max_cnt,
+             |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_share,
+             |  CAST(sum(c * c) AS DOUBLE)
+             |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS hhi,
+             |  (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+             |    / CAST(sum(c * c) AS DOUBLE) AS effective_keys
+             |FROM c""".stripMargin)),
+
+    // -------------------------------------------- association mining
+    // operators/Assoc: frequent co-purchase pairs with support + lift
+    // over the orders×parts relation, a-priori pruned (items below min
+    // support never enter pair generation — pair support can't exceed
+    // item support). Lift is an exact integer ratio. The per-basket
+    // self-join is an equi-join on the order key: AQE-splittable, and
+    // baskets are order-sized, never corpus-sized.
+    Q("q_assoc_copurchase",
+      (s, d) => graft.operators.Assoc.copurchasePairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b")),
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+             |  FROM lineitem),
+             |ic AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
+             |nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+             |f AS (SELECT b.bk, b.it FROM b
+             |      JOIN ic ON ic.it = b.it AND ic.c >= 3),
+             |p AS (
+             |  SELECT a.it AS item_a, b2.it AS item_b, count(*) AS support
+             |  FROM f a JOIN f b2 ON a.bk = b2.bk AND a.it < b2.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+             |  (CAST(support AS DOUBLE) * CAST(nb.n AS DOUBLE))
+             |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+             |FROM p
+             |JOIN ic ca ON ca.it = item_a
+             |JOIN ic cb ON cb.it = item_b, nb
+             |ORDER BY item_a, item_b""".stripMargin))
   )
 }

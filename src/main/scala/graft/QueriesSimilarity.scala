@@ -1876,6 +1876,127 @@ object QueriesSimilarity {
              |  FROM s2)
              |SELECT s2.j AS dim, s2.sv / n2.nrm AS loading,
              |  n2.nrm AS eig
-             |FROM s2, n2 ORDER BY dim""".stripMargin))
+             |FROM s2, n2 ORDER BY dim""".stripMargin)),
+
+    // ------------------- prefix-filtered EXACT set-similarity self-join
+    // The PPJoin-family prefix filter (operators/SetJoin): every pair
+    // with 3-gram-shingle Jaccard >= 0.6, found WITHOUT all-pairs and
+    // WITHOUT the recall gamble of LSH or the rare-ngram heuristic
+    // (q_sim_lsh_neardup / q_sim_ngram_jaccard) — the prefix collision
+    // is a theorem, not a probability, so the result set is exactly the
+    // brute force's. The oracle IS that brute force (the same all-pairs
+    // construction as q_sim_ngram_jaccard's verify stage), which makes
+    // this query a machine-checked losslessness proof at sf scale on
+    // top of SetJoinSpec's property test. Jaccard is an exact-integer
+    // ratio — bit-identical across engines, no stabilization.
+    Q("q_sim_setjoin_prefix",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val shingles = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+        graft.operators.SetJoin
+          .jaccardSelfJoin(shingles, "doc_id", "ngram", 0.6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         count(*) AS n_inter
+             |  FROM ng a JOIN ng b ON b.ngram = a.ngram
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = id_a
+             |JOIN sz sb ON sb.doc_id = id_b
+             |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------- degree-ordered triangle counting (kNN graph)
+    // operators/Triangles over the same cosine kNN-3 edge build as
+    // q_graph_pagerank (labeled baseline; at corpus scale the edges
+    // come from the IVF/LSH candidate index). Per-node triangle
+    // participation — the densification signal under clustering
+    // coefficients and near-dup community checks. Degree-ordering
+    // bounds wedge work at O(m^1.5) and spreads the hot vertex's
+    // wedges to its low-degree neighbors (Suri & Vassilvitskii 2011);
+    // counts are exact integers.
+    Q("q_graph_triangles",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            (Similarity.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb"))).as("cos"))
+        val edges = Windows.topKPerGroup(pairs, Seq(col("src")),
+            Seq(col("cos").desc, col("nid")), 3)
+          .select(col("src"), col("nid").as("dst"))
+        graft.operators.Triangles.perNode(edges)
+          .select(col("id").as("vec_id"), col("n_tri"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS nid,
+             |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+             |      AS cos
+             |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+             |edges AS (
+             |  SELECT src, nid AS dst FROM (
+             |    SELECT src, nid, row_number() OVER (
+             |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
+             |    FROM pairs) WHERE rk <= 3),
+             |und AS (
+             |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |  FROM edges WHERE src <> dst),
+             |deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+             |  GROUP BY 1),
+             |o AS (
+             |  SELECT
+             |    CASE WHEN du.deg < dv.deg
+             |           OR (du.deg = dv.deg AND u < v) THEN u ELSE v
+             |    END AS a,
+             |    CASE WHEN du.deg < dv.deg
+             |           OR (du.deg = dv.deg AND u < v) THEN v ELSE u
+             |    END AS b
+             |  FROM und
+             |  JOIN deg du ON du.id = u
+             |  JOIN deg dv ON dv.id = v),
+             |ob AS (SELECT o.a, o.b, d.deg AS db
+             |       FROM o JOIN deg d ON d.id = o.b),
+             |w AS (
+             |  SELECT e1.a, e1.b AS x, e2.b AS y
+             |  FROM ob e1 JOIN ob e2 ON e1.a = e2.a
+             |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
+             |tri AS (
+             |  SELECT w.a, w.x, w.y
+             |  FROM w JOIN o ON o.a = w.x AND o.b = w.y),
+             |nodes AS (
+             |  SELECT a AS id FROM tri
+             |  UNION ALL SELECT x FROM tri
+             |  UNION ALL SELECT y FROM tri)
+             |SELECT id AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
+             |FROM nodes GROUP BY 1 ORDER BY vec_id""".stripMargin))
   )
 }

@@ -433,6 +433,56 @@ object QueriesSources {
            |    / CAST(cap AS DOUBLE) AS util
            |FROM packed, unnest(range(1, len(loads) + 1)) u(i)
            |ORDER BY bin""".stripMargin
-      })
+      }),
+
+    // --------------------------------------------- snapshot CDC recovery
+    // operators/SnapshotDiff: recover the insert/delete/update stream
+    // from two full snapshots — the bootstrap for every MERGE/SCD2 sink
+    // in sinks/Jdbc when the upstream can only dump. Snapshots are
+    // carved deterministically from orders (old = keys not divisible by
+    // 7; new = keys not divisible by 5, with price bumped +1.00 on keys
+    // divisible by 3), so the expected classes are pure key arithmetic
+    // the oracle replays. One full-outer sort-merge join on the key,
+    // null-safe compares, unchanged rows dropped — the output is the
+    // size of the CHANGE, not the snapshot.
+    Q("q_lake_snapshot_diff",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0d)
+              .otherwise(col("o_totalprice")))
+        graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
+            Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |n AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 0
+             |      THEN o_totalprice + 1.0 ELSE o_totalprice
+             |    END AS o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |j AS (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |    CASE
+             |      WHEN o.o_orderkey IS NULL THEN 'insert'
+             |      WHEN n.o_orderkey IS NULL THEN 'delete'
+             |      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+             |        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             |        THEN 'update'
+             |    END AS change_type,
+             |    o.o_totalprice AS old_o_totalprice,
+             |    n.o_totalprice AS new_o_totalprice,
+             |    o.o_orderstatus AS old_o_orderstatus,
+             |    n.o_orderstatus AS new_o_orderstatus
+             |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+             |SELECT * FROM j WHERE change_type IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -1605,7 +1605,53 @@ object QueriesText {
               |  SELECT 1 FROM p q
               |  WHERE q.n_chars >= p.n_chars AND q.n_types >= p.n_types
               |    AND (q.n_chars > p.n_chars OR q.n_types > p.n_types))
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------- word-distribution entropy signal
+    // Shannon entropy of each document's token distribution, in nats:
+    // H = ln(n) − (Σ c·ln c)/n over per-doc token counts. The standard
+    // degenerate-text screen orthogonal to q_text_repetition (n-gram
+    // self-overlap) and q_text_quality (surface ratios): spam/keyword
+    // stuffing collapses H toward 0, natural prose sits near ln(V).
+    // Two partial-aggregating groupBys, both keyed by doc — no corpus
+    // vocabulary join at all, so the whole signal is map-side work per
+    // document at any corpus size. Counts are exact; the one
+    // order-dependent float sum (Σ c·ln c) is 6-decimal-stabilized like
+    // q_text_unigram_nll's.
+    Q("q_text_word_entropy",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        Tables.documents(s, d).select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c").cast("double")
+              * log(col("c").cast("double"))).as("__slc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            stab6(log(col("n_tokens").cast("double"))
+              - col("__slc") / col("n_tokens").cast("double"))
+              .as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents),
+              |c AS (SELECT doc_id, tok, count(*) AS c
+              |      FROM t GROUP BY 1, 2),
+              |s AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    CAST(count(*) AS BIGINT) AS n_types,
+              |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+              |  FROM c GROUP BY 1)
+              |SELECT doc_id, n_tokens, n_types,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "ln(CAST(n_tokens AS DOUBLE)) " +
+                   "- slc / CAST(n_tokens AS DOUBLE)", 6)} AS entropy
+              |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   /** GPT-3-style n-gram decontamination (both q_text_contamination

@@ -33,6 +33,38 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Key-skew diagnostic for choosing a partition/join strategy: the
+    * frequency concentration of `keyCols` as a 1-row report —
+    * n_keys, total rows, the hottest key's count and share, the
+    * Herfindahl concentration index hhi = Σ share_i², and
+    * effective_keys = 1/hhi (the "as if uniformly distributed over
+    * this many keys" number an AQE/salting decision wants: salt when
+    * effective_keys ≪ shuffle partitions).
+    *
+    * Sort-free on purpose: a Gini coefficient needs a GLOBAL rank over
+    * distinct keys (a single-partition window at 100 TB); HHI is two
+    * plain aggregates with map-side combine. All outputs are exact
+    * integer ratios (Σ c_i² accumulates in DECIMAL(38,0)), so the
+    * report is bit-identical across engines.
+    */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("total"),
+        max(col("__c")).as("max_cnt"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__s2"))
+      .select(col("n_keys"), col("total"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("total").cast("double"))
+          .as("max_share"),
+        (col("__s2").cast("double")
+          / (col("total").cast("double") * col("total").cast("double")))
+          .as("hhi"),
+        ((col("total").cast("double") * col("total").cast("double"))
+          / col("__s2").cast("double")).as("effective_keys"))
+  }
+
   /** Long-form distinct-cardinality report certifying the HLL scale
     * path against the exact answer: one row per column with the EXACT
     * distinct count (cross-engine checkable) and `sketch_ok` =

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered EXACT set-similarity self-join (the PPJoin family —
+  * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+  * Detection", WWW 2008; re-derived here, not copied). Unlike the LSH
+  * and rare-ngram candidate generators (operators/Similarity), the
+  * prefix filter is LOSSLESS: every pair with Jaccard >= t is
+  * guaranteed to collide on at least one prefix element, so the join
+  * returns exactly the brute-force answer while pruning the candidate
+  * space by construction rather than by probability.
+  *
+  * Why it is lossless: J(A,B) >= t implies |A∩B| >= t·|U| >= t·max(|A|,
+  * |B|), so with elements ranked by ONE global total order, the
+  * smallest element of A∩B sits within the first |A| − ⌈t·|A|⌉ + 1
+  * elements of A AND the first |B| − ⌈t·|B|⌉ + 1 of B — the two
+  * prefixes must share it. The same bound gives the length filter
+  * min >= ⌈t·max⌉ (|A∩B| <= min), applied before the pair is ever
+  * verified.
+  *
+  * Scale shape (100 TB): the global order is ascending document
+  * frequency (ties by element value), which is the classic skew
+  * killer — prefixes are made of each set's RAREST elements, so the
+  * candidate join's bucket sizes are small by construction (a
+  * stop-word-like element with df in the millions is almost never in
+  * anyone's prefix). Costs: one (element) aggregate for df with
+  * map-side combine; one per-set window to rank elements (partitions
+  * are single sets, bounded by document length — no hot key possible);
+  * a self-join that shuffles ONLY prefix rows (a (1−t) fraction of the
+  * corpus); and exact verification that carries candidate pairs plus
+  * 8-byte element hashes (Similarity.jaccardForPairs), never element
+  * strings.
+  */
+object SetJoin {
+
+  /** All unordered pairs (id_a < id_b) with exact Jaccard >= `t` over a
+    * distinct (`idCol`, `elemCol`) frame. Output: (id_a, id_b, jaccard)
+    * with jaccard an exact-integer ratio (bit-identical across engines).
+    */
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, elemCol: String,
+                      t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val distinctSets = sets.select(col(idCol), col(elemCol)).distinct()
+    val dfreq = distinctSets.groupBy(col(elemCol))
+      .agg(count(lit(1)).as("__df"))
+    val sized = distinctSets
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val ranked = sized.join(dfreq, Seq(elemCol))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__df"), col(elemCol))))
+    // prefix length |S| − ⌈t·|S|⌉ + 1
+    val prefix = ranked
+      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .select(col(idCol), col(elemCol), col("__sz"))
+    val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
+        col("__sz").as("__sa"))
+      .join(prefix.select(col(elemCol), col(idCol).as("id_b"),
+        col("__sz").as("__sb")), Seq(elemCol))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: |A∩B| <= min and >= ⌈t·max⌉ force min >= ⌈t·max⌉
+      .filter(least(col("__sa"), col("__sb")) >=
+        ceil(lit(t) * greatest(col("__sa"), col("__sb"))))
+      .select(col("id_a"), col("id_b")).distinct()
+    Similarity.jaccardForPairs(cand,
+        distinctSets.withColumnRenamed(elemCol, "shingle"), idCol)
+      .filter(col("jaccard") >= t)
+  }
+}

@@ -95,4 +95,48 @@ object Timeseries {
       .withColumn("residual", col(valueCol) - col("seasonal"))
       .drop("__slot")
   }
+
+  /** Per-group ordinary-least-squares trend: slope and intercept of
+    * `yCol` regressed on `xCol`, from the classic moment sums
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    *
+    * Engine-portability contract: the four moment sums accumulate in
+    * DECIMAL (exact, order-independent — partial aggregation cannot
+    * change them; the x·y / x·x doubles sit within ulps of the
+    * `prodScale`-decimal grid, so both engines' double→decimal casts
+    * land on the same grid point), and only the final slope/intercept
+    * arithmetic runs in DOUBLE over those exact operands with one
+    * fixed parenthesization — identical IEEE ops, identical bits.
+    *
+    * Scale shape: ONE partial-aggregating groupBy — the same plan as
+    * any sum, no window, no collect. This is the map-side-combining
+    * form of what a per-key `regr_slope` would do.
+    */
+  def olsByGroup(df: DataFrame, keyCols: Seq[String], xCol: String,
+                 yCol: String, prodScale: Int = 4): DataFrame = {
+    def dec(c: Column, s: Int) = sum(c.cast(s"decimal(38,$s)"))
+    val x = col(xCol); val y = col(yCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dec(x, prodScale).as("__sx"), dec(y, prodScale).as("__sy"),
+        dec(x * x, prodScale).as("__sxx"),
+        dec(x * y, prodScale).as("__sxy"))
+      .select(keyCols.map(col) ++ Seq(col("n"), {
+        val n  = col("n").cast("double")
+        val sx = col("__sx").cast("double")
+        val sy = col("__sy").cast("double")
+        val sxx = col("__sxx").cast("double")
+        val sxy = col("__sxy").cast("double")
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        slope.as("slope")
+      }, {
+        val n  = col("n").cast("double")
+        val sx = col("__sx").cast("double")
+        val sy = col("__sy").cast("double")
+        val sxx = col("__sxx").cast("double")
+        val sxy = col("__sxy").cast("double")
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        ((sy - slope * sx) / n).as("intercept")
+      }): _*)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The prefix filter's contract is LOSSLESSNESS: jaccardSelfJoin must
+  * return exactly the brute-force pair set at every threshold — the
+  * prefix/length filters may only prune pairs that cannot qualify.
+  */
+class SetJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def brute(sets: Seq[(Long, Set[String])], t: Double) =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      union = (sa | sb).size
+      if union > 0 && inter.toDouble / union >= t
+    } yield (ia, ib, inter.toDouble / union)).toSet
+
+  private def viaSpark(sets: Seq[(Long, Set[String])], t: Double) = {
+    val df = sets.flatMap { case (id, s) => s.map(id -> _) }
+      .toDF("id", "elem")
+    SetJoin.jaccardSelfJoin(df, "id", "elem", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("matches brute force on a fixed corpus at several thresholds") {
+    val sets = Seq(
+      1L -> Set("a", "b", "c", "d"),
+      2L -> Set("a", "b", "c", "d"),          // exact dup of 1
+      3L -> Set("a", "b", "c", "e"),          // J(1,3) = 3/5 = 0.6
+      4L -> Set("x", "y", "z"),               // disjoint
+      5L -> Set("a", "x"),                    // small overlaps
+      6L -> Set("b"))                         // singleton
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8, 1.0))
+      assert(viaSpark(sets, t) == brute(sets, t), s"threshold $t")
+  }
+
+  test("property: lossless vs brute force on random small corpora") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 20) {
+      val sets = (0 until 7).map { i =>
+        val sz = 1 + rnd.nextInt(alphabet.size)
+        i.toLong -> rnd.shuffle(alphabet).take(sz).toSet
+      }
+      val t = Seq(0.34, 0.5, 0.75)(rnd.nextInt(3))
+      assert(viaSpark(sets, t) == brute(sets, t), s"trial $trial t=$t $sets")
+    }
+  }
+
+  test("prefix candidates prune: disjoint corpus verifies zero pairs") {
+    // every set unique-element — no prefix collision, so the verify
+    // stage gets an empty pair frame and the result is empty
+    val sets = (1L to 5L).map(i => i -> Set(s"u$i", s"v$i", s"w$i"))
+    assert(viaSpark(sets, 0.5).isEmpty)
+  }
+}

@@ -57,4 +57,34 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got("a")._3 == 1.0 * 0.75 + 3.0 * 0.25)
     assert(got("b")._3 == 10.0 * 0.75 + 30.0 * 0.25)
   }
+
+  test("olsByGroup recovers an exact linear relation per group") {
+    // y = 3x + 7 for group a, y = -2x + 100 for group b (exact doubles)
+    val rows = for {
+      (k, m, c) <- Seq(("a", 3.0, 7.0), ("b", -2.0, 100.0))
+      x <- 1 to 10
+    } yield (k, x.toDouble, m * x + c)
+    val got = Timeseries.olsByGroup(rows.toDF("k", "x", "y"),
+        Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((10L, 3.0, 7.0)))
+    assert(got("b") == ((10L, -2.0, 100.0)))
+  }
+
+  test("olsByGroup matches the closed form on noisy grid data") {
+    // 2-decimal-grid y values, like prices: moments stay exact decimals
+    val rows = Seq(1.0 -> 2.25, 2.0 -> 3.75, 3.0 -> 3.5, 4.0 -> 6.0,
+      5.0 -> 7.25).map { case (x, y) => ("g", x, y) }
+    val n = rows.size.toDouble
+    val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+    val sxx = rows.map(r => r._2 * r._2).sum
+    val sxy = rows.map(r => r._2 * r._3).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r = Timeseries.olsByGroup(rows.toDF("k", "x", "y"),
+      Seq("k"), "x", "y").collect().head
+    assert(math.abs(r.getDouble(2) - slope) < 1e-12)
+    assert(math.abs(r.getDouble(3) - intercept) < 1e-12)
+  }
 }

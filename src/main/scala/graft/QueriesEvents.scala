@@ -558,6 +558,109 @@ object QueriesEvents {
              |    AS BIGINT) AS users_1d,
              |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------ seasonal baseline + residuals
+    // operators/Timeseries.seasonalResiduals: subtract each
+    // (event_type, hour-of-day) cell's exact mean — the detrending
+    // step before any anomaly rule that shouldn't fire on rush-hour
+    // shape. One cell aggregate (DECIMAL-exact mean) + one broadcast
+    // join, map-only after that; residual arithmetic is the same
+    // double op over identical operands on both engines.
+    Q("q_ev_seasonal_residuals",
+      (s, d) => graft.operators.Timeseries.seasonalResiduals(
+          Tables.events(s, d).select(col("event_id"), col("ts"),
+            col("event_type"), col("value")),
+          Seq("event_type"), hour(col("ts")), "value")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("seasonal"), col("residual"))
+        .orderBy(col("event_id")),
+      Some("""WITH s AS (
+             |  SELECT event_type, date_part('hour', ts) AS slot,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      / count(*) AS seasonal
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_id, e.event_type, e.value, s.seasonal,
+             |  e.value - s.seasonal AS residual
+             |FROM events e
+             |JOIN s ON s.event_type = e.event_type
+             |  AND s.slot = date_part('hour', e.ts)
+             |WHERE e.event_id < 2000
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ------------------------------------------- linear-interp gap fill
+    // operators/Timeseries.interpolateLinear over the scaffolded
+    // user×day grid: daily means where observed, straight-line fill
+    // through gaps, endpoint extension at the edges (pandas
+    // interpolate(limit_direction='both')). The lerp factor is an
+    // exact integer-day ratio; the one order-sensitive float product
+    // chain is 6-decimal-stabilized.
+    Q("q_ev_gap_fill",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val ev = Tables.events(s, d).filter(col("user_id") < 20)
+        val daily = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("v"))
+        val days = ev.agg(min(to_date(col("ts"))).as("lo"),
+            max(to_date(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+        val grid = daily.select(col("user_id")).distinct()
+          .crossJoin(broadcast(days))
+        val sparse = grid.join(daily, Seq("user_id", "day"), "left")
+        graft.operators.Timeseries.interpolateLinear(sparse,
+            Seq("user_id"), "day", "v")
+          .select(col("user_id"), col("day"), col("v").as("observed"),
+            stab6(col("filled")).as("filled"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, value
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id, day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      / count(*) AS v
+             |  FROM ev GROUP BY 1, 2),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |grid AS (
+             |  SELECT u.user_id, d.day
+             |  FROM (SELECT DISTINCT user_id FROM daily) u, days d),
+             |j AS (
+             |  SELECT g.user_id, g.day, daily.v
+             |  FROM grid g LEFT JOIN daily
+             |    ON daily.user_id = g.user_id AND daily.day = g.day),
+             |w AS (
+             |  SELECT user_id, day, v,
+             |    last_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    first_value(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM j)
+             |SELECT user_id, day, v AS observed,
+             |  round_even((CASE WHEN v IS NOT NULL THEN v
+             |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |      pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+             |        / CAST(nd - pd AS DOUBLE))
+             |    ELSE coalesce(pv, nv) END) * 1000000.0, 0) / 1000000.0
+             |    AS filled
+             |FROM w ORDER BY user_id, day""".stripMargin))
   )
 }

@@ -1198,6 +1198,37 @@ object QueriesRelational {
              |FROM p
              |JOIN ic ca ON ca.it = item_a
              |JOIN ic cb ON cb.it = item_b, nb
-             |ORDER BY item_a, item_b""".stripMargin))
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // ------------------------------------------- weighted percentiles
+    // operators/Percentiles.weightedLowerQuantiles: quantity-weighted
+    // price quantiles — "the price below which 25/50/90 % of UNITS
+    // (not line items) trade". Weights accumulate in DECIMAL and each
+    // threshold is the cross-multiplied comparison cum·den >= tot·num,
+    // so no float boundary can flip a bucket between engines; the
+    // answer is always an actual data value. Same histogram shape as
+    // the exact-percentile scale path: one (value, Σweight) aggregate
+    // with map-side combine, then a window over the bounded histogram.
+    Q("q_agg_weighted_percentile",
+      (s, d) => graft.operators.Percentiles.weightedLowerQuantiles(
+        Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+        Seq((1, 4, "wp25"), (1, 2, "wp50"), (9, 10, "wp90"))),
+      Some("""WITH h AS (
+             |  SELECT l_extendedprice AS v,
+             |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             |  GROUP BY 1),
+             |c AS (
+             |  SELECT v, sum(w) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER () AS tot
+             |  FROM h)
+             |SELECT
+             |  min(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS wp25,
+             |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wp50,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90,
+             |  CAST(max(tot) AS DOUBLE) AS total_weight
+             |FROM c""".stripMargin))
   )
 }

@@ -1893,9 +1893,14 @@ object QueriesSimilarity {
       (s, d) => {
         val toked = Tables.documents(s, d).select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
-        val shingles = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+        // 8-byte digests up front: prefix ranking, candidate join AND
+        // verify all shuffle longs, never shingle strings (the oracle
+        // mirrors the hash, q_sim_ngram_jaccard's convention)
+        val hashed = Similarity.hashedShingles(
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id")
         graft.operators.SetJoin
-          .jaccardSelfJoin(shingles, "doc_id", "ngram", 0.6)
+          .jaccardSelfJoin(hashed, "doc_id", "h", 0.6)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH t AS (
@@ -1909,11 +1914,14 @@ object QueriesSimilarity {
              |      ' ' || toks[CAST(i AS INT)+2] AS ngram
              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
              |  WHERE len(toks) >= 3),
-             |sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+             |hng AS (SELECT DISTINCT doc_id,
+             |          ${HashFns.md5LongSql("ngram")} AS h
+             |        FROM ng),
+             |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |         count(*) AS n_inter
-             |  FROM ng a JOIN ng b ON b.ngram = a.ngram
+             |  FROM hng a JOIN hng b ON b.h = a.h
              |    AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b,

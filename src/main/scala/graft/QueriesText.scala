@@ -1651,7 +1651,75 @@ object QueriesText {
               |  ${graft.functions.Stabilize.stabSql(
                    "ln(CAST(n_tokens AS DOUBLE)) " +
                    "- slc / CAST(n_tokens AS DOUBLE)", 6)} AS entropy
-              |FROM s ORDER BY doc_id""".stripMargin))
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------- PMI collocation extraction
+    // Pointwise mutual information of adjacent word pairs against
+    // unigram independence: pmi = ln(c_xy·T² / (B·c_x·c_y)) — the
+    // classic collocation/phrase-mining signal (Church & Hanks 1990)
+    // that a tokenizer-vocabulary or phrase-merge pass ranks by. All
+    // counts are exact integers from two map-side-combining
+    // aggregates (bigrams re-use q_text_top_bigrams' one-pass array
+    // transform); the single ln over the exact ratio is 6-decimal
+    // stabilized (libm ulp), and the order is pmi-then-pair so ties
+    // stay deterministic.
+    Q("q_text_pmi_collocations",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val toked = Tables.documents(s, d)
+          .select(TextFns.tokens(col("text")).as("toks"))
+        val t = col("toks")
+        val pairs = toked.select(explode(transform(
+            sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"),
+              element_at(t, i + 1).as("w2")))).as("bg"))
+          .select(col("bg.w1"), col("bg.w2"))
+        val bcnt = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        val ucnt = toked.select(explode(t).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = ucnt.agg(sum(col("c")).cast("double").as("T"))
+        val btot = pairs.agg(count(lit(1)).cast("double").as("B"))
+        bcnt
+          .join(ucnt.select(col("w").as("w1"), col("c").as("c_x")),
+            Seq("w1"))
+          .join(ucnt.select(col("w").as("w2"), col("c").as("c_y")),
+            Seq("w2"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+          .select(col("w1"), col("w2"), col("c_xy"),
+            stab6(log((col("c_xy").cast("double") * col("T") * col("T"))
+              / (col("B") * col("c_x").cast("double")
+                * col("c_y").cast("double")))).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT string_split($normSql, ' ') AS toks FROM documents),
+              |bg AS (
+              |  SELECT unnest(list_transform(range(1, len(toks)),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              |  FROM t),
+              |bc AS (
+              |  SELECT string_split(bigram, ' ')[1] AS w1,
+              |         string_split(bigram, ' ')[2] AS w2,
+              |         count(*) AS c_xy
+              |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+              |u AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w
+              |  FROM documents),
+              |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+              |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uc),
+              |bt AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM bg)
+              |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+              |  ${graft.functions.Stabilize.stabSql(
+                   "ln((CAST(c_xy AS DOUBLE) * T * T) " +
+                   "/ (B * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))",
+                   6)} AS pmi
+              |FROM bc
+              |JOIN uc ca ON ca.w = w1
+              |JOIN uc cb ON cb.w = w2, tt, bt
+              |ORDER BY pmi DESC, w1, w2""".stripMargin))
   )
 
   /** GPT-3-style n-gram decontamination (both q_text_contamination

@@ -78,6 +78,47 @@ object Percentiles {
       .select(interp("__vk", "__vk1", "__hh", "__kk").as(alias))
   }
 
+  /** WEIGHTED lower quantiles (nearest-rank on cumulative weight): for
+    * each requested fraction num/den, the smallest value v whose
+    * cumulative weight reaches (num/den)·W. The token-budget form of a
+    * percentile — "the document length below which half the TOKENS
+    * (not documents) sit" — and the exactness-preserving one: weights
+    * accumulate in DECIMAL and the threshold test is the
+    * cross-multiplied integer comparison cum·den >= tot·num, so no
+    * float boundary can flip a bucket between engines.
+    *
+    * Fractions are passed as (num, den) pairs precisely so p·W is
+    * never computed in floating point.
+    *
+    * Same histogram scale shape as [[exactByHistogram]]: one
+    * map-side-combining (value, Σweight) aggregate, then a
+    * single-partition window over the BOUNDED-DISTINCT histogram.
+    */
+  def weightedLowerQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String,
+      fracs: Seq[(Int, Int, String)]): DataFrame = {
+    require(fracs.nonEmpty, "need at least one (num, den, alias)")
+    fracs.foreach { case (num, den, _) =>
+      require(num >= 0 && den > 0 && num <= den,
+        s"fraction must satisfy 0 <= num/den <= 1, got $num/$den") }
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(col(weightCol).cast("decimal(38,6)")).as("__w"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist.withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", last(col("__cum")).over(
+        Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    val aggs = fracs.map { case (num, den, alias) =>
+      min(when(col("__cum") * den >= col("__tot") * num, col("__v")))
+        .as(alias)
+    } :+ max(col("__tot")).cast("double").as("total_weight")
+    ranked.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The built-in `percentile`'s interpolation, verbatim: v_k when
     * h == k, else (⌈h⌉−h)·v_k + (h−k)·v_{k+1}. ⌈h⌉ is k+1 on that
     * branch, and v_{k+1} falls back to v_k at the top rank (p = 1.0

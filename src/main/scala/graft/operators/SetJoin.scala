@@ -65,8 +65,11 @@ object SetJoin {
       .filter(least(col("__sa"), col("__sb")) >=
         ceil(lit(t) * greatest(col("__sa"), col("__sb"))))
       .select(col("id_a"), col("id_b")).distinct()
-    Similarity.jaccardForPairs(cand,
-        distinctSets.withColumnRenamed(elemCol, "shingle"), idCol)
+    // verify directly on the element column (jaccardForPairsHashed only
+    // needs equality — pre-hash elements to 8-byte longs upstream and
+    // every stage here, prefix AND verify, shuffles longs not strings)
+    Similarity.jaccardForPairsHashed(cand,
+        distinctSets.select(col(idCol), col(elemCol).as("h")), idCol)
       .filter(col("jaccard") >= t)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series smoothing operators.
@@ -112,6 +113,43 @@ object Timeseries {
     * any sum, no window, no collect. This is the map-side-combining
     * form of what a per-key `regr_slope` would do.
     */
+  /** Linear interpolation of missing values over a dense per-key grid
+    * (pandas `interpolate(method='linear')`, the gap-fill step between
+    * scaffold-densify and model-ready series): rows where `valueCol`
+    * is null get prev + (next − prev)·(t − t_prev)/(t_next − t_prev)
+    * from the nearest non-null neighbors in `ordCol` order; leading/
+    * trailing gaps fall back to the single available neighbor
+    * (pandas `limit_direction='both'` endpoint extension).
+    *
+    * `ordCol` must be a DATE column (gap fractions use datediff —
+    * exact integer day arithmetic, so the lerp factor is an exact
+    * ratio). Scale shape: four IGNORE-NULLS window functions over
+    * per-key partitions — series are calendar-bounded, keys spread
+    * across tasks, nothing global.
+    */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String],
+                        ordCol: String, valueCol: String,
+                        outCol: String = "filled"): DataFrame = {
+    val asc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsOrd = when(v.isNotNull, col(ordCol))
+    val pv = last(v, ignoreNulls = true).over(asc)
+    val pd = last(obsOrd, ignoreNulls = true).over(asc)
+    val nv = first(v, ignoreNulls = true).over(desc)
+    val nd = first(obsOrd, ignoreNulls = true).over(desc)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * (datediff(col(ordCol), pd).cast("double")
+            / datediff(nd, pd).cast("double")))
+        .otherwise(coalesce(pv, nv)))
+  }
+
   def olsByGroup(df: DataFrame, keyCols: Seq[String], xCol: String,
                  yCol: String, prodScale: Int = 4): DataFrame = {
     def dec(c: Column, s: Int) = sum(c.cast(s"decimal(38,$s)"))

@@ -120,4 +120,29 @@ class PercentilesSpec extends AnyFunSuite {
       assert(g.getLong(4) == w.getLong(2))
     }
   }
+
+  test("weighted lower quantiles: nearest-rank on cumulative weight") {
+    // values 1..4 with weights 1,1,6,2 (W=10): cum = 1,2,8,10
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 6L), (4.0, 2L))
+      .toDF("v", "w")
+    val r = Percentiles.weightedLowerQuantiles(df, "v", "w",
+      Seq((1, 10, "p10"), (1, 5, "p20"), (1, 2, "p50"),
+        (4, 5, "p80"), (1, 1, "p100"))).collect().head
+    assert(r.getDouble(0) == 1.0) // cum 1 >= 1
+    assert(r.getDouble(1) == 2.0) // cum 2 >= 2
+    assert(r.getDouble(2) == 3.0) // cum 8 >= 5
+    assert(r.getDouble(3) == 3.0) // cum 8 >= 8 — exact boundary
+    assert(r.getDouble(4) == 4.0)
+    assert(r.getDouble(5) == 10.0) // total_weight
+  }
+
+  test("weighted quantiles with unit weights match the unweighted nearest-rank") {
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val df = xs.map(x => (x, 1L)).toDF("v", "w")
+    val r = Percentiles.weightedLowerQuantiles(df, "v", "w",
+      Seq((1, 2, "p50"), (4, 5, "p80"))).collect().head
+    val sorted = xs.sorted // nearest-rank: ceil(p·n)-th value
+    assert(r.getDouble(0) == sorted(math.ceil(0.5 * xs.size).toInt - 1))
+    assert(r.getDouble(1) == sorted(math.ceil(0.8 * xs.size).toInt - 1))
+  }
 }

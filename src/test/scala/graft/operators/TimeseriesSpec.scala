@@ -72,6 +72,37 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got("b") == ((10L, -2.0, 100.0)))
   }
 
+  test("interpolateLinear fills interior gaps by day fraction, edges by extension") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val rows: Seq[(String, Date, java.lang.Double)] = Seq(
+      ("u", d("2024-01-01"), null),        // leading edge -> bfill 10
+      ("u", d("2024-01-02"), 10.0),
+      ("u", d("2024-01-03"), null),        // 10 + (40-10)*1/3 = 20
+      ("u", d("2024-01-04"), null),        // 10 + (40-10)*2/3 = 30
+      ("u", d("2024-01-05"), 40.0),
+      ("u", d("2024-01-06"), null))        // trailing edge -> ffill 40
+    val got = Timeseries.interpolateLinear(rows.toDF("k", "day", "v"),
+        Seq("k"), "day", "v")
+      .orderBy("day").collect().map(_.getDouble(3)).toSeq
+    assert(got == Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
+  }
+
+  test("interpolateLinear: all-null key stays null; keys are independent") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val rows: Seq[(String, Date, java.lang.Double)] = Seq(
+      ("a", d("2024-01-01"), 1.0), ("a", d("2024-01-02"), null),
+      ("a", d("2024-01-03"), 3.0),
+      ("b", d("2024-01-01"), null), ("b", d("2024-01-02"), null))
+    val got = Timeseries.interpolateLinear(rows.toDF("k", "day", "v"),
+        Seq("k"), "day", "v")
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), Option(r.get(3)))).toSeq
+    assert(got == Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None)))
+  }
+
   test("olsByGroup matches the closed form on noisy grid data") {
     // 2-decimal-grid y values, like prices: moments stay exact decimals
     val rows = Seq(1.0 -> 2.25, 2.0 -> 3.75, 3.0 -> 3.5, 4.0 -> 6.0,

@@ -43,7 +43,12 @@ object SetJoin {
   def jaccardSelfJoin(sets: DataFrame, idCol: String, elemCol: String,
                       t: Double): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    // cached: consumed by the df aggregate, the per-set ranking, and
+    // the exact-verify intersection joins — the cache pins ONE
+    // evaluation of the caller's shingle pipeline (hash-compact rows:
+    // pre-hash elements to longs, see q_sim_setjoin_prefix)
     val distinctSets = sets.select(col(idCol), col(elemCol)).distinct()
+      .cache()
     val dfreq = distinctSets.groupBy(col(elemCol))
       .agg(count(lit(1)).as("__df"))
     val sized = distinctSets

@@ -35,10 +35,15 @@ object Triangles {
     * dropped). Output: (id, n_tri) for every node in >= 1 triangle.
     */
   def perNode(edges: DataFrame): DataFrame = {
+    // cached: the undirected edge list is consumed by the degree
+    // aggregate, the orientation join, the wedge self-join, and the
+    // closure join — without the cache every consumer re-evaluates the
+    // caller's (possibly expensive) edge derivation. Size is O(m),
+    // the same frame every stage shuffles anyway.
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().cache()
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -58,9 +63,9 @@ object Triangles {
       .select(col("a"), col("x"), col("y"))
     val tri = wedges.join(
       oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
-    tri.select(col("a").as("id"))
-      .unionAll(tri.select(col("x").as("id")))
-      .unionAll(tri.select(col("y").as("id")))
+    // one evaluation of the triangle join — explode, not a 3-way union
+    // whose branches would each recompute it
+    tri.select(explode(array(col("a"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 }

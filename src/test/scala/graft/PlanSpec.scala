@@ -200,7 +200,23 @@ class PlanSpec extends AnyFunSuite {
       "q_ev_trajectory"           -> (5, 3),
       "q_ev_anomaly_grouped"      -> (25, 9),
       "q_eval_pr_curve"           -> (13, 5),
-      "q_sim_ann_ivf_lake"        -> (28, 14))
+      "q_sim_ann_ivf_lake"        -> (28, 14),
+      // round-8 continuation (measured via PlanProbe + ~25%).
+      // q_sim_setjoin_prefix and q_graph_triangles are NOT pinned:
+      // both cache their shared frame (distinct sets / undirected
+      // edges) and InMemoryRelation reprints its build lineage per
+      // consumer — the pagerank/editdist waiver.
+      "q_assoc_copurchase"        -> (49, 13),
+      "q_lake_snapshot_diff"      -> (8, 5),
+      "q_ts_ols_trend"            -> (5, 3),
+      "q_ev_rolling_distinct"     -> (15, 5),
+      "q_ev_gap_fill"             -> (15, 8),
+      "q_text_pmi_collocations"   -> (29, 10),
+      "q_agg_weighted_percentile" -> (5, 3),
+      "q_profile_key_skew"        -> (5, 3),
+      "q_agg_mode"                -> (8, 3),
+      "q_text_word_entropy"       -> (8, 3),
+      "q_ev_seasonal_residuals"   -> (8, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -560,6 +560,49 @@ object QueriesEvents {
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----------------------- rolling distinct: the HLL-sketch scale path
+    // q_ev_rolling_distinct's exact shape re-shuffles the (day, user)
+    // frame per window position; at extreme cardinality the scale path
+    // keeps ONE mergeable HLL sketch per day and unions 7 of them per
+    // window (sketches are bytes, not user sets). This query certifies
+    // that substitution at test scale, the q_profile_approx_distinct
+    // convention: exact count and sketch estimate computed side by
+    // side, sketch_ok = estimate within 2% (lgConfigK=14 keeps HLL
+    // error ~0.8%); the oracle checks the exact column and pins
+    // sketch_ok TRUE.
+    Q("q_ev_rolling_distinct_approx",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = du.select(col("day").as("d")).distinct()
+        val inWin = col("day").between(date_sub(col("d"), 6), col("d"))
+        val sk = du.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        val est = sk.join(broadcast(days), inWin)
+          .groupBy(col("d"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+        val exact = du.join(broadcast(days), inWin)
+          .groupBy(col("d"))
+          .agg(count_distinct(col("user_id")).as("users_7d"))
+        exact.join(est, Seq("d"))
+          .select(col("d").as("day"), col("users_7d"),
+            (abs(col("__est").cast("double")
+              - col("users_7d").cast("double"))
+              <= lit(0.02) * col("users_7d").cast("double"))
+              .as("sketch_ok"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM du)
+             |SELECT d AS day,
+             |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d,
+             |  TRUE AS sketch_ok
+             |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------ seasonal baseline + residuals
     // operators/Timeseries.seasonalResiduals: subtract each
     // (event_type, hour-of-day) cell's exact mean — the detrending

@@ -1932,6 +1932,52 @@ object QueriesSimilarity {
              |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --------------------------- directional containment (quote) join
+    // SetJoin.containmentSelfJoin at t = 0.9 over the same hashed
+    // 3-gram shingle sets: |A∩B|/|A| — the subset/quote detector that
+    // Jaccard misses (small doc inside big doc). Lossless asymmetric
+    // prefix filter (contained side's rarest elements vs the full
+    // corpus), |B| >= ⌈t·|A|⌉ length filter, exact-ratio verify. The
+    // oracle is the all-pairs brute force on the mirrored hashes.
+    Q("q_sim_containment",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val hashed = Similarity.hashedShingles(
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id")
+        graft.operators.SetJoin
+          .containmentSelfJoin(hashed, "doc_id", "h", 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |hng AS (SELECT DISTINCT doc_id,
+             |          ${HashFns.md5LongSql("ngram")} AS h
+             |        FROM ng),
+             |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         count(*) AS n_inter
+             |  FROM hng a JOIN hng b ON b.h = a.h
+             |    AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+             |  n_inter / sa.n AS containment
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = id_a
+             |WHERE n_inter / sa.n >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ------------------------- degree-ordered triangle counting (kNN graph)
     // operators/Triangles over the same cosine kNN-3 edge build as
     // q_graph_pagerank (labeled baseline; at corpus scale the edges

@@ -77,4 +77,54 @@ object SetJoin {
         distinctSets.select(col(idCol), col(elemCol).as("h")), idCol)
       .filter(col("jaccard") >= t)
   }
+
+  /** Directional containment self-join: all ordered pairs (id_a, id_b),
+    * a != b, with |A∩B|/|A| >= `t` — the quote/subset detector that
+    * Jaccard misses (a paragraph fully contained in a much larger
+    * document has high containment but low Jaccard). Same lossless
+    * prefix principle, asymmetric: |A∩B| >= ⌈t·|A|⌉ forces the
+    * CONTAINED side's prefix (its |A| − ⌈t·|A|⌉ + 1 rarest elements)
+    * to intersect A∩B, so A-prefix rows join against the full corpus
+    * — still skew-safe, because only RARE elements appear on the
+    * prefix side of the join key. The length filter is
+    * |B| >= ⌈t·|A|⌉ (the intersection fits inside B).
+    *
+    * Output: (id_a, id_b, n_inter, containment) with containment an
+    * exact integer ratio.
+    */
+  def containmentSelfJoin(sets: DataFrame, idCol: String, elemCol: String,
+                          t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val distinctSets = sets.select(col(idCol), col(elemCol)).distinct()
+      .cache()
+    val dfreq = distinctSets.groupBy(col(elemCol))
+      .agg(count(lit(1)).as("__df"))
+    val sized = distinctSets
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val ranked = sized.join(dfreq, Seq(elemCol))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__df"), col(elemCol))))
+    val prefix = ranked
+      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .select(col(idCol), col(elemCol), col("__sz"))
+    val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
+        col("__sz").as("__sa"))
+      .join(sized.select(col(elemCol), col(idCol).as("id_b"),
+        col("__sz").as("__sb")), Seq(elemCol))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__sb") >= ceil(lit(t) * col("__sa")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shd = distinctSets.select(col(idCol), col(elemCol).as("h"))
+    val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    cand
+      .join(shd.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(shd.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / col("__na")).as("containment"))
+      .filter(col("containment") >= t)
+  }
 }

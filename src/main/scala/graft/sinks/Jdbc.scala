@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.sql.DriverManager
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** JDBC sink + verification probes (SURVEY §2.1 S6–S8, S11).
   *
@@ -102,6 +103,48 @@ object Jdbc {
         s"""MERGE INTO $table t USING $stage s ON $on
            |$updateClause
            |WHEN NOT MATCHED THEN INSERT ($insertCols)
+           |VALUES ($insertVals)""".stripMargin)
+    }
+  }
+
+  /** Apply a change frame shaped like operators/SnapshotDiff.diff's
+    * output (keys…, change_type in insert|delete|update, old_/new_
+    * tracked columns) to a warehouse table — the other half of the
+    * snapshot-CDC lifecycle: SnapshotDiff RECOVERS the stream, this
+    * APPLIES it. One staged batch + ONE three-clause MERGE (Derby
+    * 10.11+/Postgres 15+/SQL Server), so the whole batch lands
+    * atomically. Replay-idempotent by construction: re-applied
+    * deletes find no match, re-applied updates set the same values,
+    * re-applied inserts match and degrade to same-value updates.
+    * A missing target bootstraps from the non-delete rows.
+    */
+  def applyCdc(changes: DataFrame, url: String, table: String,
+               keys: Seq[String], tracked: Seq[String],
+               batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty && tracked.nonEmpty,
+      "applyCdc needs key and tracked columns")
+    def q(c: String) = "\"" + c + "\""
+    val flat = changes.select(
+      keys.map(col) ++
+        tracked.map(c => col("new_" + c).as(c)) :+ col("change_type"): _*)
+    if (!tableExists(url, table)) {
+      load(flat.filter(col("change_type") =!= "delete")
+          .select((keys ++ tracked).map(col): _*),
+        url, table, ifExists = "replace", batchSize)
+    } else {
+      val stage = s"${table}__stage"
+      load(flat, url, stage, ifExists = "replace", batchSize)
+      val on = keys.map(k => keyEq(flat, k)).mkString(" AND ")
+      val updates = tracked.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val cols = (keys ++ tracked)
+      val insertCols = cols.map(q).mkString(", ")
+      val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      val del = s"CAST(s.${q("change_type")} AS VARCHAR(16)) = 'delete'"
+      execute(url,
+        s"""MERGE INTO $table t USING $stage s ON $on
+           |WHEN MATCHED AND $del THEN DELETE
+           |WHEN MATCHED AND NOT ($del) THEN UPDATE SET $updates
+           |WHEN NOT MATCHED AND NOT ($del) THEN INSERT ($insertCols)
            |VALUES ($insertVals)""".stripMargin)
     }
   }

@@ -52,6 +52,47 @@ class SetJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def bruteCont(sets: Seq[(Long, Set[String])], t: Double) =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size
+      if sa.nonEmpty && inter.toDouble / sa.size >= t
+    } yield (ia, ib, inter.toLong, inter.toDouble / sa.size)).toSet
+
+  private def viaSparkCont(sets: Seq[(Long, Set[String])], t: Double) = {
+    val df = sets.flatMap { case (id, s) => s.map(id -> _) }
+      .toDF("id", "elem")
+    SetJoin.containmentSelfJoin(df, "id", "elem", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("containment join finds subsets Jaccard misses, lossless vs brute force") {
+    val sets = Seq(
+      1L -> Set("a", "b"),                          // fully inside 2 and 3
+      2L -> Set("a", "b", "c", "d", "e", "f"),      // J(1,2)=2/6 < 0.5
+      3L -> Set("a", "b", "z"),
+      4L -> Set("x", "y"))
+    for (t <- Seq(0.5, 0.9, 1.0))
+      assert(viaSparkCont(sets, t) == bruteCont(sets, t), s"threshold $t")
+    // the subset relation is directional: 1->2 qualifies at 1.0, never 2->1
+    assert(viaSparkCont(sets, 1.0).map(p => (p._1, p._2))
+      == Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("containment property: lossless on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 15) {
+      val sets = (0 until 6).map { i =>
+        i.toLong -> rnd.shuffle(alphabet).take(1 + rnd.nextInt(6)).toSet
+      }
+      val t = Seq(0.4, 0.7, 0.9)(rnd.nextInt(3))
+      assert(viaSparkCont(sets, t) == bruteCont(sets, t),
+        s"trial $trial t=$t $sets")
+    }
+  }
+
   test("prefix candidates prune: disjoint corpus verifies zero pairs") {
     // every set unique-element — no prefix collision, so the verify
     // stage gets an empty pair frame and the result is empty

@@ -560,6 +560,71 @@ object QueriesEvents {
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------------------------- first/last-touch attribution
+    // Marketing-style attribution for every purchase: the most recent
+    // click at-or-before it (last touch — operators/AsOf.joinBackward,
+    // the union-window trick: one shuffle on user_id, no per-row range
+    // scan) and the user's earliest click if it precedes the purchase
+    // (first touch — one tiny per-user aggregate broadcast back).
+    // Clicks dedup to one row per (user, ts) first (AsOf's uniqueness
+    // contract; max event_id deterministically).
+    Q("q_ev_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("last_click_id"))
+          .withColumn("last_click_ts", col("click_ts"))
+        val lastTouch = graft.operators.AsOf.joinBackward(
+          purchases, clicks, "user_id", "ts", "click_ts",
+          Seq("last_click_ts", "last_click_id"))
+        val firstTouch = clicks.groupBy(col("user_id"))
+          .agg(min(col("click_ts")).as("__ft_ts"),
+            min_by(col("last_click_id"),
+              struct(col("click_ts"), col("last_click_id")))
+              .as("__ft_id"))
+        lastTouch.join(broadcast(firstTouch), Seq("user_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            col("last_click_ts"), col("last_click_id"),
+            when(col("__ft_ts") <= col("ts"), col("__ft_ts"))
+              .as("first_click_ts"),
+            when(col("__ft_ts") <= col("ts"), col("__ft_id"))
+              .as("first_click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |lt AS (
+             |  SELECT p.event_id, max(c.click_ts) AS last_click_ts
+             |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+             |    AND c.click_ts <= p.ts
+             |  GROUP BY 1),
+             |ft AS (
+             |  SELECT user_id, min(click_ts) AS ft_ts
+             |  FROM c GROUP BY 1),
+             |ftid AS (
+             |  SELECT c.user_id, ft.ft_ts, c.click_id AS ft_id
+             |  FROM ft JOIN c ON c.user_id = ft.user_id
+             |    AND c.click_ts = ft.ft_ts)
+             |SELECT p.event_id, p.user_id,
+             |  lt.last_click_ts, lc.click_id AS last_click_id,
+             |  CASE WHEN f.ft_ts <= p.ts THEN f.ft_ts END
+             |    AS first_click_ts,
+             |  CASE WHEN f.ft_ts <= p.ts THEN f.ft_id END
+             |    AS first_click_id
+             |FROM p
+             |LEFT JOIN lt ON lt.event_id = p.event_id
+             |LEFT JOIN c lc ON lc.user_id = p.user_id
+             |  AND lc.click_ts = lt.last_click_ts
+             |LEFT JOIN ftid f ON f.user_id = p.user_id
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ----------------------- rolling distinct: the HLL-sketch scale path
     // q_ev_rolling_distinct's exact shape re-shuffles the (day, user)
     // frame per window position; at extreme cardinality the scale path

@@ -1229,6 +1229,52 @@ object QueriesRelational {
              |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wp50,
              |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90,
              |  CAST(max(tot) AS DOUBLE) AS total_weight
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ------------------------------------------ grouped median imputation
+    // The robust sibling of q_a8_mean_impute: nulls fill with their
+    // GROUP's exact median (outlier-immune, per-segment) via the
+    // grouped histogram percentile scale path — a (group, value)
+    // histogram shuffle + broadcast medians + map-only coalesce; the
+    // hot group costs O(its distinct values). Median rounds to the
+    // 4-decimal grid before filling (the mean-impute convention), and
+    // the proof aggregate runs in exact DECIMAL.
+    Q("q_a8_median_impute",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("disc_dirty",
+            when(col("l_linenumber") === 2, lit(null))
+              .otherwise(col("l_discount")))
+        val med = graft.operators.Percentiles
+          .groupedExactByHistogram(li, Seq("l_returnflag"), "disc_dirty",
+            Seq(0.5 -> "med"))
+          .select(col("l_returnflag"), round(col("med"), 4).as("med"))
+        li.join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("disc_filled", coalesce(col("disc_dirty"), col("med")))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("disc_filled").cast("decimal(18,4)")).cast("double")
+                 .as("sum_filled"),
+               count(lit(1)).as("n"),
+               max(col("med")).as("med"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH dirty AS (
+           |  SELECT l_returnflag,
+           |    CASE WHEN l_linenumber = 2 THEN NULL ELSE l_discount
+           |    END AS disc_dirty
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag,
+           |    round(quantile_cont(disc_dirty, 0.5), 4) AS med
+           |  FROM dirty GROUP BY 1)
+           |SELECT d.l_returnflag,
+           |  CAST(sum(CAST(coalesce(d.disc_dirty, m.med)
+           |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
+           |  count(*) AS n, max(m.med) AS med
+           |FROM dirty d JOIN m ON m.l_returnflag = d.l_returnflag
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -21,6 +21,48 @@ import graft.sources.Tables
   */
 object QueriesText {
 
+  /** Shared CTE chain of the two drift-gate oracles (q_drift_chisq /
+    * q_drift_psi): half-split snapshots → reference histogram →
+    * equi-depth boundaries → per-bin (ref_n, cur_n) counts, ending at
+    * `per`. One definition, two consumers, zero drift.
+    */
+  private lazy val driftBinsCtesSql: String =
+    """mid AS (
+      |  SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+      |refv AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
+      |  WHERE doc_id < m AND n_chars IS NOT NULL),
+      |curv AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
+      |  WHERE doc_id >= m AND n_chars IS NOT NULL),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM refv),
+      |hist AS (SELECT gv, count(*) AS c FROM refv GROUP BY gv),
+      |cum AS (SELECT gv, sum(c) OVER (ORDER BY gv) AS cum
+      |        FROM hist),
+      |bnd AS (
+      |  SELECT t.i, min(cum.gv) AS b
+      |  FROM cum, n, unnest(range(1, 10)) t(i)
+      |  WHERE cum.cum >= (t.i * n.n + 9) // 10
+      |  GROUP BY t.i),
+      |refb AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM (
+      |    SELECT CAST((SELECT count(*) FROM bnd
+      |      WHERE bnd.b < r.gv) AS BIGINT) AS bin FROM refv r)
+      |  GROUP BY bin),
+      |curb AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM (
+      |    SELECT CAST((SELECT count(*) FROM bnd
+      |      WHERE bnd.b < c.gv) AS BIGINT) AS bin FROM curv c)
+      |  GROUP BY bin),
+      |tot AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM refv)
+      |    AS ref_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM curv) AS cur_total),
+      |per AS (
+      |  SELECT bin, COALESCE(ref_n, CAST(0 AS BIGINT)) AS ref_n,
+      |    COALESCE(cur_n, CAST(0 AS BIGINT)) AS cur_n
+      |  FROM refb FULL OUTER JOIN curb USING (bin))""".stripMargin
+
   /** DuckDB mirror of TextFns.normalize. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' +',' ','g'))"
@@ -1358,41 +1400,7 @@ object QueriesText {
           sided.filter(col("doc_id") >= col("m")),
           "n_chars", bins = 10)
       },
-      Some("""WITH mid AS (
-             |  SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
-             |refv AS (
-             |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
-             |  WHERE doc_id < m AND n_chars IS NOT NULL),
-             |curv AS (
-             |  SELECT CAST(n_chars AS BIGINT) AS gv FROM documents, mid
-             |  WHERE doc_id >= m AND n_chars IS NOT NULL),
-             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM refv),
-             |hist AS (SELECT gv, count(*) AS c FROM refv GROUP BY gv),
-             |cum AS (SELECT gv, sum(c) OVER (ORDER BY gv) AS cum
-             |        FROM hist),
-             |bnd AS (
-             |  SELECT t.i, min(cum.gv) AS b
-             |  FROM cum, n, unnest(range(1, 10)) t(i)
-             |  WHERE cum.cum >= (t.i * n.n + 9) // 10
-             |  GROUP BY t.i),
-             |refb AS (
-             |  SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM (
-             |    SELECT CAST((SELECT count(*) FROM bnd
-             |      WHERE bnd.b < r.gv) AS BIGINT) AS bin FROM refv r)
-             |  GROUP BY bin),
-             |curb AS (
-             |  SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM (
-             |    SELECT CAST((SELECT count(*) FROM bnd
-             |      WHERE bnd.b < c.gv) AS BIGINT) AS bin FROM curv c)
-             |  GROUP BY bin),
-             |tot AS (
-             |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM refv)
-             |    AS ref_total,
-             |  (SELECT CAST(count(*) AS BIGINT) FROM curv) AS cur_total),
-             |per AS (
-             |  SELECT bin, COALESCE(ref_n, CAST(0 AS BIGINT)) AS ref_n,
-             |    COALESCE(cur_n, CAST(0 AS BIGINT)) AS cur_n
-             |  FROM refb FULL OUTER JOIN curb USING (bin)),
+      Some(s"""WITH $driftBinsCtesSql,
              |per2 AS (
              |  SELECT bin, ref_n, cur_n,
              |    CAST(ref_n AS DOUBLE) * CAST(cur_total AS DOUBLE)
@@ -1412,6 +1420,45 @@ object QueriesText {
              |      FROM per2)
              |SELECT bin, ref_n, cur_n, expected, contrib, chisq
              |FROM per2, t ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------- snapshot drift gate (PSI)
+    // The industry-standard sibling of q_drift_chisq on the SAME
+    // equi-depth bins (operators/Drift.psiFromReport): population
+    // stability index Σ (p−q)·ln(p/q) with add-half smoothing, the
+    // metric monitoring dashboards alert on (<0.1 stable, >0.25
+    // drifted). The ln makes terms engine-sensitive at the last ulp,
+    // so each bin term is 6-decimal stabilized BEFORE the bin-ordered
+    // fold — the total then sums identical doubles on both engines.
+    Q("q_drift_psi",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mid = docs.agg(expr("(max(doc_id) + 1) div 2").as("m"))
+        val sided = docs.crossJoin(broadcast(mid))
+        graft.operators.Drift.psiFromReport(
+          graft.operators.Drift.chiSquared(
+            sided.filter(col("doc_id") < col("m")),
+            sided.filter(col("doc_id") >= col("m")),
+            "n_chars", bins = 10))
+      },
+      Some(s"""WITH $driftBinsCtesSql,
+             |tt AS (
+             |  SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+             |    CAST(sum(cur_n) AS DOUBLE) AS ct,
+             |    CAST(count(*) AS DOUBLE) AS k
+             |  FROM per),
+             |terms AS (
+             |  SELECT bin, ref_n, cur_n,
+             |    ${graft.functions.Stabilize.stabSql(
+                   "((CAST(ref_n AS DOUBLE) + 0.5) / (rt + 0.5 * k) " +
+                   " - (CAST(cur_n AS DOUBLE) + 0.5) / (ct + 0.5 * k)) " +
+                   "* ln(((CAST(ref_n AS DOUBLE) + 0.5) / (rt + 0.5 * k)) " +
+                   "/ ((CAST(cur_n AS DOUBLE) + 0.5) / (ct + 0.5 * k)))",
+                   6)} AS term
+             |  FROM per, tt),
+             |t AS (SELECT list_sum(list(term ORDER BY bin)) AS psi
+             |      FROM terms)
+             |SELECT bin, ref_n, cur_n, term, psi
+             |FROM terms, t ORDER BY bin""".stripMargin)),
 
     // --------------------------------------- BPE merge-rule training
     // Three rounds of distributed BPE merge induction (Sennrich et al.

@@ -110,4 +110,36 @@ object Drift {
       lit(0.0), (a, x) => a + x).as("chisq"))
     per.crossJoin(broadcast(total)).orderBy(col("bin"))
   }
+
+  /** Population stability index over the SAME equi-depth bins —
+    * computed from [[chiSquaredFromHists]]'s report frame, so one bin
+    * construction feeds both gates. psi = Σ (p_i − q_i)·ln(p_i/q_i)
+    * with add-half (Laplace) smoothing on both proportions, which
+    * keeps empty bins finite and every operand an exact half-integer
+    * ratio. The industry alert grid (<0.1 stable, 0.1–0.25 shifting,
+    * >0.25 drifted) is about the TOTAL, so each bin term is 6-decimal
+    * stabilized BEFORE the bin-ordered fold — the cross-engine sum
+    * then adds identical doubles and needs no stabilizer of its own.
+    * Output: bin, ref_n, cur_n, term, psi (constant).
+    */
+  def psiFromReport(report: DataFrame): DataFrame = {
+    val tot = report.agg(
+      sum(col("ref_n")).cast("double").as("__rt"),
+      sum(col("cur_n")).cast("double").as("__ct"),
+      count(lit(1)).cast("double").as("__k"))
+    val p = (col("ref_n").cast("double") + lit(0.5)) /
+      (col("__rt") + lit(0.5) * col("__k"))
+    val q = (col("cur_n").cast("double") + lit(0.5)) /
+      (col("__ct") + lit(0.5) * col("__k"))
+    val terms = report.select(col("bin"), col("ref_n"), col("cur_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        graft.functions.Stabilize.stab((p - q) * log(p / q), 6))
+    val total = terms.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("bin"),
+        col("term").as("__t")))), x => x.getField("__t")),
+      lit(0.0), (a, x) => a + x).as("psi"))
+    terms.select(col("bin"), col("ref_n"), col("cur_n"), col("term"))
+      .crossJoin(broadcast(total)).orderBy(col("bin"))
+  }
 }

@@ -42,4 +42,26 @@ class DriftSpec extends AnyFunSuite {
     assert(byBin(0L)._5 == 2.0)
     assert(got.head._6 == 4.0)
   }
+
+  private def psi(ref: Seq[Long], cur: Seq[Long], bins: Int) = {
+    val r = ref.toDF("v"); val c = cur.toDF("v")
+    Drift.psiFromReport(Drift.chiSquared(r, c, "v", bins))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+  }
+
+  test("psi is zero for identical snapshots and positive under shift") {
+    val ref = (1L to 100L).toSeq
+    assert(psi(ref, ref, bins = 4).forall(t => t._4 == 0.0 && t._5 == 0.0))
+    val shifted = psi(ref, (51L to 150L).toSeq, bins = 4)
+    assert(shifted.head._5 > 0.25) // the "drifted" alert band
+    assert(shifted.forall(_._5 == shifted.head._5))
+  }
+
+  test("psi smoothing keeps ref-empty bins finite") {
+    val got = psi(Seq(1L, 1L, 1L, 1L), Seq(5L, 5L), bins = 2)
+    assert(got.forall(t => !t._4.isNaN && !t._4.isInfinite))
+    assert(got.head._5 > 0.0)
+  }
 }

@@ -123,7 +123,12 @@ object Drift {
     * Output: bin, ref_n, cur_n, term, psi (constant).
     */
   def psiFromReport(report: DataFrame): DataFrame = {
-    val tot = report.agg(
+    // cached: O(bins) rows, but its lineage is the entire bin
+    // pipeline — the totals aggregate, the term projection, and the
+    // ordered fold would each replay it otherwise
+    val binCounts = report
+      .select(col("bin"), col("ref_n"), col("cur_n")).cache()
+    val tot = binCounts.agg(
       sum(col("ref_n")).cast("double").as("__rt"),
       sum(col("cur_n")).cast("double").as("__ct"),
       count(lit(1)).cast("double").as("__k"))
@@ -131,8 +136,7 @@ object Drift {
       (col("__rt") + lit(0.5) * col("__k"))
     val q = (col("cur_n").cast("double") + lit(0.5)) /
       (col("__ct") + lit(0.5) * col("__k"))
-    val terms = report.select(col("bin"), col("ref_n"), col("cur_n"))
-      .crossJoin(broadcast(tot))
+    val terms = binCounts.crossJoin(broadcast(tot))
       .withColumn("term",
         graft.functions.Stabilize.stab((p - q) * log(p / q), 6))
     val total = terms.agg(aggregate(

@@ -216,7 +216,12 @@ class PlanSpec extends AnyFunSuite {
       "q_profile_key_skew"        -> (5, 3),
       "q_agg_mode"                -> (8, 3),
       "q_text_word_entropy"       -> (8, 3),
-      "q_ev_seasonal_residuals"   -> (8, 5))
+      "q_ev_seasonal_residuals"   -> (8, 5),
+      // (q_sim_containment and q_drift_psi cache their shared frame —
+      // same lineage-reprint waiver as setjoin/triangles above)
+      "q_ev_rolling_distinct_approx" -> (30, 8),
+      "q_a8_median_impute"        -> (13, 5),
+      "q_ev_attribution"          -> (15, 8))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -448,6 +448,40 @@ object QueriesEvents {
              |  last_value - ewma AS drift
              |FROM sm ORDER BY user_id""".stripMargin)),
 
+    // ---------------------------- Holt level+trend smoothing per user
+    // Timeseries.holtLinear with exact-binary α=0.5, β=0.25: the
+    // forecasting step above EWMA when the series trends. The oracle
+    // replays the fold with a 2-list [level, trend] accumulator seeded
+    // [x1, 0] — identical IEEE op chain per step, so level/trend/
+    // forecast are bit-identical with no stabilizer.
+    Q("q_ev_holt",
+      (s, d) => graft.operators.Timeseries.holtLinear(
+          Tables.events(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "value",
+          alpha = 0.5, beta = 0.25)
+        .orderBy(col("user_id")),
+      Some("""WITH vals AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    list(value ORDER BY ts, event_id) AS vs
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY user_id),
+             |st AS (
+             |  SELECT user_id, n_events,
+             |    list_reduce(
+             |      list_concat([[vs[1], CAST(0.0 AS DOUBLE)]],
+             |        list_transform(vs[2:], x -> [x, x])),
+             |      (acc, t) -> [
+             |        t[1] * CAST(0.5 AS DOUBLE)
+             |          + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE),
+             |        ((t[1] * CAST(0.5 AS DOUBLE)
+             |            + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE))
+             |           - acc[1]) * CAST(0.25 AS DOUBLE)
+             |          + acc[2] * CAST(0.75 AS DOUBLE)]) AS lb
+             |  FROM vals)
+             |SELECT user_id, n_events, lb[1] AS level, lb[2] AS trend,
+             |  lb[1] + lb[2] AS forecast
+             |FROM st ORDER BY user_id""".stripMargin)),
+
     // ------------------------------------ trajectory / sequence assembly
     // The SFT/behavioral-cloning export step: each user's event stream
     // assembled into ONE ordered token sequence ("view click purchase

@@ -1231,6 +1231,72 @@ object QueriesRelational {
              |  CAST(max(tot) AS DOUBLE) AS total_weight
              |FROM c""".stripMargin)),
 
+    // ------------------------------------- grouped weighted percentiles
+    // Percentiles.weightedLowerQuantilesByGroup: the per-source form a
+    // token-budget pipeline actually wants ("each source's length
+    // cutoff holding half its TOKENS"). Same cross-multiplied DECIMAL
+    // thresholds; the cumulative window partitions by group over the
+    // bounded histogram.
+    Q("q_agg_weighted_percentile_grouped",
+      (s, d) => graft.operators.Percentiles.weightedLowerQuantilesByGroup(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity",
+          Seq((1, 2, "wp50"), (9, 10, "wp90")))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH h AS (
+             |  SELECT l_returnflag, l_extendedprice AS v,
+             |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, v,
+             |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM h)
+             |SELECT l_returnflag,
+             |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wp50,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90,
+             |  CAST(max(tot) AS DOUBLE) AS total_weight
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------- grouped Pearson r
+    // Correlation.pairByGroup: per-segment correlation from exact
+    // DECIMAL moments in ONE map-side-combining pass (the built-in
+    // corr() accumulates doubles in partition order — not
+    // reproducible); closing arithmetic stabilized at 12 decimals
+    // like the global matrix.
+    Q("q_a9_corr_grouped",
+      (s, d) => graft.operators.Correlation.pairByGroup(
+          Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag")),
+      Some {
+        def cov(p: String, a: String, b: String) =
+          s"(CAST(n AS DOUBLE) * $p - $a * $b)"
+        s"""WITH m AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+           |      AS sx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+           |      AS sy,
+           |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+           |      AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+           |      AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+           |    CAST(sum(CAST(l_quantity * l_extendedprice
+           |      AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+           |  FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           |  GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ${graft.operators.Correlation.stab12Sql(
+               s"${cov("sxy", "sx", "sy")} / sqrt(${cov("sxx", "sx", "sx")}" +
+               s" * ${cov("syy", "sy", "sy")})")} AS pearson_r
+           |FROM m ORDER BY l_returnflag""".stripMargin
+      }),
+
     // ------------------------------------------ grouped median imputation
     // The robust sibling of q_a8_mean_impute: nulls fill with their
     // GROUP's exact median (outlier-immune, per-segment) via the

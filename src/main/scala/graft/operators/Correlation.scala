@@ -62,6 +62,36 @@ object Correlation {
   def stab12Sql(e: String): String =
     graft.functions.Stabilize.stabSql(e, 12)
 
+  /** Per-group Pearson r for ONE column pair — the grouped sibling of
+    * [[matrix]] (which is global). Moments accumulate as exact
+    * DECIMAL sums (order-independent, partial-aggregation safe; the
+    * x·y doubles sit within ulps of the `prodScale`-decimal grid, so
+    * both engines' double→decimal casts land on the same grid point);
+    * only the closing covariance arithmetic runs in double, 12-decimal
+    * stabilized like [[matrix]]'s. One map-side-combining groupBy —
+    * no window, no second pass.
+    */
+  def pairByGroup(df: DataFrame, keyCols: Seq[String], xCol: String,
+                  yCol: String, prodScale: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group column")
+    def dec(c: Column) = sum(c.cast(s"decimal(38,$prodScale)"))
+    val x = col(xCol); val y = col(yCol)
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dec(x).as("__sx"), dec(y).as("__sy"),
+        dec(x * x).as("__sxx"), dec(y * y).as("__syy"),
+        dec(x * y).as("__sxy"))
+    val n   = col("n").cast("double")
+    val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    m.select(keyCols.map(col) ++ Seq(col("n"),
+      stab12((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .as("pearson_r")): _*)
+  }
+
   def matrix(df: DataFrame, cols: Seq[String], decimals: Int = 2): DataFrame = {
     require(cols.nonEmpty, "corr matrix needs at least one column")
     val idx = cols.indices

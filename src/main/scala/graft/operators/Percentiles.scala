@@ -119,6 +119,39 @@ object Percentiles {
     ranked.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Grouped [[weightedLowerQuantiles]] — per-source token-budget
+    * quantiles in one pass. Identical exactness contract; the
+    * cumulative window partitions BY GROUP over the (group, value)
+    * histogram, so a hot group costs O(its distinct values) and
+    * groups spread across tasks (the [[groupedExactByHistogram]]
+    * scale shape).
+    */
+  def weightedLowerQuantilesByGroup(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, weightCol: String,
+      fracs: Seq[(Int, Int, String)]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group column")
+    require(fracs.nonEmpty, "need at least one (num, den, alias)")
+    fracs.foreach { case (num, den, _) =>
+      require(num >= 0 && den > 0 && num <= den,
+        s"fraction must satisfy 0 <= num/den <= 1, got $num/$den") }
+    val ks = keyCols.map(col)
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(ks :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(sum(col(weightCol).cast("decimal(38,6)")).as("__w"))
+    val wCum = Window.partitionBy(ks: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(ks: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist.withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", last(col("__cum")).over(wAll))
+    val aggs = fracs.map { case (num, den, alias) =>
+      min(when(col("__cum") * den >= col("__tot") * num, col("__v")))
+        .as(alias)
+    } :+ max(col("__tot")).cast("double").as("total_weight")
+    ranked.groupBy(ks: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The built-in `percentile`'s interpolation, verbatim: v_k when
     * h == k, else (⌈h⌉−h)·v_k + (h−k)·v_{k+1}. ⌈h⌉ is k+1 on that
     * branch, and v_{k+1} falls back to v_k at the top rank (p = 1.0

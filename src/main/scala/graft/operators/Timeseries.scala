@@ -113,6 +113,49 @@ object Timeseries {
     * any sum, no window, no collect. This is the map-side-combining
     * form of what a per-key `regr_slope` would do.
     */
+  /** Holt double-exponential smoothing (level + linear trend), folded
+    * in event-time order per key — the forecasting step above [[ewma]]
+    * when the series actually trends:
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},  l_1 = x_1, b_1 = 0.
+    * Output per key: n_events, level, trend, forecast = level + trend
+    * (the one-step-ahead prediction).
+    *
+    * Same engine-portability contract as [[ewma]]: α and β must be
+    * exact binary fractions so each fold step is the same IEEE op
+    * chain on both engines (DuckDB mirror: list_reduce over a 2-list
+    * [level, trend] accumulator, seeded [x_1, 0]); same scale shape —
+    * one hash shuffle on the keys, each key's series folds in one
+    * task, the 100 TB axis is #keys.
+    */
+  def holtLinear(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                 valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(beta > 0 && beta < 1, "beta must be in (0,1)")
+    val ks = keyCols.map(col)
+    val vs = transform(
+      array_sort(collect_list(struct(ordCols :+ col(valueCol).as("__v"): _*))),
+      x => x.getField("__v"))
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_events"), vs.as("__vs"))
+    def step(acc: Column, x: Column): Column = {
+      val l = acc.getField("l"); val b = acc.getField("b")
+      val lNew = x * lit(alpha) + (l + b) * lit(1.0 - alpha)
+      struct(lNew.as("l"),
+        ((lNew - l) * lit(beta) + b * lit(1.0 - beta)).as("b"))
+    }
+    val folded = aggregate(
+      slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
+      struct(element_at(col("__vs"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => step(acc, x))
+    g.withColumn("__st", folded)
+      .select(ks ++ Seq(col("n_events"),
+        col("__st.l").as("level"),
+        col("__st.b").as("trend"),
+        (col("__st.l") + col("__st.b")).as("forecast")): _*)
+  }
+
   /** Linear interpolation of missing values over a dense per-key grid
     * (pandas `interpolate(method='linear')`, the gap-fill step between
     * scaffold-densify and model-ready series): rows where `valueCol`

@@ -221,7 +221,10 @@ class PlanSpec extends AnyFunSuite {
       // same lineage-reprint waiver as setjoin/triangles above)
       "q_ev_rolling_distinct_approx" -> (30, 8),
       "q_a8_median_impute"        -> (13, 5),
-      "q_ev_attribution"          -> (15, 8))
+      "q_ev_attribution"          -> (15, 8),
+      "q_ev_holt"                 -> (5, 3),
+      "q_agg_weighted_percentile_grouped" -> (8, 3),
+      "q_a9_corr_grouped"         -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

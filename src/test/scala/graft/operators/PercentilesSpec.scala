@@ -136,6 +136,23 @@ class PercentilesSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 10.0) // total_weight
   }
 
+  test("grouped weighted quantiles match the global operator per group") {
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 6L),
+      ("a", 4.0, 2L), ("b", 10.0, 3L), ("b", 20.0, 1L))
+    val df = rows.toDF("g", "v", "w")
+    val grouped = Percentiles.weightedLowerQuantilesByGroup(
+        df, Seq("g"), "v", "w", Seq((1, 2, "p50"), (4, 5, "p80")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Percentiles.weightedLowerQuantiles(
+        df.filter(col("g") === g), "v", "w",
+        Seq((1, 2, "p50"), (4, 5, "p80"))).collect().head
+      assert(grouped(g) ==
+        ((solo.getDouble(0), solo.getDouble(1), solo.getDouble(2))), g)
+    }
+  }
+
   test("weighted quantiles with unit weights match the unweighted nearest-rank") {
     val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
     val df = xs.map(x => (x, 1L)).toDF("v", "w")

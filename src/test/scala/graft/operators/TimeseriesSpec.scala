@@ -58,6 +58,39 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got("b")._3 == 10.0 * 0.75 + 30.0 * 0.25)
   }
 
+  test("holtLinear matches the sequential recurrence exactly") {
+    val xs = Seq(2.0, 4.0, 3.0, 8.0, 5.0)
+    val (a, b) = (0.5, 0.25)
+    var l = xs.head; var t = 0.0
+    xs.tail.foreach { x =>
+      val lNew = x * a + (l + t) * (1.0 - a)
+      t = (lNew - l) * b + t * (1.0 - b); l = lNew
+    }
+    val r = Timeseries.holtLinear(
+        xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+          .toDF("k", "ord", "v"),
+        Seq("k"), Seq(col("ord")), "v", a, b)
+      .collect().head
+    assert(r.getLong(1) == xs.size)
+    assert(r.getDouble(2) == l)
+    assert(r.getDouble(3) == t)
+    assert(r.getDouble(4) == l + t)
+  }
+
+  test("holtLinear tracks an exact linear series: forecast == next point") {
+    // y = 3 + 2i: after enough steps level+trend converges onto the
+    // line for this exact-binary data; with alpha=0.5/beta=0.5 and
+    // integer grid the fold is exact arithmetic, so check recurrence
+    // convergence loosely
+    val xs = (0 until 20).map(i => 3.0 + 2.0 * i)
+    val r = Timeseries.holtLinear(
+        xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+          .toDF("k", "ord", "v"),
+        Seq("k"), Seq(col("ord")), "v", 0.5, 0.5)
+      .collect().head
+    assert(math.abs(r.getDouble(4) - (3.0 + 2.0 * 20)) < 0.05)
+  }
+
   test("olsByGroup recovers an exact linear relation per group") {
     // y = 3x + 7 for group a, y = -2x + 100 for group b (exact doubles)
     val rows = for {

@@ -1261,6 +1261,52 @@ object QueriesRelational {
              |  CAST(max(tot) AS DOUBLE) AS total_weight
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --------------------------------------- grouped shape moments
+    // Profile.momentsByGroup: mean/variance/skewness/kurtosis per
+    // segment from four DECIMAL power sums in one pass. l_quantity
+    // keeps x^4 exactly representable, so the whole report is
+    // truth-exact AND bit-identical with zero stabilization — every
+    // statistic is one fixed parenthesization over exact operands.
+    Q("q_profile_moments",
+      (s, d) => graft.operators.Profile.momentsByGroup(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             |      AS s1,
+             |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+             |      AS DOUBLE) AS s2,
+             |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+             |      AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+             |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+             |      * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s4
+             |  FROM lineitem WHERE l_quantity IS NOT NULL
+             |  GROUP BY 1),
+             |st AS (
+             |  SELECT l_returnflag, n,
+             |    s1 / CAST(n AS DOUBLE) AS mean,
+             |    s2 / CAST(n AS DOUBLE)
+             |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |      AS m2,
+             |    s3 / CAST(n AS DOUBLE)
+             |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+             |      + 2.0 * (s1 / CAST(n AS DOUBLE))
+             |          * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |      AS m3,
+             |    s4 / CAST(n AS DOUBLE)
+             |      - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+             |      + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |          * (s2 / CAST(n AS DOUBLE))
+             |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |          * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |      AS m4
+             |  FROM m)
+             |SELECT l_returnflag, n, mean, m2 AS variance,
+             |  m3 / (m2 * sqrt(m2)) AS skewness,
+             |  m4 / (m2 * m2) - 3.0 AS kurtosis
+             |FROM st ORDER BY l_returnflag""".stripMargin)),
+
     // ------------------------------------------- grouped Pearson r
     // Correlation.pairByGroup: per-segment correlation from exact
     // DECIMAL moments in ONE map-side-combining pass (the built-in

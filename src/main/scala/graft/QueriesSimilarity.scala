@@ -266,6 +266,71 @@ object QueriesSimilarity {
               |  $sigSelectSql
               |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------- minhash-estimate certification
+    // The MinHash member of the sketch-certification family (HLL:
+    // q_profile_approx_distinct, count-min: q_profile_heavy_hitters):
+    // for every pair with exact char-5-shingle Jaccard >= 0.5 (found
+    // by the LOSSLESS prefix join, so the pair set itself is
+    // exhaustive), the signature-component match fraction — the
+    // estimator LSH banding is built on — reported next to the exact
+    // Jaccard it estimates. Signatures are md5-family hashes, so the
+    // oracle replays both sides bit-for-bit; the match count is an
+    // exact integer and the estimate an exact K-denominator ratio.
+    Q("q_sim_minhash_estimate",
+      (s, d) => {
+        val hs = Similarity.hashedShingles(
+          Similarity.charShingles(Tables.documents(s, d),
+            "doc_id", "text", 5), "doc_id").cache()
+        val pairs = graft.operators.SetJoin
+          .jaccardSelfJoin(hs, "doc_id", "h", 0.5)
+        val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
+        val a = sig.select(col("doc_id").as("id_a") +:
+          (0 until K).map(i => col(s"mh$i").as(s"__a$i")): _*)
+        val b = sig.select(col("doc_id").as("id_b") +:
+          (0 until K).map(i => col(s"mh$i").as(s"__b$i")): _*)
+        val matches = (0 until K)
+          .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            matches.as("mh_matches"),
+            (matches.cast("double") / lit(K.toDouble)).as("mh_est"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val matchSql = (0 until K)
+          .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sh AS (
+           |$shinglesSql),
+           |hh AS ($baseHashSql),
+           |hng AS (SELECT DISTINCT doc_id, h FROM hh),
+           |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |         count(*) AS n_inter
+           |  FROM hng x JOIN hng y ON y.h = x.h AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b,
+           |    n_inter / (sa.n + sb.n - n_inter) AS jaccard
+           |  FROM inter
+           |  JOIN sz sa ON sa.doc_id = id_a
+           |  JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5),
+           |sig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hh GROUP BY doc_id)
+           |SELECT p.id_a, p.id_b, p.jaccard,
+           |  CAST($matchSql AS BIGINT) AS mh_matches,
+           |  CAST($matchSql AS DOUBLE) / ${K}.0 AS mh_est
+           |FROM pairs p
+           |JOIN sig a ON a.doc_id = p.id_a
+           |JOIN sig b ON b.doc_id = p.id_b
+           |ORDER BY p.id_a, p.id_b""".stripMargin
+      }),
+
     // ------------------------------------- banded LSH near-dup + verification
     // Exact dedup FIRST (identical bodies would otherwise form quadratic
     // buckets), then sig -> 4 bands of 2 -> bucket-join candidates with a

@@ -33,6 +33,46 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group distribution-shape profile: n, mean, population
+    * variance, skewness, excess kurtosis — from the four raw power
+    * sums in ONE map-side-combining pass (pandas `describe`+
+    * `skew`/`kurt` per segment, the profiling row every feature-drift
+    * dashboard wants).
+    *
+    * Exactness: power sums accumulate in DECIMAL (order-independent —
+    * partial aggregation can't change them; both engines cast the
+    * same IEEE power doubles to the same grid point), and every
+    * downstream statistic is ONE fixed parenthesization over those
+    * exact operands — identical IEEE ops, identical bits, no
+    * stabilizer (m2^1.5 is written m2·sqrt(m2): sqrt is correctly
+    * rounded, pow is not). Values must keep x⁴ within double's exact
+    * range for truth-exactness; parity holds regardless.
+    */
+  def momentsByGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     prodScale: Int = 4): DataFrame = {
+    val x = col(valueCol)
+    def dec(c: org.apache.spark.sql.Column) =
+      sum(c.cast(s"decimal(38,$prodScale)"))
+    val m = df.filter(x.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dec(x).as("__s1"), dec(x * x).as("__s2"),
+        dec(x * x * x).as("__s3"), dec(x * x * x * x).as("__s4"))
+    val n  = col("n").cast("double")
+    val s1 = col("__s1").cast("double"); val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double"); val s4 = col("__s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    m.select(keyCols.map(col) ++ Seq(col("n"),
+      mean.as("mean"), m2.as("variance"),
+      (m3 / (m2 * sqrt(m2))).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis")): _*)
+  }
+
   /** Key-skew diagnostic for choosing a partition/join strategy: the
     * frequency concentration of `keyCols` as a 1-row report —
     * n_keys, total rows, the hottest key's count and share, the

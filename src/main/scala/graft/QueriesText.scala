@@ -1700,6 +1700,51 @@ object QueriesText {
                    "- slc / CAST(n_tokens AS DOUBLE)", 6)} AS entropy
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------------- n-gram novelty scoring
+    // Stream-order novelty: the fraction of each document's distinct
+    // 3-grams whose FIRST corpus occurrence (min doc_id) is this
+    // document — 1.0 = genuinely new content, ~0 = re-hash of what
+    // came before. The selection signal between exact dedup (all or
+    // nothing) and near-dup (pairwise): it prices PARTIAL redundancy
+    // against the whole accumulated stream in one aggregate + one
+    // join, no pair enumeration at all. Counts exact; novelty is an
+    // exact integer ratio.
+    Q("q_text_ngram_novelty",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ng = graft.operators.Similarity
+          .wordNgrams(toked, "doc_id", "toks", 3).distinct()
+        val firstSeen = ng.groupBy(col("ngram"))
+          .agg(min(col("doc_id")).as("__first"))
+        ng.join(firstSeen, Seq("ngram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+            (col("n_novel") / col("n_ngrams")).as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents),
+              |ng AS (
+              |  SELECT DISTINCT doc_id,
+              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+              |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+              |  WHERE len(toks) >= 3),
+              |fs AS (SELECT ngram, min(doc_id) AS f FROM ng GROUP BY 1)
+              |SELECT ng.doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_ngrams,
+              |  CAST(sum(CASE WHEN fs.f = ng.doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_novel,
+              |  sum(CASE WHEN fs.f = ng.doc_id THEN 1 ELSE 0 END)
+              |    / count(*) AS novelty
+              |FROM ng JOIN fs USING (ngram)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------- PMI collocation extraction
     // Pointwise mutual information of adjacent word pairs against
     // unigram independence: pmi = ln(c_xy·T² / (B·c_x·c_y)) — the

@@ -269,20 +269,27 @@ object QueriesSimilarity {
     // --------------------------- minhash-estimate certification
     // The MinHash member of the sketch-certification family (HLL:
     // q_profile_approx_distinct, count-min: q_profile_heavy_hitters):
-    // for every pair with exact char-5-shingle Jaccard >= 0.5 (found
-    // by the LOSSLESS prefix join, so the pair set itself is
-    // exhaustive), the signature-component match fraction — the
-    // estimator LSH banding is built on — reported next to the exact
-    // Jaccard it estimates. Signatures are md5-family hashes, so the
-    // oracle replays both sides bit-for-bit; the match count is an
-    // exact integer and the estimate an exact K-denominator ratio.
+    // for every pair with exact word-3-gram Jaccard >= 0.6 (found by
+    // the LOSSLESS prefix join, so the pair set itself is exhaustive —
+    // the q_sim_setjoin_prefix sets and threshold verbatim), the
+    // signature-component match fraction — the estimator LSH banding
+    // is built on — reported next to the exact Jaccard it estimates.
+    // Signatures are md5-family hashes, so the oracle replays both
+    // sides bit-for-bit; the match count is an exact integer and the
+    // estimate an exact K-denominator ratio. Word n-grams, not char
+    // shingles, deliberately: char-5 types over this corpus's tiny
+    // vocabulary are so few that every doc shares "rare" shingles
+    // with every other — a 339 s candidate explosion at sf0.1; the
+    // 3-gram type space keeps prefixes genuinely rare (5.7 s).
     Q("q_sim_minhash_estimate",
       (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
         val hs = Similarity.hashedShingles(
-          Similarity.charShingles(Tables.documents(s, d),
-            "doc_id", "text", 5), "doc_id").cache()
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id").cache()
         val pairs = graft.operators.SetJoin
-          .jaccardSelfJoin(hs, "doc_id", "h", 0.5)
+          .jaccardSelfJoin(hs, "doc_id", "h", 0.6)
         val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
         val a = sig.select(col("doc_id").as("id_a") +:
           (0 until K).map(i => col(s"mh$i").as(s"__a$i")): _*)
@@ -301,10 +308,20 @@ object QueriesSimilarity {
         val matchSql = (0 until K)
           .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
           .mkString(" + ")
-        s"""WITH sh AS (
-           |$shinglesSql),
-           |hh AS ($baseHashSql),
-           |hng AS (SELECT DISTINCT doc_id, h FROM hh),
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(
+           |    trim(regexp_replace(regexp_replace(lower(text),
+           |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           |  FROM documents),
+           |ng AS (
+           |  SELECT DISTINCT doc_id,
+           |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+           |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+           |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+           |  WHERE len(toks) >= 3),
+           |hng AS (SELECT DISTINCT doc_id,
+           |          ${HashFns.md5LongSql("ngram")} AS h
+           |        FROM ng),
            |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
            |inter AS (
            |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
@@ -317,11 +334,11 @@ object QueriesSimilarity {
            |  FROM inter
            |  JOIN sz sa ON sa.doc_id = id_a
            |  JOIN sz sb ON sb.doc_id = id_b
-           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5),
+           |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6),
            |sig AS (
            |  SELECT doc_id,
            |  $sigSelectSql
-           |  FROM hh GROUP BY doc_id)
+           |  FROM hng GROUP BY doc_id)
            |SELECT p.id_a, p.id_b, p.jaccard,
            |  CAST($matchSql AS BIGINT) AS mh_matches,
            |  CAST($matchSql AS DOUBLE) / ${K}.0 AS mh_est

@@ -360,6 +360,31 @@ object EventStreams {
         }
       }
 
+  /** Streaming CDC-apply sink: each micro-batch is a change frame
+    * shaped like operators/SnapshotDiff.diff (keys…, change_type,
+    * old_/new_ tracked columns) and lands through Jdbc.applyCdc's one
+    * three-clause MERGE. Exactly-once needs no ledger here for the
+    * same reason as [[scd2Sink]]: applyCdc is REPLAY-IDEMPOTENT by
+    * construction (re-applied deletes miss, updates/inserts set the
+    * same values — proven in JdbcCdcSpec), so a restarted query
+    * re-running its last uncommitted batch converges to the same
+    * table. Within a batch, multiple changes to one key dedup to the
+    * LAST by `ordCols` (MERGE's unique-source contract).
+    */
+  def cdcSink(changes: DataFrame, url: String, table: String,
+              keys: Seq[String], tracked: Seq[String],
+              ordCols: Seq[org.apache.spark.sql.Column])
+      : DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = Dedup.keepLatest(batch, keys, ordCols.head,
+            ordCols.tail)
+          Jdbc.applyCdc(latest, url, table, keys, tracked)
+        }
+      }
+
   /** Streaming lake sink — the incremental counterpart of
     * Lake.writeByDay: append day-partitioned parquet through the file
     * sink's commit log (`_spark_metadata`), which makes the sink

@@ -243,6 +243,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcSink applies change micro-batches; last change per key wins in-batch") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_cdcs")
+    val url = s"jdbc:derby:$dbDir/cdcsdb;create=true"
+    // change frame shape: (k, change_type, old_v, new_v, seq)
+    val input = MemoryStream[(Long, String, java.lang.Double,
+      java.lang.Double, Long)](spark)
+    val q = EventStreams.cdcSink(
+      input.toDF().toDF("k", "change_type", "old_v", "new_v", "seq"),
+      url, "cdc_stream", Seq("k"), Seq("v"),
+      Seq(org.apache.spark.sql.functions.col("seq"))).start()
+    def rows(): Seq[(Long, Double)] =
+      graft.sinks.Jdbc.query(spark, url,
+          """SELECT "k", "v" FROM cdc_stream""")
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).doubleValue())).toSeq.sorted
+    try {
+      // batch 0 bootstraps; key 1 has two changes — seq 2 must win
+      input.addData((1L, "insert", null, 10.0: java.lang.Double, 1L),
+        (1L, "update", 10.0: java.lang.Double, 11.0: java.lang.Double, 2L),
+        (2L, "insert", null, 20.0: java.lang.Double, 1L))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 11.0), (2L, 20.0)))
+      // batch 1: update 1, delete 2, insert 3
+      input.addData(
+        (1L, "update", 11.0: java.lang.Double, 12.0: java.lang.Double, 3L),
+        (2L, "delete", 20.0: java.lang.Double, null, 3L),
+        (3L, "insert", null, 30.0: java.lang.Double, 3L))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 12.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
   test("rollupBatch first-batch bootstrap: crash between DDL and apply replays clean") {
     // upsertAdditive's create path is: stage -> CREATE empty target
     // (DDL, auto-commits) -> [INSERT-from-stage + ledger] in ONE txn.

@@ -594,6 +594,65 @@ object QueriesEvents {
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -------------------------------- funnel conversion-latency report
+    // q_ev_funnel counts WHO converts; this reports HOW LONG the
+    // view->click->purchase path takes: per converting user, the
+    // ordered-step latency in whole seconds (integer micros div — no
+    // float time math), then nearest-rank p50/p90 via the weighted-
+    // quantile histogram with unit weights. Latency distinct values
+    // are calendar-bounded (seconds over the funnel window), so the
+    // histogram window is bounded at any user count — the same scale
+    // contract as every percentile in this engine.
+    Q("q_ev_funnel_latency",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(v.join(c, Seq("user_id")), Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        val lat = p.join(v, Seq("user_id"))
+          .select(expr("CAST((unix_micros(t_purchase) " +
+            "- unix_micros(t_view)) DIV 1000000 AS BIGINT)").as("lat_s"))
+          .withColumn("__one", lit(1L))
+        graft.operators.Percentiles.weightedLowerQuantiles(
+          lat, "lat_s", "__one",
+          Seq((1, 2, "p50_s"), (9, 10, "p90_s")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |      GROUP BY e.user_id),
+             |lat AS (
+             |  SELECT CAST((epoch_us(p.t_purchase) - epoch_us(v.t_view))
+             |    // 1000000 AS BIGINT) AS v
+             |  FROM p JOIN v ON v.user_id = p.user_id),
+             |h AS (
+             |  SELECT CAST(v AS DOUBLE) AS v,
+             |    sum(CAST(1 AS DECIMAL(38,6))) AS w
+             |  FROM lat GROUP BY 1),
+             |cw AS (
+             |  SELECT v, sum(w) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER () AS tot
+             |  FROM h)
+             |SELECT
+             |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS p50_s,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90_s,
+             |  CAST(max(tot) AS DOUBLE) AS total_weight
+             |FROM cw""".stripMargin)),
+
     // ------------------------------- first/last-touch attribution
     // Marketing-style attribution for every purchase: the most recent
     // click at-or-before it (last touch — operators/AsOf.joinBackward,

@@ -1700,6 +1700,82 @@ object QueriesText {
                    "- slc / CAST(n_tokens AS DOUBLE)", 6)} AS entropy
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // --------------------------------- corpus-pipeline stage audit
+    // The observability row every corpus run ships with: row counts
+    // through quality gate -> language filter -> exact dedup ->
+    // novelty prune (docs re-hashing earlier content at < 0.3 novel
+    // 3-grams drop). Each stage is an already-oracled operator; the
+    // audit is five 1-row aggregates unioned — the lineage a data
+    // card / retention report reads, computed in the same job as the
+    // clean itself. Counts are exact integers.
+    Q("q_corpus_stage_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val quality = docs.filter(TextFns.wordCount(col("text")) >= 5)
+        val en = quality.filter(col("lang") === "en")
+        val uniq = graft.operators.Dedup.exactByContent(en, "text", "doc_id")
+        val toked = uniq.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val ng = graft.operators.Similarity
+          .wordNgrams(toked, "doc_id", "toks", 3).distinct()
+        val firstSeen = ng.groupBy(col("ngram"))
+          .agg(min(col("doc_id")).as("__first"))
+        val novelty = ng.join(firstSeen, Seq("ngram"))
+          .groupBy(col("doc_id"))
+          .agg((sum(when(col("__first") === col("doc_id"), 1L)
+            .otherwise(0L)) / count(lit(1))).as("__novelty"))
+        val kept = uniq.join(novelty, Seq("doc_id"), "left")
+          .filter(col("__novelty").isNull || col("__novelty") >= 0.3)
+        val stages = Seq("raw" -> docs, "quality_gate" -> quality,
+          "lang_en" -> en, "exact_dedup" -> uniq, "novelty_prune" -> kept)
+        stages.zipWithIndex.map { case ((name, df), i) =>
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(i.toLong).as("seq"), lit(name).as("stage"),
+              col("n"))
+        }.reduce(_ unionAll _).orderBy(col("seq"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT * FROM documents
+              |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              |    >= 5),
+              |en AS (SELECT * FROM q WHERE lang = 'en'),
+              |uniq AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text, row_number() OVER (
+              |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |    FROM en) WHERE rn = 1),
+              |t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM uniq),
+              |ng AS (
+              |  SELECT DISTINCT doc_id,
+              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+              |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+              |  WHERE len(toks) >= 3),
+              |fs AS (SELECT ngram, min(doc_id) AS f FROM ng GROUP BY 1),
+              |nov AS (
+              |  SELECT ng.doc_id,
+              |    sum(CASE WHEN fs.f = ng.doc_id THEN 1 ELSE 0 END)
+              |      / count(*) AS novelty
+              |  FROM ng JOIN fs USING (ngram) GROUP BY 1),
+              |kept AS (
+              |  SELECT u.doc_id FROM uniq u
+              |  LEFT JOIN nov ON nov.doc_id = u.doc_id
+              |  WHERE nov.novelty IS NULL OR nov.novelty >= 0.3)
+              |SELECT * FROM (
+              |  SELECT CAST(0 AS BIGINT) AS seq, 'raw' AS stage,
+              |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+              |  UNION ALL SELECT 1, 'quality_gate',
+              |    CAST((SELECT count(*) FROM q) AS BIGINT)
+              |  UNION ALL SELECT 2, 'lang_en',
+              |    CAST((SELECT count(*) FROM en) AS BIGINT)
+              |  UNION ALL SELECT 3, 'exact_dedup',
+              |    CAST((SELECT count(*) FROM uniq) AS BIGINT)
+              |  UNION ALL SELECT 4, 'novelty_prune',
+              |    CAST((SELECT count(*) FROM kept) AS BIGINT))
+              |ORDER BY seq""".stripMargin)),
+
     // --------------------------------------- n-gram novelty scoring
     // Stream-order novelty: the fraction of each document's distinct
     // 3-grams whose FIRST corpus occurrence (min doc_id) is this

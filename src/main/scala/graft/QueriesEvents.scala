@@ -594,6 +594,46 @@ object QueriesEvents {
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --------------------------------------- user lifetime profile
+    // The per-entity summary table every behavioral pipeline
+    // materializes (and the input to churn/LTV features): first/last
+    // seen, event count, exact distinct active days, intensity
+    // (events per active day — exact integer ratio), purchase count
+    // and DECIMAL-exact purchase value. ONE partial-aggregating
+    // groupBy over the raw stream; at 100 TB this is the canonical
+    // map-side-combine rollup.
+    Q("q_ev_user_profile",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"),
+          count_distinct(to_date(col("ts"))).as("active_days"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            .as("purchase_value"))
+        .select(col("user_id"), col("first_ts"), col("last_ts"),
+          col("n_events"), col("active_days"),
+          (col("n_events") / col("active_days")).as("events_per_day"),
+          col("n_purchases"), col("purchase_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             |    AS active_days,
+             |  count(*) / count(DISTINCT CAST(ts AS DATE))
+             |    AS events_per_day,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_purchases,
+             |  CAST(sum(CASE WHEN event_type = 'purchase'
+             |    THEN CAST(value AS DECIMAL(18,2))
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS purchase_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // -------------------------------- funnel conversion-latency report
     // q_ev_funnel counts WHO converts; this reports HOW LONG the
     // view->click->purchase path takes: per converting user, the

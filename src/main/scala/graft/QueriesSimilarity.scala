@@ -2088,51 +2088,106 @@ object QueriesSimilarity {
           .select(col("id").as("vec_id"), col("n_tri"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH e AS (
-             |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-             |  FROM embeddings),
-             |pairs AS (
-             |  SELECT a.vec_id AS src, b.vec_id AS nid,
-             |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-             |      AS cos
-             |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
-             |edges AS (
-             |  SELECT src, nid AS dst FROM (
-             |    SELECT src, nid, row_number() OVER (
-             |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
-             |    FROM pairs) WHERE rk <= 3),
-             |und AS (
-             |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-             |  FROM edges WHERE src <> dst),
-             |deg AS (
-             |  SELECT id, count(*) AS deg FROM (
-             |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
-             |  GROUP BY 1),
-             |o AS (
-             |  SELECT
-             |    CASE WHEN du.deg < dv.deg
-             |           OR (du.deg = dv.deg AND u < v) THEN u ELSE v
-             |    END AS a,
-             |    CASE WHEN du.deg < dv.deg
-             |           OR (du.deg = dv.deg AND u < v) THEN v ELSE u
-             |    END AS b
-             |  FROM und
-             |  JOIN deg du ON du.id = u
-             |  JOIN deg dv ON dv.id = v),
-             |ob AS (SELECT o.a, o.b, d.deg AS db
-             |       FROM o JOIN deg d ON d.id = o.b),
-             |w AS (
-             |  SELECT e1.a, e1.b AS x, e2.b AS y
-             |  FROM ob e1 JOIN ob e2 ON e1.a = e2.a
-             |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
-             |tri AS (
-             |  SELECT w.a, w.x, w.y
-             |  FROM w JOIN o ON o.a = w.x AND o.b = w.y),
-             |nodes AS (
-             |  SELECT a AS id FROM tri
-             |  UNION ALL SELECT x FROM tri
-             |  UNION ALL SELECT y FROM tri)
+      Some(s"""WITH $knnTriangleCtesSql
              |SELECT id AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
-             |FROM nodes GROUP BY 1 ORDER BY vec_id""".stripMargin))
+             |FROM nodes GROUP BY 1 ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------- local clustering coefficient (kNN graph)
+    // cc(v) = triangles(v) / C(deg(v), 2) over the same kNN-3 graph —
+    // the density signal community detection thresholds on (a near-dup
+    // cluster's members have cc -> 1, bridge nodes -> 0). One extra
+    // broadcast-sized degree join over q_graph_triangles' machinery;
+    // cc is an exact integer ratio. Oracle shares the triangle CTE
+    // chain via one definition.
+    Q("q_graph_clustering_coeff",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            (Similarity.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb"))).as("cos"))
+        val edges = Windows.topKPerGroup(pairs, Seq(col("src")),
+            Seq(col("cos").desc, col("nid")), 3)
+          .select(col("src"), col("nid").as("dst"))
+        val und = edges
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")).distinct().cache()
+        val deg = und.select(col("u").as("id"))
+          .unionAll(und.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        graft.operators.Triangles.perNode(und.select(
+            col("u").as("src"), col("v").as("dst")))
+          .join(deg, Seq("id"))
+          .select(col("id").as("vec_id"), col("n_tri"), col("deg"),
+            ((col("n_tri") * lit(2L))
+              / (col("deg") * (col("deg") - lit(1L)))).as("clustering"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $knnTriangleCtesSql,
+             |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+             |       FROM nodes GROUP BY 1)
+             |SELECT tc.id AS vec_id, tc.n_tri,
+             |  CAST(deg.deg AS BIGINT) AS deg,
+             |  (tc.n_tri * 2) / (deg.deg * (deg.deg - 1)) AS clustering
+             |FROM tc JOIN deg ON deg.id = tc.id
+             |ORDER BY vec_id""".stripMargin))
   )
+
+  /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /
+    * q_graph_clustering_coeff): embeddings → cosine kNN-3 edges →
+    * undirected → degrees → degree-ordered orientation → wedges →
+    * triangles → `nodes` (one id row per triangle corner). One
+    * definition, two consumers, zero drift.
+    */
+  private lazy val knnTriangleCtesSql: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS nid,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |      AS cos
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, nid AS dst FROM (
+       |    SELECT src, nid, row_number() OVER (
+       |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
+       |    FROM pairs) WHERE rk <= 3),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY 1),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN du.deg < dv.deg
+       |           OR (du.deg = dv.deg AND u < v) THEN u ELSE v
+       |    END AS a,
+       |    CASE WHEN du.deg < dv.deg
+       |           OR (du.deg = dv.deg AND u < v) THEN v ELSE u
+       |    END AS b
+       |  FROM und
+       |  JOIN deg du ON du.id = u
+       |  JOIN deg dv ON dv.id = v),
+       |ob AS (SELECT o.a, o.b, d.deg AS db
+       |       FROM o JOIN deg d ON d.id = o.b),
+       |w AS (
+       |  SELECT e1.a, e1.b AS x, e2.b AS y
+       |  FROM ob e1 JOIN ob e2 ON e1.a = e2.a
+       |    AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
+       |tri AS (
+       |  SELECT w.a, w.x, w.y
+       |  FROM w JOIN o ON o.a = w.x AND o.b = w.y),
+       |nodes AS (
+       |  SELECT a AS id FROM tri
+       |  UNION ALL SELECT x FROM tri
+       |  UNION ALL SELECT y FROM tri)""".stripMargin
 }

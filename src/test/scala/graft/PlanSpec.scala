@@ -229,7 +229,9 @@ class PlanSpec extends AnyFunSuite {
       "q_profile_moments"         -> (5, 3),
       "q_text_ngram_novelty"      -> (13, 5),
       "q_ev_funnel_latency"       -> (25, 12),
-      "q_corpus_stage_audit"      -> (38, 15))
+      "q_corpus_stage_audit"      -> (38, 15),
+      // (q_graph_clustering_coeff caches the undirected edges — waived)
+      "q_ev_user_profile"         -> (8, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

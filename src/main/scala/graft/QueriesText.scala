@@ -1700,6 +1700,60 @@ object QueriesText {
                    "- slc / CAST(n_tokens AS DOUBLE)", 6)} AS entropy
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ------------------------------------------- Zipf-law fit
+    // Corpus-health diagnostic: OLS slope of ln(freq) on ln(rank) over
+    // the vocabulary — natural corpora sit near −1; template/spam
+    // skews it hard. Composes Timeseries.olsByGroup over the ranked
+    // vocabulary histogram (the rank window runs over the BOUNDED
+    // vocab, the percentile-histogram contract). Both ln coordinates
+    // are 6-decimal stabilized BEFORE the exact-DECIMAL moment sums,
+    // so engine libm ulps cannot move a grid point.
+    Q("q_text_zipf",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val vocab = Tables.documents(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val ranked = vocab.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("tok"))))
+          .select(lit("corpus").as("g"),
+            stab6(log(col("rank").cast("double"))).as("x"),
+            stab6(log(col("c").cast("double"))).as("y"))
+        graft.operators.Timeseries.olsByGroup(ranked, Seq("g"), "x", "y",
+            prodScale = 6)
+          .select(col("n").as("n_types"),
+            stab6(col("slope")).as("zipf_slope"),
+            stab6(col("intercept")).as("intercept"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH t AS (
+           |  SELECT unnest(string_split($normSql, ' ')) AS tok
+           |  FROM documents),
+           |v AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+           |r AS (
+           |  SELECT ${st("ln(CAST(row_number() OVER (" +
+                "ORDER BY c DESC, tok) AS DOUBLE))")} AS x,
+           |    ${st("ln(CAST(c AS DOUBLE))")} AS y
+           |  FROM v),
+           |m AS (
+           |  SELECT count(*) AS n,
+           |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           |  FROM r)
+           |SELECT CAST(n AS BIGINT) AS n_types,
+           |  ${st("(CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)")} AS zipf_slope,
+           |  ${st("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) " +
+               "/ CAST(n AS DOUBLE)")} AS intercept
+           |FROM m""".stripMargin
+      }),
+
     // --------------------------------- corpus-pipeline stage audit
     // The observability row every corpus run ships with: row counts
     // through quality gate -> language filter -> exact dedup ->

@@ -594,6 +594,71 @@ object QueriesEvents {
              |FROM days JOIN du u ON u.day BETWEEN d - 6 AND d
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ------------------------------ inter-event gap distribution
+    // Arrival-pattern diagnostic per event type: the distribution of
+    // seconds since the user's PREVIOUS event (any type), attributed
+    // to the later event's type — the signal behind session-gap
+    // tuning (q_ev_sessionize's 30-min threshold) and bot detection
+    // (near-zero gaps). Gaps are integer seconds (micros DIV — no
+    // float time math); p50/p90 are nearest-rank data values via the
+    // grouped weighted-quantile histogram with unit weights; the mean
+    // is an exact integer ratio. One window per user + one grouped
+    // histogram — both bounded-partition shapes.
+    Q("q_ev_gap_stats",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .withColumn("__prev", lag(col("ts"), 1).over(w))
+          .filter(col("__prev").isNotNull)
+          .select(col("event_type"),
+            expr("CAST((unix_micros(ts) - unix_micros(__prev)) " +
+              "DIV 1000000 AS BIGINT)").as("gap_s"))
+          .withColumn("__one", lit(1L))
+        val q = graft.operators.Percentiles.weightedLowerQuantilesByGroup(
+          gaps, Seq("event_type"), "gap_s", "__one",
+          Seq((1, 2, "p50_s"), (9, 10, "p90_s")))
+        val m = gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            (sum(col("gap_s")).cast("double")
+              / count(lit(1)).cast("double")).as("mean_s"))
+        m.join(q, Seq("event_type"))
+          .select(col("event_type"), col("n_gaps"), col("mean_s"),
+            col("p50_s"), col("p90_s"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)))
+             |      // 1000000 AS BIGINT) AS gap_s
+             |  FROM events),
+             |gaps AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap_s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |      AS mean_s
+             |  FROM gaps GROUP BY 1),
+             |h AS (
+             |  SELECT event_type, CAST(gap_s AS DOUBLE) AS v,
+             |    sum(CAST(1 AS DECIMAL(38,6))) AS w
+             |  FROM gaps GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, v,
+             |    sum(w) OVER (PARTITION BY event_type ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY event_type) AS tot
+             |  FROM h),
+             |q AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS p50_s,
+             |    min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90_s
+             |  FROM c GROUP BY 1)
+             |SELECT m.event_type, m.n_gaps, m.mean_s, q.p50_s, q.p90_s
+             |FROM m JOIN q ON q.event_type = m.event_type
+             |ORDER BY m.event_type""".stripMargin)),
+
     // --------------------------------------- user lifetime profile
     // The per-entity summary table every behavioral pipeline
     // materializes (and the input to churn/LTV features): first/last

@@ -232,7 +232,8 @@ class PlanSpec extends AnyFunSuite {
       "q_corpus_stage_audit"      -> (38, 15),
       // (q_graph_clustering_coeff caches the undirected edges — waived)
       "q_ev_user_profile"         -> (8, 3),
-      "q_text_zipf"               -> (5, 3))
+      "q_text_zipf"               -> (5, 3),
+      "q_ev_gap_stats"            -> (19, 5))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -1147,6 +1147,41 @@ object QueriesRelational {
              |  CAST(cnt AS BIGINT) AS mode_cnt
              |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // ------------------------------- partition-level table checksum
+    // Cross-system reconciliation primitive: an order-independent
+    // content checksum per partition key — sum over rows of the
+    // md5-derived 60-bit digest of a canonical '|'-joined row string
+    // (numerics via DECIMAL so both engines print identical text,
+    // nulls sentinel'd). Sum is commutative, so partial aggregation,
+    // shuffle order, and file layout cannot change it: two systems
+    // agree iff the per-partition (n_rows, checksum) rows agree —
+    // the migration-validation check that replaces row-by-row diffs
+    // at 100 TB. Exact integer arithmetic end to end.
+    Q("q_profile_table_checksum",
+      (s, d) => {
+        val rowStr = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          coalesce(col("o_orderpriority"), lit("␀")))
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"),
+            graft.functions.HashFns.md5Long(rowStr).as("__h"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("__h").cast("decimal(38,0)")).cast("double")
+              .as("checksum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some {
+        val rowStr = "CAST(o_orderkey AS VARCHAR) || '|' || " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || " +
+          "'|' || coalesce(o_orderpriority, chr(9216))"
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(${graft.functions.HashFns.md5LongSql(rowStr)})
+           |    AS DOUBLE) AS checksum
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ------------------------------------------------ key-skew diagnostic
     // operators/Profile.keySkewReport: frequency concentration of a
     // prospective shuffle key as exact integer ratios (max share, HHI,

@@ -233,7 +233,8 @@ class PlanSpec extends AnyFunSuite {
       // (q_graph_clustering_coeff caches the undirected edges — waived)
       "q_ev_user_profile"         -> (8, 3),
       "q_text_zipf"               -> (5, 3),
-      "q_ev_gap_stats"            -> (19, 5))
+      "q_ev_gap_stats"            -> (19, 5),
+      "q_profile_table_checksum"  -> (5, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

@@ -967,6 +967,218 @@ object QueriesEvents {
              |        / CAST(nd - pd AS DOUBLE))
              |    ELSE coalesce(pv, nv) END) * 1000000.0, 0) / 1000000.0
              |    AS filled
-             |FROM w ORDER BY user_id, day""".stripMargin))
+             |FROM w ORDER BY user_id, day""".stripMargin)),
+
+    // ----------------------------------------- autocorrelation function
+    // ACF of the daily event-count series at lags 1..7 — the
+    // periodicity detector behind seasonality choices (is traffic
+    // weekly-periodic? is the load series mean-reverting?). Exact
+    // integer moments throughout (operators/Timeseries.acf): the
+    // n²-scaled centered products Σ(n·x_t − S)(n·x_{t+k} − S) are
+    // DECIMAL(38,0), and each r_k is ONE IEEE division — bit-identical
+    // on both engines. One day-grain shuffle; the lag self-join runs
+    // broadcast over the O(days) series.
+    Q("q_ts_acf",
+      (s, d) => graft.operators.Timeseries.acf(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x", maxLag = 7),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(x) AS BIGINT) AS s FROM daily),
+             |c AS (SELECT day, CAST(n * x - s AS HUGEINT) AS dev
+             |      FROM daily, t),
+             |den AS (SELECT sum(dev * dev) AS dn FROM c),
+             |lags AS (SELECT unnest(range(1, 8)) AS lag),
+             |pairs AS (
+             |  SELECT l.lag AS lag, a.dev AS d1, b.dev AS d2
+             |  FROM lags l, c a, c b
+             |  WHERE b.day = a.day + CAST(l.lag AS INT)),
+             |agg AS (
+             |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    sum(d1 * d2) AS num
+             |  FROM pairs GROUP BY lag)
+             |SELECT lag, n_pairs,
+             |  CAST(num AS DOUBLE) / CAST(dn AS DOUBLE) AS r
+             |FROM agg, den ORDER BY lag""".stripMargin)),
+
+    // ------------------------------------------- CUSUM changepoint scan
+    // Offline CUSUM (Page 1954) over the same daily series: the
+    // running sum of mean deviations peaks in magnitude at the most
+    // likely level-shift day — the "did traffic step-change, and
+    // when?" diagnostic. n-scaled to pure integers (n·s_t =
+    // Σ(n·x_i − S)); is_peak replays the exact integer tie rule, so
+    // the whole report is float-free.
+    Q("q_ts_cusum",
+      (s, d) => graft.operators.Timeseries.cusum(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(x) AS BIGINT) AS s FROM daily),
+             |cs AS (
+             |  SELECT day, x,
+             |    sum(CAST(n * x - s AS HUGEINT)) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM daily, t),
+             |m AS (SELECT max(abs(c)) AS mx FROM cs)
+             |SELECT day, x, CAST(c AS BIGINT) AS cusum_num,
+             |  CASE WHEN abs(c) = mx THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS is_peak
+             |FROM cs, m ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------ top session paths
+    // The top-20 most common session journeys: each session's first 8
+    // event types in (ts, event_id) order joined with '>'. The
+    // per-session step cap is applied BEFORE collection (row_number ≤ 8
+    // inside the session window), so a pathological bot session packs
+    // at most 8 rows into the aggregate — state stays O(1) per
+    // session however long the tail. Ties at the top-20 boundary are
+    // impossible: the (n DESC, path) order is total because path is
+    // the group key.
+    Q("q_ev_top_paths",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val sess = Sessionize.sessionize(e, col("user_id"), col("ts"),
+          Seq(col("ts"), col("event_id")), gapSec)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        sess.withColumn("__step", row_number().over(win))
+          .filter(col("__step") <= 8)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"),
+              col("event_id").as("id"), col("event_type").as("et")))),
+            x => x.getField("et")), ">").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM g),
+             |s AS (
+             |  SELECT *, CAST(SUM(new_s) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS session_id
+             |  FROM f),
+             |st AS (
+             |  SELECT *, row_number() OVER (
+             |      PARTITION BY user_id, session_id
+             |      ORDER BY ts, event_id) AS step
+             |  FROM s),
+             |paths AS (
+             |  SELECT user_id, session_id,
+             |    array_to_string(
+             |      list(event_type ORDER BY ts, event_id), '>') AS path
+             |  FROM st WHERE step <= 8 GROUP BY user_id, session_id),
+             |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+             |      FROM paths GROUP BY path)
+             |SELECT path, n FROM c
+             |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // ------------------------------------- daily peak session concurrency
+    // Sweep-line concurrency: how many sessions overlap at the busiest
+    // instant of each day — the capacity-planning number (connection
+    // pools, executor targets) an interval self-join would compute in
+    // O(n²). Sessions are clipped to day segments (a session spanning
+    // midnight contributes a +1/−1 boundary pair to EACH day), the
+    // boundary stream sorts by (ts, delta DESC) so arrivals precede
+    // departures at the same instant (inclusive-overlap convention),
+    // and the running sum peaks per day. All integers; the windows
+    // PARTITION BY day, so the sweep distributes — no global sort, no
+    // self-join.
+    Q("q_ev_concurrency",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val sess = Sessionize.sessionize(e, col("user_id"), col("ts"),
+            Seq(col("ts"), col("event_id")), gapSec)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val seg = sess.select(col("st"), col("en"),
+          explode(sequence(to_date(col("st")), to_date(col("en"))))
+            .as("day"))
+        val bounds = seg.select(col("day"),
+          greatest(unix_micros(col("st")),
+            unix_micros(col("day").cast("timestamp"))).as("s_us"),
+          least(unix_micros(col("en")),
+            unix_micros(date_add(col("day"), 1).cast("timestamp")))
+            .as("e_us"))
+        val ev = bounds.select(col("day"), col("s_us").as("ts_us"),
+            lit(1L).as("delta"))
+          .unionAll(bounds.select(col("day"), col("e_us"), lit(-1L)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day"))
+          .orderBy(col("ts_us"), col("delta").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        ev.withColumn("c", sum(col("delta")).over(w))
+          .groupBy(col("day"))
+          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_active_sessions"),
+            max(col("c")).as("peak"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM g),
+             |s AS (
+             |  SELECT *, CAST(SUM(new_s) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS session_id
+             |  FROM f),
+             |b AS (
+             |  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+             |  FROM s GROUP BY 1, 2),
+             |seg AS (
+             |  SELECT CAST(unnest(generate_series(CAST(st AS DATE),
+             |    CAST(en AS DATE), INTERVAL 1 DAY)) AS DATE) AS day,
+             |    st, en
+             |  FROM b),
+             |bd AS (
+             |  SELECT day,
+             |    greatest(epoch_us(st),
+             |      epoch_us(CAST(day AS TIMESTAMP))) AS s_us,
+             |    least(epoch_us(en),
+             |      epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY))
+             |      AS e_us
+             |  FROM seg),
+             |ev AS (
+             |  SELECT day, s_us AS ts_us, 1 AS delta FROM bd
+             |  UNION ALL SELECT day, e_us, -1 FROM bd),
+             |run AS (
+             |  SELECT day, delta, sum(delta) OVER (
+             |      PARTITION BY day ORDER BY ts_us, delta DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM ev)
+             |SELECT day,
+             |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_active_sessions,
+             |  CAST(max(c) AS BIGINT) AS peak
+             |FROM run GROUP BY day ORDER BY day""".stripMargin))
   )
 }

@@ -1204,6 +1204,145 @@ object QueriesRelational {
              |    / CAST(sum(c * c) AS DOUBLE) AS effective_keys
              |FROM c""".stripMargin)),
 
+    // -------------------------------------- Benford first-digit profile
+    // Leading-significant-digit distribution of o_totalprice vs
+    // Benford's law — the fabricated-data / unit-mixup detector an
+    // ingestion audit runs on any monetary or count column. The digit
+    // is taken from the BIGINT string of floor(x) (no log10 on the
+    // data path, so no libm edge at exact powers of ten); shares are
+    // single exact-integer divisions, and only the CONSTANT Benford
+    // expectation log10(1+1/d) needs the 6-decimal stabilizer. One
+    // map-side digit extraction + one 9-key aggregate: scan-bound at
+    // any scale.
+    Q("q_profile_benford",
+      (s, d) => {
+        val dg = Tables.orders(s, d)
+          .filter(col("o_totalprice") >= 1)
+          .select(substring(floor(col("o_totalprice")).cast("string"),
+            1, 1).cast("int").as("digit"))
+        val counts = dg.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val t = counts.agg(sum(col("n")).as("__t"))
+        counts.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("__t").cast("double"))
+              .as("share"),
+            graft.functions.Stabilize.stab(
+              log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+              .as("expected"))
+          .orderBy(col("digit"))
+      },
+      Some(s"""WITH dg AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders WHERE o_totalprice >= 1),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |      FROM dg GROUP BY digit),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+             |SELECT digit, n,
+             |  CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+             |  ${graft.functions.Stabilize.stabSql(
+                  "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS expected
+             |FROM c, t ORDER BY digit""".stripMargin)),
+
+    // ------------------------------- categorical association (Cramér's V)
+    // Contingency-table profiling: does order status depend on order
+    // priority? χ² over the status×priority cells plus Cramér's V =
+    // sqrt(χ² / (n·min(r−1, c−1))) — the normalized [0,1] association
+    // strength a feature-selection pass ranks categorical pairs by.
+    // Engine-exact without stabilizers: every input is an integer
+    // count, expected/contrib are fixed IEEE op chains on those
+    // integers, the χ² total folds in (status, priority) cell order,
+    // and sqrt is correctly rounded per IEEE — so the report replays
+    // bit-for-bit. One cell aggregate (r·c rows) feeds margins,
+    // totals, and cells; the orders table is scanned once.
+    Q("q_profile_cramers_v",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .select(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"))
+          .groupBy(col("status"), col("priority"))
+          .agg(count(lit(1)).as("obs"))
+          .cache() // O(r·c) rows; feeds margins, totals, and the cells
+        val ra = cells.groupBy(col("status")).agg(sum(col("obs")).as("ra"))
+        val cb = cells.groupBy(col("priority"))
+          .agg(sum(col("obs")).as("cb"))
+        val tot = cells.agg(sum(col("obs")).as("n"),
+          countDistinct(col("status")).as("r"),
+          countDistinct(col("priority")).as("c"))
+        val obsD = col("obs").cast("double")
+        val per = cells.join(broadcast(ra), Seq("status"))
+          .join(broadcast(cb), Seq("priority"))
+          .crossJoin(broadcast(tot))
+          .withColumn("expected", col("ra").cast("double")
+            * col("cb").cast("double") / col("n").cast("double"))
+          .withColumn("contrib", (obsD - col("expected"))
+            * (obsD - col("expected")) / col("expected"))
+        val chi2 = per.agg(aggregate(
+          transform(array_sort(collect_list(struct(col("status"),
+            col("priority"), col("contrib").as("__c")))),
+            x => x.getField("__c")),
+          lit(0.0), (a, x) => a + x).as("chi2"))
+        per.crossJoin(broadcast(chi2))
+          .select(col("status"), col("priority"), col("obs"),
+            col("expected"), col("contrib"), col("chi2"),
+            sqrt(col("chi2") / (col("n").cast("double")
+              * least(col("r") - 1, col("c") - 1).cast("double")))
+              .as("cramers_v"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             |    CAST(count(*) AS BIGINT) AS obs
+             |  FROM orders GROUP BY 1, 2),
+             |ra AS (SELECT status, sum(obs) AS ra FROM cells GROUP BY 1),
+             |cb AS (SELECT priority, sum(obs) AS cb FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+             |        count(DISTINCT status) AS r,
+             |        count(DISTINCT priority) AS c
+             |      FROM cells),
+             |per0 AS (
+             |  SELECT cells.status, cells.priority, obs, n, r, c,
+             |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             |      / CAST(n AS DOUBLE) AS expected
+             |  FROM cells
+             |  JOIN ra USING (status) JOIN cb USING (priority), t),
+             |per AS (
+             |  SELECT *, (CAST(obs AS DOUBLE) - expected)
+             |    * (CAST(obs AS DOUBLE) - expected) / expected AS contrib
+             |  FROM per0),
+             |tf AS (SELECT list_sum(list(contrib
+             |         ORDER BY status, priority)) AS chi2
+             |       FROM per)
+             |SELECT status, priority, obs, expected, contrib, chi2,
+             |  sqrt(chi2 / (CAST(n AS DOUBLE)
+             |    * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+             |FROM per, tf ORDER BY status, priority""".stripMargin)),
+
+    // ------------------------------------------------- GROUPING SETS
+    // The general form completing the cube/rollup family: an explicit
+    // grouping-set list — per-returnflag totals, per-linestatus
+    // totals, and the grand total in ONE pass (Spark expands the sets
+    // into a single Expand + hash aggregate, exactly like cube).
+    // grouping_id disambiguates rows whose NULLs could collide with
+    // real data; both engines emit the standard bitmask (1 bit per
+    // column, set when aggregated away).
+    Q("q_agg_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  ${dsumSql("l_quantity")} AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
     // -------------------------------------------- association mining
     // operators/Assoc: frequent co-purchase pairs with support + lift
     // over the orders×parts relation, a-priori pruned (items below min

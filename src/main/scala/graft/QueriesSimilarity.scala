@@ -24,6 +24,13 @@ object QueriesSimilarity {
   private val K = 8 // minhash signature width
   private val R = 2 // rows per LSH band -> 4 bands
 
+  /** DuckDB mirror of TextFns.normalize (same string as QueriesText's
+    * normSql — duplicated because each file keeps its oracles
+    * self-contained).
+    */
+  private val textNormSql =
+    "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' +',' ','g'))"
+
   /** DuckDB mirror of Similarity.charShingles(k=5). */
   private val shinglesSql =
     """SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
@@ -2136,7 +2143,86 @@ object QueriesSimilarity {
              |  CAST(deg.deg AS BIGINT) AS deg,
              |  (tc.n_tri * 2) / (deg.deg * (deg.deg - 1)) AS clustering
              |FROM tc JOIN deg ON deg.id = tc.id
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // -------------------------------- sorted-neighborhood near-dup scan
+    // The record-linkage classic (Hernández & Stolfo merge/purge)
+    // complementing the LSH/minhash family: sort by a discriminating
+    // key — the 24-char prefix of the normalized text — and compare
+    // each document only with its w=2 successors, blocked by the
+    // 4-char key prefix so the window distributes
+    // (operators/Similarity.sortedNeighborhood). Candidates are w·n,
+    // never n²; verification is exact distinct-word-set Jaccard with
+    // the integer 2·inter ≥ union gate (≥ 0.5), so no float decides
+    // membership. Two hash joins attach the word sets to the O(w·n)
+    // candidate pairs — the corpus itself is scanned once.
+    Q("q_sim_sorted_neighborhood",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFns.normalize(col("text")).as("__nk"),
+            array_sort(array_distinct(TextFns.tokens(col("text"))))
+              .as("__w"))
+          .select(col("doc_id"),
+            substring(col("__nk"), 1, 24).as("__key"),
+            substring(col("__nk"), 1, 4).as("__blk"), col("__w"))
+          .cache() // feeds candidate generation AND both verify joins
+        val pairs = Similarity.sortedNeighborhood(
+          keyed, "doc_id", "__key", "__blk", w = 2)
+        val sets = keyed.select(col("doc_id"), col("__w"))
+        val inter = size(array_intersect(col("__wa"), col("__wb")))
+          .cast("long")
+        val union = (size(col("__wa")) + size(col("__wb"))).cast("long") -
+          inter
+        pairs
+          .join(sets.select(col("doc_id").as("a"), col("__w").as("__wa")),
+            Seq("a"))
+          .join(sets.select(col("doc_id").as("b"), col("__w").as("__wb")),
+            Seq("b"))
+          .select(col("a"), col("b"), inter.as("inter_n"),
+            union.as("union_n"))
+          .filter(col("inter_n") * 2 >= col("union_n"))
+          .withColumn("jaccard",
+            col("inter_n").cast("double") / col("union_n").cast("double"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH k AS (
+             |  SELECT doc_id, $textNormSql AS nk,
+             |    list_sort(list_distinct(string_split($textNormSql, ' ')))
+             |      AS wset
+             |  FROM documents),
+             |keyed AS (
+             |  SELECT doc_id, substr(nk, 1, 24) AS key,
+             |    substr(nk, 1, 4) AS blk, wset
+             |  FROM k),
+             |nb AS (
+             |  SELECT doc_id,
+             |    lead(doc_id, 1) OVER (PARTITION BY blk
+             |      ORDER BY key, doc_id) AS l1,
+             |    lead(doc_id, 2) OVER (PARTITION BY blk
+             |      ORDER BY key, doc_id) AS l2
+             |  FROM keyed),
+             |p0 AS (
+             |  SELECT doc_id AS x, l1 AS y FROM nb WHERE l1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, l2 FROM nb WHERE l2 IS NOT NULL),
+             |pairs AS (
+             |  SELECT least(x, y) AS a, greatest(x, y) AS b FROM p0),
+             |j AS (
+             |  SELECT p.a, p.b,
+             |    CAST(len(list_filter(ka.wset,
+             |      t -> list_contains(kb.wset, t))) AS BIGINT) AS inter_n,
+             |    CAST(len(ka.wset) + len(kb.wset)
+             |      - len(list_filter(ka.wset,
+             |          t -> list_contains(kb.wset, t))) AS BIGINT)
+             |      AS union_n
+             |  FROM pairs p
+             |  JOIN keyed ka ON ka.doc_id = p.a
+             |  JOIN keyed kb ON kb.doc_id = p.b)
+             |SELECT a, b, inter_n, union_n,
+             |  CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
+             |FROM j WHERE 2 * inter_n >= union_n
+             |ORDER BY a, b""".stripMargin))
   )
 
   /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /

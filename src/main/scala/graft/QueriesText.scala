@@ -1460,6 +1460,57 @@ object QueriesText {
              |SELECT bin, ref_n, cur_n, term, psi
              |FROM terms, t ORDER BY bin""".stripMargin)),
 
+    // ----------------------------------- snapshot drift gate (KS)
+    // The nonparametric member of the drift family on the same
+    // half-split snapshots: two-sample Kolmogorov–Smirnov distance
+    // over the n_chars ECDFs (operators/Drift.ks). No bins, no
+    // smoothing — sensitive to shape shifts the equi-depth gates can
+    // wash out. The max runs over exact cross-multiplied integers
+    // (R(v)·ct − C(v)·rt), so the one-row report is bit-reproducible:
+    // only the final d division produces a double, correctly rounded
+    // from the same integers on both engines.
+    Q("q_drift_ks",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mid = docs.agg(expr("(max(doc_id) + 1) div 2").as("m"))
+        val sided = docs.crossJoin(broadcast(mid))
+        graft.operators.Drift.ks(
+          sided.filter(col("doc_id") < col("m")),
+          sided.filter(col("doc_id") >= col("m")),
+          "n_chars")
+      },
+      Some("""WITH mid AS (
+             |  SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+             |rh AS (
+             |  SELECT n_chars AS gv, count(*) AS rn FROM documents, mid
+             |  WHERE doc_id < m GROUP BY 1),
+             |ch AS (
+             |  SELECT n_chars AS gv, count(*) AS cn FROM documents, mid
+             |  WHERE doc_id >= m GROUP BY 1),
+             |h AS (
+             |  SELECT coalesce(rh.gv, ch.gv) AS gv,
+             |    coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+             |  FROM rh FULL OUTER JOIN ch ON rh.gv = ch.gv),
+             |cum AS (
+             |  SELECT gv,
+             |    sum(rn) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS rc,
+             |    sum(cn) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cc
+             |  FROM h),
+             |t AS (SELECT CAST(sum(rn) AS BIGINT) AS ref_total,
+             |             CAST(sum(cn) AS BIGINT) AS cur_total FROM h),
+             |scored AS (
+             |  SELECT gv, ref_total, cur_total,
+             |    abs(rc * cur_total - cc * ref_total) AS diff
+             |  FROM cum, t)
+             |SELECT gv AS at_value, ref_total, cur_total,
+             |  CAST(diff AS BIGINT) AS d_num,
+             |  CAST(diff AS DOUBLE)
+             |    / (CAST(ref_total AS DOUBLE) * CAST(cur_total AS DOUBLE))
+             |    AS d
+             |FROM scored ORDER BY diff DESC, gv DESC LIMIT 1""".stripMargin)),
+
     // --------------------------------------- BPE merge-rule training
     // Three rounds of distributed BPE merge induction (Sennrich et al.
     // 2016) over word tokens (= phrase induction; the operator is

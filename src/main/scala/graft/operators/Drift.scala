@@ -111,6 +111,61 @@ object Drift {
     per.crossJoin(broadcast(total)).orderBy(col("bin"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the snapshots'
+    * value distributions — the nonparametric sibling of the binned
+    * gates: no bins, no smoothing, sensitive to ANY ECDF divergence
+    * (shape shifts the equi-depth χ²/PSI can wash out).
+    *
+    * Every comparison is INTEGER: with cumulative counts R(v), C(v)
+    * and totals rt/ct, D = max_v |R(v)·ct − C(v)·rt| / (rt·ct) — the
+    * max runs over exact cross-multiplied integers (DECIMAL(38,0)
+    * internally, so petabyte-scale count products cannot overflow) and
+    * only the final report division produces doubles (correctly
+    * rounded from the same exact integers on any engine).
+    *
+    * Output is ONE row: `at_value` (the largest value attaining the
+    * max — deterministic tiebreak), `ref_total`, `cur_total`, `d_num`
+    * (the integer numerator, BIGINT in the report), `d`.
+    *
+    * Scale shape: one histogram pass per snapshot (the same persisted
+    * (gv, c) artifact the other gates consume), a full-outer merge of
+    * the two O(distinct) histograms, and a cumulative window over the
+    * HISTOGRAM — the bounded-domain contract of operators/Percentiles:
+    * the single-partition window touches O(distinct values) rows,
+    * never the corpus.
+    */
+  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame =
+    ksFromHists(valueHistogram(ref, valueCol), valueHistogram(cur, valueCol))
+
+  /** [[ks]] from pre-built `(gv, c)` histograms. */
+  def ksFromHists(refHist: DataFrame, curHist: DataFrame): DataFrame = {
+    val h = refHist.withColumnRenamed("c", "rn")
+      .join(curHist.withColumnRenamed("c", "cn"), Seq("gv"), "full_outer")
+      .select(col("gv"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      // O(distinct) rows; lineage feeds both the totals aggregate and
+      // the cumulative window below
+      .cache()
+    val w = Window.orderBy(col("gv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("gv"),
+      sum(col("rn")).over(w).cast("decimal(38,0)").as("rc"),
+      sum(col("cn")).over(w).cast("decimal(38,0)").as("cc"))
+    val tot = h.agg(sum(col("rn")).as("ref_total"),
+      sum(col("cn")).as("cur_total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("gv"), col("ref_total"), col("cur_total"),
+        abs(col("rc") * col("cur_total").cast("decimal(38,0)")
+          - col("cc") * col("ref_total").cast("decimal(38,0)")).as("diff"))
+      .orderBy(col("diff").desc, col("gv").desc).limit(1)
+      .select(col("gv").as("at_value"), col("ref_total"), col("cur_total"),
+        col("diff").cast("long").as("d_num"),
+        (col("diff").cast("double") /
+          (col("ref_total").cast("double") * col("cur_total").cast("double")))
+          .as("d"))
+  }
+
   /** Population stability index over the SAME equi-depth bins —
     * computed from [[chiSquaredFromHists]]'s report frame, so one bin
     * construction feeds both gates. psi = Σ (p_i − q_i)·ln(p_i/q_i)

@@ -343,6 +343,36 @@ object Similarity {
     */
   def quantDot(a: Column, b: Column): Column = graft.expressions.DotI8(a, b)
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    * merge/purge, 1995) — the record-linkage classic complementing LSH
+    * blocking: order records by a discriminating key and compare each
+    * record only with its `w` successors, so candidate volume is w·n
+    * instead of n². The textbook single-sorted-list scan is inherently
+    * serial; this form PARTITIONS the window by a block prefix of the
+    * sort key (`blockCol` must be a prefix of `keyCol`), so blocks
+    * spread across tasks while near-identical keys — which agree on
+    * the prefix by construction — still land in the same block.
+    *
+    * Emits id-normalized candidate pairs (`a` < `b`); verification
+    * (exact Jaccard, edit distance, …) is the caller's second stage,
+    * touching only the w·n candidates. Pure window `lead`s: one
+    * shuffle on the block key, no self-join of the corpus.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         blockCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"need window >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(col(keyCol), col(idCol))
+    val withLeads = df.select(col(idCol) +:
+      (1 to w).map(k => lead(col(idCol), k).over(win).as(s"__l$k")): _*)
+    withLeads
+      .select(col(idCol), explode(array(
+        (1 to w).map(k => col(s"__l$k")): _*)).as("__nb"))
+      .filter(col("__nb").isNotNull)
+      .select(least(col(idCol), col("__nb")).as("a"),
+        greatest(col(idCol), col("__nb")).as("b"))
+  }
+
   /** Multi-probe set for a sign-bit bucket: the bucket itself plus every
     * 1-bit flip — explode this on the probe side and EQUI-JOIN on the
     * exact bucket of the other side. This keeps candidate generation a

@@ -193,6 +193,84 @@ object Timeseries {
         .otherwise(coalesce(pv, nv)))
   }
 
+  /** Autocorrelation function at day lags 1..`maxLag` of an
+    * INTEGER-valued day-grain series (`ordCol` a DATE column, `valueCol`
+    * a count/long — the bounded-domain contract of the exact-moment
+    * family). Mean-centering is exact: with S = Σx over n points, the
+    * n²-scaled centered product is Σ(n·x_t − S)(n·x_{t+k} − S) — all
+    * integer arithmetic, carried in DECIMAL(38,0) so petabyte-scale
+    * daily counts cannot overflow. r_k is then ONE IEEE division of
+    * that numerator against the lag-0 denominator Σ(n·x_t − S)², both
+    * correctly rounded from exact integers — bit-identical on any
+    * engine. Missing days simply contribute no pair at the lags they
+    * break (the calendar-lag convention; the oracle mirrors it).
+    *
+    * Scale shape: the series is the OUTPUT of a day-grain aggregation
+    * (O(days) rows), so the totals broadcast, and the lag self-join is
+    * a broadcast join of the exploded (day, lag) frame against the
+    * O(days) series — the raw table is never re-scanned.
+    *
+    * Output: `lag`, `n_pairs`, `r`, ordered by lag.
+    */
+  def acf(series: DataFrame, ordCol: String, valueCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val t = series.agg(count(lit(1)).as("__n"),
+      sum(col(valueCol).cast("long")).as("__s"))
+    val c = series.crossJoin(broadcast(t))
+      .select(col(ordCol).as("__d"),
+        (col("__n") * col(valueCol).cast("long") - col("__s"))
+          .cast("decimal(38,0)").as("__dev"))
+      .cache() // O(days); feeds the denominator, both join sides
+    val den = c.agg(sum(col("__dev") * col("__dev")).as("__den"))
+    val left = c.select(col("__d"), col("__dev"),
+      explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+    val right = c.select(col("__d").as("__d2"), col("__dev").as("__dev2"))
+    left.join(broadcast(right),
+        date_add(col("__d"), col("lag").cast("int")) === col("__d2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__dev") * col("__dev2")).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint scan over an INTEGER-valued day-grain series:
+    * the running sum of mean deviations s_t = Σ_{i≤t}(x_i − x̄) peaks
+    * in magnitude at the most likely single changepoint (Page 1954's
+    * offline form). Scaled by n it is pure integer arithmetic:
+    * n·s_t = Σ(n·x_i − S), carried in DECIMAL(38,0) (BIGINT in the
+    * report). `is_peak` marks every row attaining max|n·s_t| — the
+    * tie rule both engines replay exactly, no float anywhere.
+    *
+    * Scale shape: one day-grain aggregation upstream, broadcast
+    * totals, and a cumulative window over the O(days) series (the
+    * bounded-domain contract — the single-partition window never
+    * touches the raw table).
+    *
+    * Output: ordCol, valueCol, `cusum_num`, `is_peak`, ordered by day.
+    */
+  def cusum(series: DataFrame, ordCol: String, valueCol: String): DataFrame = {
+    val t = series.agg(count(lit(1)).as("__n"),
+      sum(col(valueCol).cast("long")).as("__s"))
+    val dev = (col("__n") * col(valueCol).cast("long") - col("__s"))
+      .cast("decimal(38,0)")
+    val w = Window.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = series.crossJoin(broadcast(t))
+      .select(col(ordCol), col(valueCol), sum(dev).over(w).as("__cs"))
+      .cache() // O(days); feeds the max aggregate and the report
+    val mx = cs.agg(max(abs(col("__cs"))).as("__mx"))
+    cs.crossJoin(broadcast(mx))
+      .select(col(ordCol), col(valueCol),
+        col("__cs").cast("long").as("cusum_num"),
+        when(abs(col("__cs")) === col("__mx"), 1L).otherwise(0L)
+          .as("is_peak"))
+      .orderBy(col(ordCol))
+  }
+
   def olsByGroup(df: DataFrame, keyCols: Seq[String], xCol: String,
                  yCol: String, prodScale: Int = 4): DataFrame = {
     def dec(c: Column, s: Int) = sum(c.cast(s"decimal(38,$s)"))

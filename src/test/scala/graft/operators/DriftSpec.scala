@@ -64,4 +64,29 @@ class DriftSpec extends AnyFunSuite {
     assert(got.forall(t => !t._4.isNaN && !t._4.isInfinite))
     assert(got.head._5 > 0.0)
   }
+
+  private def ks(ref: Seq[Long], cur: Seq[Long]) = {
+    val r = Drift.ks(ref.toDF("v"), cur.toDF("v"), "v").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("ks of identical samples is exactly zero") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val (_, rt, ct, num, d) = ks(xs, xs)
+    assert(rt == 8L && ct == 8L && num == 0L && d == 0.0)
+  }
+
+  test("ks of disjoint samples is exactly one") {
+    val (at, rt, ct, num, d) = ks(Seq(1L, 2L, 3L), Seq(11L, 12L))
+    assert(num == rt * ct && d == 1.0)
+    assert(at >= 3L && at < 11L) // the gap between the supports
+  }
+
+  test("ks hand-computed case with deterministic argmax tiebreak") {
+    // ref={1,2}, cur={2,3}: diffs scaled by rt*ct=4 are 2,2,0 at
+    // v=1,2,3 -> d_num=2, d=0.5, at_value = LARGEST tied v = 2
+    val (at, rt, ct, num, d) = ks(Seq(1L, 2L), Seq(2L, 3L))
+    assert(rt == 2L && ct == 2L)
+    assert(num == 2L && d == 0.5 && at == 2L)
+  }
 }

@@ -341,4 +341,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0) != r(2))
     assert(r(0) == (1L | 4L)) // bits 0 and 2 set
   }
+
+  test("sortedNeighborhood pairs each record with its w in-block successors") {
+    val df = Seq(
+      (1L, "aa1", "aa"), (2L, "aa2", "aa"), (3L, "aa3", "aa"),
+      (4L, "bb1", "bb"), (5L, "bb2", "bb"),
+      // key order opposite to id order: pair must come out id-normalized
+      (7L, "cc1", "cc"), (6L, "cc2", "cc"),
+      (9L, "dd1", "dd") // singleton block: no pairs
+    ).toDF("id", "key", "blk")
+    val got = Similarity.sortedNeighborhood(df, "id", "key", "blk", w = 2)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (6L, 7L)))
+  }
 }

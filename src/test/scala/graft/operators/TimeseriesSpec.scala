@@ -151,4 +151,43 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - slope) < 1e-12)
     assert(math.abs(r.getDouble(3) - intercept) < 1e-12)
   }
+
+  test("acf matches hand-computed values on an alternating series") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // x=[1,2,1,2] daily: n=4, S=6, dev=4x-6=[-2,2,-2,2], den=16
+    // lag1: (-2·2)+(2·-2)+(-2·2) = -12 -> r=-0.75; lag2: 8 -> 0.5
+    val rows = Seq(1L, 2L, 1L, 2L).zipWithIndex.map { case (x, i) =>
+      (d(f"2024-01-${i + 1}%02d"), x)
+    }
+    val got = Timeseries.acf(rows.toDF("day", "x"), "day", "x", maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3L, -0.75), (2L, 2L, 0.5),
+      (3L, 1L, -0.25)))
+  }
+
+  test("acf skips pairs across a missing day (calendar-lag convention)") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // days 1,2,4: lag-1 pairs are only (1,2) — (2,3)/(3,4) don't exist
+    val rows = Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
+      ("2024-01-04", 3L)).map { case (s, x) => (d(s), x) }
+    val got = Timeseries.acf(rows.toDF("day", "x"), "day", "x", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L) // only (day1, day2)
+    assert(got(2L) == 1L) // only (day2, day4); (day1, day3) is broken
+  }
+
+  test("cusum peaks at the step day with exact integer running sums") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // x=[0,0,0,10,10,10]: n=6, S=30, dev=6x-30=[-30]*3 ++ [30]*3
+    // cs=[-30,-60,-90,-60,-30,0] -> unique peak |−90| at day 3
+    val rows = (1 to 6).map(i =>
+      (d(f"2024-01-$i%02d"), if (i <= 3) 0L else 10L))
+    val got = Timeseries.cusum(rows.toDF("day", "x"), "day", "x")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(-30L, -60L, -90L, -60L, -30L, 0L))
+    assert(got.map(_._2).toSeq == Seq(0L, 0L, 1L, 0L, 0L, 0L))
+  }
 }

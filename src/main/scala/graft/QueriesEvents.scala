@@ -1036,6 +1036,50 @@ object QueriesEvents {
              |       ELSE CAST(0 AS BIGINT) END AS is_peak
              |FROM cs, m ORDER BY day""".stripMargin)),
 
+    // ---------------------------------------- Theil–Sen robust trend
+    // The outlier-immune sibling of q_ts_ols_trend on the daily
+    // series: slope = median of all pairwise slopes, intercept =
+    // median residual (operators/Timeseries.theilSen). One traffic
+    // spike drags OLS; Theil–Sen ignores it up to 29% contamination.
+    // Pairwise slopes are single IEEE divisions of exact integers and
+    // both medians use the exact rank rule — no float boundary
+    // anywhere in selection.
+    Q("q_ts_theilsen",
+      (s, d) => graft.operators.Timeseries.theilSen(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")),
+        "day", "x"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |d0 AS (SELECT min(day) AS d0 FROM daily),
+             |idx AS (SELECT date_diff('day', d0, day) AS i, x
+             |        FROM daily, d0),
+             |sl AS (
+             |  SELECT CAST(b.x - a.x AS DOUBLE)
+             |    / CAST(b.i - a.i AS DOUBLE) AS s
+             |  FROM idx a, idx b WHERE b.i > a.i),
+             |mm AS (SELECT count(*) AS m FROM sl),
+             |rk AS (SELECT s, row_number() OVER (ORDER BY s) AS r
+             |       FROM sl),
+             |med AS (SELECT avg(s) AS med FROM rk, mm
+             |        WHERE r = (m + 1) // 2 OR r = (m + 2) // 2),
+             |resid AS (
+             |  SELECT CAST(x AS DOUBLE) - med * CAST(i AS DOUBLE) AS b
+             |  FROM idx, med),
+             |m2 AS (SELECT count(*) AS m FROM resid),
+             |rk2 AS (SELECT b, row_number() OVER (ORDER BY b) AS r
+             |        FROM resid),
+             |med2 AS (SELECT avg(b) AS med2 FROM rk2, m2
+             |         WHERE r = (m + 1) // 2 OR r = (m + 2) // 2)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)
+             |    AS n_days,
+             |  (SELECT CAST(m AS BIGINT) FROM mm) AS n_pairs,
+             |  med AS slope, med2 AS intercept
+             |FROM med, med2""".stripMargin)),
+
     // ------------------------------------------------ top session paths
     // The top-20 most common session journeys: each session's first 8
     // event types in (ts, event_id) order joined with '>'. The

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFns, TextFns}
-import graft.operators.{Dedup, Similarity, Windows}
+import graft.operators.{Dedup, Sampling, Similarity, Windows}
 import graft.sources.Tables
 
 /** Deduplication + similarity-search operators over `documents` (text)
@@ -2222,7 +2222,58 @@ object QueriesSimilarity {
              |SELECT a, b, inter_n, union_n,
              |  CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
              |FROM j WHERE 2 * inter_n >= union_n
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // ------------------------------- k-center diversity selection
+    // Greedy farthest-point selection of 5 maximally-spread embedding
+    // rows (operators/Sampling.kCenter — the coreset seed rule):
+    // start at the smallest vec_id, then 4× take the point farthest
+    // from everything picked. `dist` is each pick's squared distance
+    // to the prior centers — the shrinking k-center coverage radius.
+    // Distances fold in index order (the engine-parity dot-product
+    // convention) and argmax ties break on the smaller id, so the
+    // selected SET replays exactly; the oracle unrolls the 5 rounds.
+    Q("q_sample_kcenter",
+      (s, d) => Sampling.kCenter(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 5),
+      Some {
+        def d2(a: String, b: String): String =
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             |        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+            .stripMargin
+        def pick(prev: String, c: String): String =
+          s"""$c AS (
+             |  SELECT vec_id, embedding, dmin FROM $prev
+             |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+        def relax(prev: String, c: String, dst: String): String =
+          s"""$dst AS (
+             |  SELECT p.vec_id, p.embedding,
+             |    least(p.dmin, ${d2("p.embedding", s"$c.embedding")})
+             |      AS dmin
+             |  FROM $prev p, $c)""".stripMargin
+        s"""WITH c1 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  ORDER BY vec_id LIMIT 1),
+           |d1 AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${d2("e.embedding", "c1.embedding")} AS dmin
+           |  FROM embeddings e, c1),
+           |${pick("d1", "c2")},
+           |${relax("d1", "c2", "d2")},
+           |${pick("d2", "c3")},
+           |${relax("d2", "c3", "d3")},
+           |${pick("d3", "c4")},
+           |${relax("d3", "c4", "d4")},
+           |${pick("d4", "c5")}
+           |SELECT CAST(1 AS BIGINT) AS round, vec_id AS center_id,
+           |  0.0 AS dist FROM c1
+           |UNION ALL SELECT 2, vec_id, dmin FROM c2
+           |UNION ALL SELECT 3, vec_id, dmin FROM c3
+           |UNION ALL SELECT 4, vec_id, dmin FROM c4
+           |UNION ALL SELECT 5, vec_id, dmin FROM c5
+           |ORDER BY round""".stripMargin
+      })
   )
 
   /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /

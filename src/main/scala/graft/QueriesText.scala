@@ -1805,6 +1805,91 @@ object QueriesText {
            |FROM m""".stripMargin
       }),
 
+    // ------------------------------------------- Heaps-law fit
+    // Zipf's companion diagnostic: vocabulary growth V(N) ≈ K·N^β over
+    // the corpus in doc_id stream order — template/boilerplate text
+    // flattens β (few new types per token), PII/noise inflates it.
+    // Each term's FIRST document is one aggregate (min doc_id); new
+    // types and token mass roll up into 10 equal doc_id buckets, the
+    // cumulative window runs over those 10 rows (never the corpus),
+    // and the ln-ln OLS reuses the Zipf stabilized-moment path — so
+    // the whole fit costs two token-grain shuffles.
+    Q("q_text_heaps",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("tok")).cache()
+        val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val nw = toks.groupBy(col("tok"))
+          .agg(min(col("doc_id")).as("fdoc"))
+          .groupBy(col("fdoc")).agg(count(lit(1)).as("nv"))
+        val mx = docs.agg((max(col("doc_id")) + 1).as("__md"))
+        val buck = nt.join(nw, nt("doc_id") === nw("fdoc"), "left")
+          .crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div __md").as("bkt"), col("n"),
+            coalesce(col("nv"), lit(0L)).as("nv"))
+          .groupBy(col("bkt"))
+          .agg(sum(col("n")).as("tb"), sum(col("nv")).as("vb"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val pts = buck
+          .select(sum(col("tb")).over(w).as("ct"),
+            sum(col("vb")).over(w).as("cv"))
+          .select(lit("corpus").as("g"),
+            stab6(log(col("ct").cast("double"))).as("x"),
+            stab6(log(col("cv").cast("double"))).as("y"))
+        graft.operators.Timeseries.olsByGroup(pts, Seq("g"), "x", "y",
+            prodScale = 6)
+          .select(col("n").as("n_points"),
+            stab6(col("slope")).as("heaps_beta"),
+            stab6(col("intercept")).as("intercept"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           |  FROM documents),
+           |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |       FROM t GROUP BY 1),
+           |nw AS (
+           |  SELECT fdoc, CAST(count(*) AS BIGINT) AS nv FROM (
+           |    SELECT tok, min(doc_id) AS fdoc FROM t GROUP BY 1)
+           |  GROUP BY 1),
+           |mx AS (SELECT max(doc_id) + 1 AS md FROM documents),
+           |buck AS (
+           |  SELECT (nt.doc_id * 10) // md AS bkt,
+           |    sum(n) AS tb, sum(coalesce(nv, 0)) AS vb
+           |  FROM nt LEFT JOIN nw ON nw.fdoc = nt.doc_id, mx
+           |  GROUP BY 1),
+           |c AS (
+           |  SELECT
+           |    sum(tb) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS ct,
+           |    sum(vb) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cv
+           |  FROM buck),
+           |r AS (SELECT ${st("ln(CAST(ct AS DOUBLE))")} AS x,
+           |             ${st("ln(CAST(cv AS DOUBLE))")} AS y
+           |      FROM c),
+           |m AS (
+           |  SELECT count(*) AS n,
+           |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           |  FROM r)
+           |SELECT CAST(n AS BIGINT) AS n_points,
+           |  ${st("(CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)")} AS heaps_beta,
+           |  ${st("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) " +
+               "/ CAST(n AS DOUBLE)")} AS intercept
+           |FROM m""".stripMargin
+      }),
+
     // --------------------------------- corpus-pipeline stage audit
     // The observability row every corpus run ships with: row counts
     // through quality gate -> language filter -> exact dedup ->

@@ -43,4 +43,55 @@ object Sampling {
       .drop(k)
       .orderBy(col(idCol))
   }
+
+  /** Greedy k-center (farthest-point) diversity selection over an
+    * embedding column — the coverage-maximizing subset picker corpus
+    * curation uses to seed diverse training slices (Sener & Savarese
+    * 2018's coreset rule): start from the smallest id, then repeatedly
+    * take the point FARTHEST from everything selected so far. The
+    * selection radius (`dist`, each pick's squared distance to the
+    * prior centers) is the k-center coverage bound, reported per round.
+    *
+    * Determinism contract: distances are Σ(aᵢ−bᵢ)² folded in index
+    * order (the engine-parity convention of the dot-product family),
+    * argmax ties break on the smaller id — so the selected SET is
+    * bit-reproducible across engines and partitionings, which is what
+    * a replayable curation audit needs.
+    *
+    * 100 TB shape: each of the k rounds is one map-side distance
+    * update against the SINGLE broadcast new center plus one
+    * TakeOrdered(1) (per-partition max, driver merges one row per
+    * partition) — the corpus is never shuffled, and the running
+    * min-distance frame is cached per round (at cluster scale,
+    * checkpoint instead to truncate the k-deep lineage).
+    */
+  def kCenter(df: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    var picks = df.orderBy(col(idCol)).limit(1)
+      .select(lit(1L).as("round"), col(idCol).as("center_id"),
+        col(vecCol).as("__cv"), lit(0.0).as("dist"))
+    var dmin = df.crossJoin(broadcast(picks.select(col("__cv"))))
+      .select(col(idCol), col(vecCol),
+        dist2(col(vecCol), col("__cv")).as("__dmin"))
+      .cache()
+    for (r <- 2 to k) {
+      val next = dmin.orderBy(col("__dmin").desc, col(idCol)).limit(1)
+        .select(lit(r.toLong).as("round"), col(idCol).as("center_id"),
+          col(vecCol).as("__cv"), col("__dmin").as("dist"))
+      picks = picks.unionAll(next)
+      dmin = dmin.crossJoin(broadcast(next.select(col("__cv").as("__nv"))))
+        .select(col(idCol), col(vecCol),
+          least(col("__dmin"), dist2(col(vecCol), col("__nv")))
+            .as("__dmin"))
+        .cache()
+    }
+    picks.select(col("round"), col("center_id"), col("dist"))
+      .orderBy(col("round"))
+  }
 }

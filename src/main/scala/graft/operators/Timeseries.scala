@@ -271,6 +271,60 @@ object Timeseries {
       .orderBy(col(ordCol))
   }
 
+  /** Exact lower-median via the textbook rank rule (odd m: the middle
+    * value; even m: the mean of the two middles — an average of two
+    * identical-on-both-engines doubles, itself deterministic). The
+    * rank window is single-partition over the CALLER-BOUNDED candidate
+    * set (O(days²) slopes at most) — never a corpus.
+    */
+  private def medianOf(df: DataFrame, vCol: String): DataFrame = {
+    val w = Window.orderBy(col(vCol))
+    val ranked = df.select(col(vCol))
+      .withColumn("__rk", row_number().over(w))
+    val m = df.agg(count(lit(1)).as("__m"))
+    ranked.crossJoin(broadcast(m))
+      .filter(col("__rk") === expr("(__m + 1) div 2") ||
+        col("__rk") === expr("(__m + 2) div 2"))
+      .agg(avg(col(vCol)).as("median"))
+  }
+
+  /** Theil–Sen robust trend of an integer day-grain series: slope =
+    * median of all pairwise slopes (x_j−x_i)/(j−i), intercept =
+    * median of x_i − slope·i — the estimator that shrugs off the
+    * outlier days OLS chases (29% breakdown point). Pairwise slopes
+    * are single IEEE divisions of exact integers and median selection
+    * is the exact rank rule, so the report replays bit-for-bit.
+    *
+    * Scale shape: the O(days²) pair frame is built by a broadcast
+    * self-join of the O(days) aggregated series — for a 10-year daily
+    * series that is ~6.7M slope pairs, a few tasks' work; the raw
+    * table is never re-scanned. Output: one row (n_days, n_pairs,
+    * slope, intercept).
+    */
+  def theilSen(series: DataFrame, ordCol: String,
+               valueCol: String): DataFrame = {
+    val d0 = series.agg(min(col(ordCol)).as("__d0"))
+    val idx = series.crossJoin(broadcast(d0))
+      .select(datediff(col(ordCol), col("__d0")).cast("long").as("__i"),
+        col(valueCol).cast("long").as("__x"))
+      .cache() // O(days); feeds pairs, residuals, and the count
+    val a = idx.select(col("__i").as("__ia"), col("__x").as("__xa"))
+    val b = idx.select(col("__i").as("__ib"), col("__x").as("__xb"))
+    val slopes = a.join(broadcast(b), col("__ib") > col("__ia"))
+      .select(((col("__xb") - col("__xa")).cast("double")
+        / (col("__ib") - col("__ia")).cast("double")).as("__s"))
+      .cache() // O(days²); feeds the rank window and the pair count
+    val slope = medianOf(slopes, "__s")
+    val resid = idx.crossJoin(broadcast(slope))
+      .select((col("__x").cast("double")
+        - col("median") * col("__i").cast("double")).as("__b"))
+    val intercept = medianOf(resid, "__b")
+    idx.agg(count(lit(1)).as("n_days"))
+      .crossJoin(slopes.agg(count(lit(1)).as("n_pairs")))
+      .crossJoin(slope.select(col("median").as("slope")))
+      .crossJoin(intercept.select(col("median").as("intercept")))
+  }
+
   def olsByGroup(df: DataFrame, keyCols: Seq[String], xCol: String,
                  yCol: String, prodScale: Int = 4): DataFrame = {
     def dec(c: Column, s: Int) = sum(c.cast(s"decimal(38,$s)"))

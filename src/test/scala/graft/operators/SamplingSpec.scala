@@ -40,4 +40,22 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(!got.contains(999L) && !got.contains(998L))
   }
+
+  test("kCenter picks farthest points greedily, ties on smaller id") {
+    // (0,0) and a near-twin, plus two far corners equidistant from the
+    // start: the tie at dist 100 must resolve to the smaller id (3)
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0.1f)),
+      (3L, Array(10f, 0f)), (4L, Array(0f, 10f))).toDF("id", "v")
+    val got = Sampling.kCenter(pts, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0.0), (2L, 3L, 100.0),
+      (3L, 4L, 100.0)))
+  }
+
+  test("kCenter k=1 returns just the smallest-id seed") {
+    val pts = Seq((5L, Array(1f)), (2L, Array(9f))).toDF("id", "v")
+    val got = Sampling.kCenter(pts, "id", "v", k = 1).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L)
+  }
 }

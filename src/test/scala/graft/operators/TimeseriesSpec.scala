@@ -190,4 +190,37 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(-30L, -60L, -90L, -60L, -30L, 0L))
     assert(got.map(_._2).toSeq == Seq(0L, 0L, 1L, 0L, 0L, 0L))
   }
+
+  test("theilSen ignores the outlier day OLS would chase") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // x=[1,2,3,4,100] on days 0..4: 6 of the 10 pairwise slopes are 1,
+    // so the median slope is 1; residuals [1,1,1,1,96] -> intercept 1
+    val rows = Seq(1L, 2L, 3L, 4L, 100L).zipWithIndex.map { case (x, i) =>
+      (d(f"2024-01-${i + 1}%02d"), x)
+    }
+    val r = Timeseries.theilSen(rows.toDF("day", "x"), "day", "x")
+      .collect().head
+    assert(r.getLong(0) == 5L)         // n_days
+    assert(r.getLong(1) == 10L)        // n_pairs
+    assert(r.getDouble(2) == 1.0)      // slope
+    assert(r.getDouble(3) == 1.0)      // intercept
+  }
+
+  test("theilSen even-count median averages the two middle slopes") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // x=[0,1,3] -> slopes (0,1):1, (1,2):2, (0,2):1.5; m=3 odd -> 1.5
+    // then drop to 2 points x=[0,2] -> single slope 2 (m=1 path)
+    val r3 = Timeseries.theilSen(
+      Seq(0L, 1L, 3L).zipWithIndex.map { case (x, i) =>
+        (d(f"2024-01-${i + 1}%02d"), x)
+      }.toDF("day", "x"), "day", "x").collect().head
+    assert(r3.getDouble(2) == 1.5)
+    val r2 = Timeseries.theilSen(
+      Seq(0L, 2L).zipWithIndex.map { case (x, i) =>
+        (d(f"2024-01-${i + 1}%02d"), x)
+      }.toDF("day", "x"), "day", "x").collect().head
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 2.0)
+  }
 }

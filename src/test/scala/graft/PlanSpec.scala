@@ -234,7 +234,23 @@ class PlanSpec extends AnyFunSuite {
       "q_ev_user_profile"         -> (8, 3),
       "q_text_zipf"               -> (5, 3),
       "q_ev_gap_stats"            -> (19, 5),
-      "q_profile_table_checksum"  -> (5, 3))
+      "q_profile_table_checksum"  -> (5, 3),
+      // round-8 diagnostics wave (PlanProbe sf0.001 + ~25%; the
+      // histogram/one-row-frame queries print reused cached subtrees
+      // repeatedly, hence the large-but-stable counts)
+      "q_drift_ks"                -> (68, 35),
+      "q_ts_acf"                  -> (80, 23),
+      "q_ts_cusum"                -> (60, 15),
+      "q_ev_top_paths"            -> (5, 3),
+      "q_profile_benford"         -> (14, 4),
+      "q_sim_sorted_neighborhood" -> (10, 8),
+      "q_ev_concurrency"          -> (12, 4),
+      "q_profile_cramers_v"       -> (80, 40),
+      "q_agg_grouping_sets"       -> (5, 3),
+      "q_text_heaps"              -> (20, 8))
+      // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
+      // broadcast pyramids print hundreds of repeated cached subtrees,
+      // so string counts track print depth, not work)
     budgets.toSeq.sortBy(_._1).foreach { case (q, (maxEx, maxScan)) =>
       val d = df(q)
       d.collect() // finalize the adaptive plan

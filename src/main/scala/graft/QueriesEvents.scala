@@ -1036,6 +1036,74 @@ object QueriesEvents {
              |       ELSE CAST(0 AS BIGINT) END AS is_peak
              |FROM cs, m ORDER BY day""".stripMargin)),
 
+    // ------------------------------------- segmented trend at the break
+    // Piecewise regression keyed off the CUSUM changepoint: split the
+    // daily series at the peak-|cusum| day (smallest such day on
+    // ties), fit exact-DECIMAL-moment OLS per segment — the
+    // before/after incident report ("what was the trend, what did it
+    // become"). Composes the oracled cusum + olsByGroup paths; the
+    // only new logic is the broadcast split. Slope/intercept are
+    // 6-decimal stabilized like every OLS twin.
+    Q("q_ts_segmented_trend",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val cs = graft.operators.Timeseries.cusum(daily, "day", "x")
+        val peak = cs.orderBy(abs(col("cusum_num")).desc, col("day"))
+          .limit(1).select(col("day").as("__peak"))
+        val d0 = daily.agg(min(col("day")).as("__d0"))
+        val seg = daily.crossJoin(broadcast(peak))
+          .crossJoin(broadcast(d0))
+          .select(when(col("day") <= col("__peak"), "pre")
+            .otherwise("post").as("segment"),
+            datediff(col("day"), col("__d0")).cast("long").as("i"),
+            col("x"))
+        graft.operators.Timeseries.olsByGroup(seg, Seq("segment"), "i", "x")
+          .select(col("segment"), col("n").as("n_days"),
+            stab6(col("slope")).as("slope"),
+            stab6(col("intercept")).as("intercept"))
+          .orderBy(col("segment"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(x) AS BIGINT) AS s FROM daily),
+           |cs AS (
+           |  SELECT day, x,
+           |    sum(CAST(n * x - s AS HUGEINT)) OVER (ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           |  FROM daily, t),
+           |pk AS (SELECT day AS peak FROM cs
+           |       ORDER BY abs(c) DESC, day LIMIT 1),
+           |d0 AS (SELECT min(day) AS d0 FROM daily),
+           |seg AS (
+           |  SELECT CASE WHEN day <= peak THEN 'pre' ELSE 'post' END
+           |      AS segment,
+           |    date_diff('day', d0, day) AS i, x
+           |  FROM daily, pk, d0),
+           |m AS (
+           |  SELECT segment, count(*) AS n,
+           |    CAST(sum(CAST(i AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(i * i AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(i * x AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+           |  FROM seg GROUP BY 1)
+           |SELECT segment, CAST(n AS BIGINT) AS n_days,
+           |  ${st("(CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)")} AS slope,
+           |  ${st("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) " +
+               "/ (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) " +
+               "/ CAST(n AS DOUBLE)")} AS intercept
+           |FROM m ORDER BY segment""".stripMargin
+      }),
+
     // ---------------------------------------- Theil–Sen robust trend
     // The outlier-immune sibling of q_ts_ols_trend on the daily
     // series: slope = median of all pairwise slopes, intercept =

@@ -1244,6 +1244,53 @@ object QueriesRelational {
                   "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS expected
              |FROM c, t ORDER BY digit""".stripMargin)),
 
+    // ------------------------------- functional-dependency discovery
+    // Schema profiling: which column determines which (A → B iff every
+    // A value maps to exactly one B value) over a declared column set —
+    // the key-candidate / denormalization detector a catalog crawler
+    // runs on unknown tables. All 20 ordered pairs are checked in ONE
+    // pipeline: a map-side explode tags each row with every pair
+    // (values go through an injective string cast, so mixed column
+    // types share one frame and distinct counts are type-faithful),
+    // then two aggregations — max distinct-RHS per LHS value, then per
+    // pair. Violations are counted, not just flagged, so near-FDs
+    // (max_rhs_per_lhs = 2) are visible. Pure integer outputs.
+    Q("q_profile_fd_discovery",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+        val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+        val long = Tables.orders(s, d)
+          .select(explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("lhs"), lit(b).as("rhs"),
+              col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+          }: _*)).as("p"))
+          .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"),
+            col("p.va").as("va"), col("p.vb").as("vb"))
+        long.groupBy(col("lhs"), col("rhs"), col("va"))
+          .agg(countDistinct(col("vb")).as("nb"))
+          .groupBy(col("lhs"), col("rhs"))
+          .agg(count(lit(1)).as("n_lhs"),
+            max(col("nb")).as("max_rhs_per_lhs"))
+          .withColumn("holds",
+            when(col("max_rhs_per_lhs") === 1, 1L).otherwise(0L))
+          .orderBy(col("lhs"), col("rhs"))
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+        val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+        pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS lhs, '$b' AS rhs,
+             |  CAST(count(*) AS BIGINT) AS n_lhs,
+             |  CAST(max(nb) AS BIGINT) AS max_rhs_per_lhs,
+             |  CASE WHEN max(nb) = 1 THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS holds
+             |FROM (SELECT $a, count(DISTINCT $b) AS nb
+             |      FROM orders GROUP BY 1) g""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+      }),
+
     // ------------------------------- categorical association (Cramér's V)
     // Contingency-table profiling: does order status depend on order
     // priority? χ² over the status×priority cells plus Cramér's V =

@@ -2224,6 +2224,127 @@ object QueriesSimilarity {
              |FROM j WHERE 2 * inter_n >= union_n
              |ORDER BY a, b""".stripMargin)),
 
+    // ------------------------- centroid-classifier confusion report
+    // Per-class evaluation of the nearest-label-centroid classifier
+    // (the q_sim_label_centroids centroids turned into a predictor):
+    // each vector is assigned the label whose stabilized mean-vector
+    // centroid it is most cosine-similar to (ties → smaller label),
+    // then the report gives per-class n_actual/n_predicted/tp,
+    // precision/recall/F1 (sklearn zero_division=0 convention), and
+    // macro-F1 folded in label order. Ratios are single divisions of
+    // exact integers; F1 chains fixed IEEE ops on those — engine-exact
+    // throughout. Shape: one centroid aggregate, one broadcast
+    // score-and-argmax pass (a 10-label max_by, no window), then
+    // O(labels²) cells.
+    Q("q_eval_confusion",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("__c0"))
+          .select(col("label"), col("pos"), stab6(col("__c0")).as("__c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("__c"))))
+            .as("__cl"))
+          .select(col("label").as("clabel"),
+            transform(col("__cl"), x => x.getField("__c")).as("__centroid"))
+        val pred = e.crossJoin(broadcast(carr))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            Similarity.cosine(col("embedding"), col("__centroid"))
+              .as("cos_c"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max_by(col("clabel"),
+            struct(col("cos_c"), negate(col("clabel").cast("long"))))
+            .as("predicted"))
+        val cells = pred.groupBy(col("label"), col("predicted"))
+          .agg(count(lit(1)).as("n")).cache()
+        val act = cells.groupBy(col("label")).agg(sum(col("n")).as("n_actual"))
+        val prd = cells.groupBy(col("predicted"))
+          .agg(sum(col("n")).as("n_predicted"))
+        val tp = cells.filter(col("label") === col("predicted"))
+          .select(col("label"), col("n").as("tp"))
+        val per = act
+          .join(broadcast(prd), act("label") === prd("predicted"), "left")
+          .join(broadcast(tp), Seq("label"), "left")
+          .select(col("label"), col("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .withColumn("precision", when(col("n_predicted") === 0, lit(0.0))
+            .otherwise(col("tp").cast("double")
+              / col("n_predicted").cast("double")))
+          .withColumn("recall", when(col("n_actual") === 0, lit(0.0))
+            .otherwise(col("tp").cast("double")
+              / col("n_actual").cast("double")))
+          .withColumn("f1",
+            when(col("precision") + col("recall") === 0.0, lit(0.0))
+              .otherwise(lit(2.0) * col("precision") * col("recall")
+                / (col("precision") + col("recall"))))
+        val macroF1 = per.agg((aggregate(
+          transform(array_sort(collect_list(struct(col("label"),
+            col("f1").as("__f")))), x => x.getField("__f")),
+          lit(0.0), (a, x) => a + x)
+          / count(lit(1)).cast("double")).as("macro_f1"))
+        per.crossJoin(broadcast(macroF1)).orderBy(col("label"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+              |         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+              |cent AS (
+              |  SELECT label, pos,
+              |    ${graft.functions.Stabilize.stabSql("avg(x)", 6)} AS c
+              |  FROM ex GROUP BY label, pos),
+              |carr AS (
+              |  SELECT label AS clabel, list(c ORDER BY pos) AS centroid
+              |  FROM cent GROUP BY label),
+              |sc AS (
+              |  SELECT e.vec_id, e.label, clabel,
+              |    ${cosSql("e.embedding", "centroid")} AS cos_c
+              |  FROM embeddings e, carr),
+              |pr AS (
+              |  SELECT vec_id, label, clabel AS predicted FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY cos_c DESC, clabel) AS rk
+              |    FROM sc) WHERE rk = 1),
+              |cells AS (SELECT label, predicted, count(*) AS n
+              |          FROM pr GROUP BY 1, 2),
+              |act AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_actual
+              |        FROM cells GROUP BY 1),
+              |prd AS (SELECT predicted,
+              |          CAST(sum(n) AS BIGINT) AS n_predicted
+              |        FROM cells GROUP BY 1),
+              |tp AS (SELECT label, CAST(n AS BIGINT) AS tp
+              |       FROM cells WHERE label = predicted),
+              |per0 AS (
+              |  SELECT act.label, n_actual,
+              |    coalesce(n_predicted, 0) AS n_predicted,
+              |    coalesce(tp, 0) AS tp
+              |  FROM act
+              |  LEFT JOIN prd ON prd.predicted = act.label
+              |  LEFT JOIN tp USING (label)),
+              |per1 AS (
+              |  SELECT *,
+              |    CASE WHEN n_predicted = 0 THEN 0.0
+              |      ELSE CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+              |    END AS precision,
+              |    CASE WHEN n_actual = 0 THEN 0.0
+              |      ELSE CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE)
+              |    END AS recall
+              |  FROM per0),
+              |per AS (
+              |  SELECT *, CASE WHEN precision + recall = 0.0 THEN 0.0
+              |    ELSE 2.0 * precision * recall / (precision + recall)
+              |    END AS f1
+              |  FROM per1),
+              |mf AS (SELECT list_sum(list(f1 ORDER BY label))
+              |         / CAST(count(*) AS DOUBLE) AS macro_f1
+              |       FROM per)
+              |SELECT label, n_actual, n_predicted, tp,
+              |  precision, recall, f1, macro_f1
+              |FROM per, mf ORDER BY label""".stripMargin)),
+
     // ------------------------------- k-center diversity selection
     // Greedy farthest-point selection of 5 maximally-spread embedding
     // rows (operators/Sampling.kCenter — the coreset seed rule):

@@ -1206,6 +1206,106 @@ object QueriesEvents {
              |SELECT path, n FROM c
              |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
 
+    // ------------------------------- Markov removal-effect attribution
+    // Data-driven multi-touch attribution (operators/MarkovAttribution,
+    // Anderl et al. 2016): session journeys become a first-order
+    // Markov chain (virtual start state, purchase absorbing), each
+    // channel's credit is the conversion probability lost when every
+    // path through it is deleted — the principled alternative to the
+    // first/last-touch heuristics of q_ev_attribution. One
+    // corpus-scale pass builds transition counts; the 6-step power
+    // iterations (base + 4 removals) run on the ≤30-row transition
+    // frame with from-ordered mass folds, so the whole report is
+    // engine-exact. The oracle unrolls all five chains.
+    Q("q_ev_markov_attribution",
+      (s, d) => graft.operators.MarkovAttribution.removalEffects(
+        graft.operators.MarkovAttribution.transitions(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          gapSec, absorbing = "purchase"),
+        absorbing = "purchase",
+        channels = Seq("click", "error", "signup", "view"), steps = 6),
+      Some {
+        val channels = Seq("click", "error", "signup", "view")
+        def variant(x: String): String = {
+          val t = s"t_$x"
+          val v0 = s"v_${x}_0 AS (SELECT 'start' AS state, " +
+            "CAST(1.0 AS DOUBLE) AS pv)"
+          val stepsSql = (1 to 6).map { st =>
+            val prev = s"v_${x}_${st - 1}"
+            s"""v_${x}_$st AS MATERIALIZED (
+               |  SELECT to_type AS state,
+               |    list_sum(list(p * pv ORDER BY from_type)) AS pv
+               |  FROM $t JOIN $prev ON $t.from_type = $prev.state
+               |  GROUP BY to_type)""".stripMargin
+          }
+          (Seq(v0) ++ stepsSql :+
+            (s"conv_$x AS (SELECT coalesce(sum(pv), 0.0) AS conv " +
+              s"FROM v_${x}_6 WHERE state = 'purchase')")).mkString(",\n")
+        }
+        val removalTs = channels.map(ch =>
+          s"""t_$ch AS MATERIALIZED (SELECT * FROM t_base
+             |  WHERE from_type <> '$ch' AND to_type <> '$ch')"""
+            .stripMargin).mkString(",\n")
+        val effRows = channels.map(ch =>
+          s"""SELECT '$ch' AS channel,
+             |    (SELECT conv FROM conv_base) AS cb,
+             |    (SELECT conv FROM conv_$ch) AS cr""".stripMargin)
+          .mkString("\n  UNION ALL ")
+        s"""WITH g AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           |  FROM events),
+           |f AS (
+           |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+           |                 THEN 1 ELSE 0 END AS new_s
+           |  FROM g),
+           |s AS (
+           |  SELECT *, CAST(SUM(new_s) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS session_id
+           |  FROM f),
+           |tr0 AS (
+           |  SELECT from_type, to_type FROM (
+           |    SELECT event_type AS from_type,
+           |      lead(event_type) OVER (PARTITION BY user_id, session_id
+           |        ORDER BY ts, event_id) AS to_type
+           |    FROM s)
+           |  WHERE to_type IS NOT NULL AND from_type <> 'purchase'),
+           |st0 AS (
+           |  SELECT 'start' AS from_type, event_type AS to_type FROM (
+           |    SELECT event_type, row_number() OVER (
+           |      PARTITION BY user_id, session_id
+           |      ORDER BY ts, event_id) AS rk
+           |    FROM s)
+           |  WHERE rk = 1),
+           |c AS (
+           |  SELECT from_type, to_type, count(*) AS n FROM (
+           |    SELECT * FROM tr0 UNION ALL SELECT * FROM st0)
+           |  GROUP BY 1, 2),
+           |ft AS (SELECT from_type, sum(n) AS ftot FROM c GROUP BY 1),
+           |t_base AS MATERIALIZED (
+           |  SELECT c.from_type, c.to_type,
+           |    CAST(n AS DOUBLE) / CAST(ftot AS DOUBLE) AS p
+           |  FROM c JOIN ft USING (from_type)
+           |  UNION ALL
+           |  SELECT 'purchase', 'purchase', CAST(1.0 AS DOUBLE)),
+           |$removalTs,
+           |${variant("base")},
+           |${channels.map(variant).mkString(",\n")},
+           |eff AS (
+           |  SELECT channel, cb AS conv_base, cr AS conv_removed,
+           |    (cb - cr) / cb AS removal_effect
+           |  FROM (
+           |  $effRows)),
+           |tot AS (SELECT list_sum(list(removal_effect ORDER BY channel))
+           |        AS te FROM eff)
+           |SELECT channel, conv_base, conv_removed, removal_effect,
+           |  removal_effect / te AS share
+           |FROM eff, tot ORDER BY channel""".stripMargin
+      }),
+
     // ------------------------------------- daily peak session concurrency
     // Sweep-line concurrency: how many sessions overlap at the busiest
     // instant of each day — the capacity-planning number (connection

@@ -2345,6 +2345,66 @@ object QueriesSimilarity {
               |  precision, recall, f1, macro_f1
               |FROM per, mf ORDER BY label""".stripMargin)),
 
+    // --------------------------------- MMR diversity re-ranking
+    // Maximal marginal relevance (operators/Similarity.mmrRerank) as
+    // the final stage of a retrieval pipeline: the distributed
+    // relevance top-20 pool for query vector 0 is greedily re-ranked
+    // so each pick trades relevance against similarity to what's
+    // already picked (λ=0.5, an exact binary fraction). The pool is
+    // the bounded artifact the upstream top-k already produced;
+    // re-ranking runs in exact driver arithmetic mirroring the
+    // oracle's unrolled rounds. The search-result sibling of
+    // q_sample_kcenter's corpus-level diversity pick.
+    Q("q_sim_mmr_rerank",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val pool = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"),
+            Similarity.cosine(col("embedding"), col("qe")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        Similarity.mmrRerank(pool, "vec_id", "embedding", "rel", k = 5)
+      },
+      Some {
+        def round(r: Int): String = {
+          val sims = (1 until r).map(i =>
+            s"(SELECT sim FROM psim WHERE ca = p.vec_id " +
+              s"AND cb = (SELECT vec_id FROM s$i))")
+          val ms = if (sims.size == 1) sims.head
+            else s"greatest(${sims.mkString(", ")})"
+          val notIn = (1 until r).map(i => s"SELECT vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""r$r AS (
+             |  SELECT p.vec_id, p.rel, 0.5 * p.rel - 0.5 * $ms AS score
+             |  FROM pool p WHERE p.vec_id NOT IN ($notIn)),
+             |s$r AS (SELECT vec_id, rel, score FROM r$r
+             |        ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+        }
+        val finalSel = (2 to 5).map(r =>
+          s"UNION ALL SELECT $r, vec_id, rel, score FROM s$r")
+          .mkString("\n")
+        s"""WITH q AS (
+           |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |pool AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${cosSql("e.embedding", "qe")} AS rel
+           |  FROM embeddings e, q WHERE e.vec_id <> 0
+           |  ORDER BY rel DESC, vec_id LIMIT 20),
+           |psim AS MATERIALIZED (
+           |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+           |    ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
+           |s1 AS (SELECT vec_id, rel, rel AS score FROM pool
+           |       ORDER BY rel DESC, vec_id LIMIT 1),
+           |${(2 to 5).map(round).mkString(",\n")}
+           |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+           |  rel AS relevance, score FROM s1
+           |$finalSel
+           |ORDER BY round""".stripMargin
+      }),
+
     // ------------------------------- k-center diversity selection
     // Greedy farthest-point selection of 5 maximally-spread embedding
     // rows (operators/Sampling.kCenter — the coreset seed rule):

@@ -373,6 +373,70 @@ object Similarity {
         greatest(col(idCol), col("__nb")).as("b"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) of a CANDIDATE POOL: greedily pick k items maximizing
+    * `lambda·rel(c) − (1−lambda)·max_{s∈S} cos(c, s)` — the
+    * diversity-aware final stage of a retrieval pipeline (the
+    * relevance-only top-k upstream of it stays fully distributed; the
+    * pool this re-ranks is the O(poolK) artifact that stage already
+    * produced, so it is collected under a require() guard and re-ranked
+    * in exact driver arithmetic — the bucket-carry precedent).
+    *
+    * Determinism contract: `lambda` must be an exact binary fraction
+    * (0.5 by default); cosines fold in index order (the dot-product
+    * convention); max-similarity uses exact `max` (order-free for
+    * doubles); argmax ties break on the smaller id. Bit-identical on
+    * any engine.
+    *
+    * `pool` needs (`idCol`: long, `vecCol`: float array, `relCol`:
+    * double). Output: `round`, idCol, `relevance`, `score` (round 1's
+    * score IS its relevance).
+    */
+  def mmrRerank(pool: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = pool.sparkSession
+    val rows = pool.select(col(idCol), col(vecCol), col(relCol)).collect()
+    require(rows.length <= 4096,
+      s"pool has ${rows.length} rows — MMR re-ranks a bounded candidate " +
+        "pool, not a corpus; push the top-k upstream")
+    val cand = rows.map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val picked = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    for (_ <- 1 to math.min(k, cand.length)) {
+      val scored = cand
+        .filter(c => !selected.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val score =
+            if (selected.isEmpty) rel
+            else {
+              // exact max over selected (order-free for doubles), then
+              // one fixed IEEE op chain — mirrors the oracle's greatest()
+              val maxSim = selected.map(s => cos(v, s._2)).max
+              lambda * rel - (1.0 - lambda) * maxSim
+            }
+          (id, v, rel, score)
+        }
+      val best = scored.minBy { case (id, _, _, score) => (-score, id) }
+      picked += ((best._1, best._3, best._4))
+      selected += ((best._1, best._2))
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("round", idCol, "relevance", "score")
+      .orderBy(col("round"))
+  }
+
   /** Multi-probe set for a sign-bit bucket: the bucket itself plus every
     * 1-bit flip — explode this on the probe side and EQUI-JOIN on the
     * exact bucket of the other side. This keeps candidate generation a

@@ -355,4 +355,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (6L, 7L)))
   }
+
+  test("mmrRerank trades relevance for diversity at lambda 0.5") {
+    // id 2 duplicates id 1's direction, so despite rel 0.8 it must
+    // fall behind the orthogonal id 3 (rel 0.5) in round 2
+    val pool = Seq(
+      (1L, Array(1f, 0f), 0.9),
+      (2L, Array(1f, 0f), 0.8),
+      (3L, Array(0f, 1f), 0.5)).toDF("id", "v", "rel")
+    val got = Similarity.mmrRerank(pool, "id", "v", "rel", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0.9, 0.9),
+      (2L, 3L, 0.5, 0.25),            // 0.5*0.5 - 0.5*0
+      (3L, 2L, 0.8, 0.5 * 0.8 - 0.5 * 1.0))) // the exact IEEE chain
+  }
+
+  test("mmrRerank refuses an unbounded pool") {
+    val big = (0 until 5000).map(i => (i.toLong, Array(1f), 1.0))
+      .toDF("id", "v", "rel")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, "id", "v", "rel", k = 3)
+    }
+    assert(e.getMessage.contains("bounded candidate pool"))
+  }
 }

@@ -1206,6 +1206,94 @@ object QueriesEvents {
              |SELECT path, n FROM c
              |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
 
+    // --------------------------------------- RFM customer segmentation
+    // The marketing-analytics classic: per-user Recency (days since
+    // last purchase vs corpus end), Frequency (purchase count), and
+    // Monetary (exact integer cents) quintiles — WITHOUT ntile's
+    // global sort: each metric's 20/40/60/80 boundaries come from one
+    // histogram-percentile pass over the per-user aggregate (the
+    // equi-depth-bins path), broadcast into a parallel CASE
+    // assignment. Recency scores invert (5 = most recent). Boundaries
+    // are 6-decimal stabilized; integer metrics never straddle the
+    // 1e-6 grid, so segment assignment is engine-exact. Output is the
+    // segment rollup (`r_q`, `f_q`, `m_q`, users, cents).
+    Q("q_ev_rfm",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val purch = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+        val maxDay = purch.agg(max(to_date(col("ts"))).as("__end"))
+        val rfm = purch.groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("__last"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100).cast("long")).as("m"))
+          .crossJoin(broadcast(maxDay))
+          .select(col("user_id"),
+            datediff(col("__end"), col("__last")).cast("long").as("r"),
+            col("f"), col("m"))
+          .cache() // per-user frame feeds 3 boundary scans + assignment
+        def bounds(c: String) = graft.operators.Percentiles
+          .groupedExactByHistogram(rfm.withColumn("__one", lit(1)),
+            Seq("__one"), c,
+            Seq(0.2 -> s"${c}1", 0.4 -> s"${c}2", 0.6 -> s"${c}3",
+              0.8 -> s"${c}4"))
+          .select(stab6(col(s"${c}1")).as(s"${c}1"),
+            stab6(col(s"${c}2")).as(s"${c}2"),
+            stab6(col(s"${c}3")).as(s"${c}3"),
+            stab6(col(s"${c}4")).as(s"${c}4"))
+        def bucket(c: String) =
+          when(col(c) <= col(s"${c}1"), 1L)
+            .when(col(c) <= col(s"${c}2"), 2L)
+            .when(col(c) <= col(s"${c}3"), 3L)
+            .when(col(c) <= col(s"${c}4"), 4L).otherwise(5L)
+        rfm.crossJoin(broadcast(bounds("r")))
+          .crossJoin(broadcast(bounds("f")))
+          .crossJoin(broadcast(bounds("m")))
+          .select(col("user_id"), col("m"),
+            (lit(6L) - bucket("r")).as("r_q"),
+            bucket("f").as("f_q"), bucket("m").as("m_q"))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("m")).as("total_m_cents"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      Some {
+        def st(e: String) = graft.functions.Stabilize.stabSql(e, 6)
+        def bSql(c: String) = (1 to 4).map(i =>
+          s"${st(s"quantile_cont($c, 0.${2 * i})")} AS ${c}$i")
+          .mkString(", ")
+        def caseSql(c: String) =
+          s"""CASE WHEN $c <= ${c}1 THEN 1 WHEN $c <= ${c}2 THEN 2
+             |WHEN $c <= ${c}3 THEN 3 WHEN $c <= ${c}4 THEN 4
+             |ELSE 5 END""".stripMargin
+        s"""WITH purch AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'),
+           |mx AS (SELECT max(day) AS endd FROM purch),
+           |rfm AS (
+           |  SELECT user_id,
+           |    date_diff('day', max(day), (SELECT endd FROM mx)) AS r,
+           |    CAST(count(*) AS BIGINT) AS f,
+           |    CAST(sum(cents) AS BIGINT) AS m
+           |  FROM purch GROUP BY user_id),
+           |b AS (SELECT ${bSql("r")}, ${bSql("f")}, ${bSql("m")}
+           |      FROM rfm),
+           |seg AS (
+           |  SELECT user_id, m,
+           |    6 - (${caseSql("r")}) AS r_q,
+           |    ${caseSql("f")} AS f_q,
+           |    ${caseSql("m")} AS m_q
+           |  FROM rfm, b)
+           |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           |  CAST(m_q AS BIGINT) AS m_q,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(m) AS BIGINT) AS total_m_cents
+           |FROM seg GROUP BY 1, 2, 3
+           |ORDER BY r_q, f_q, m_q""".stripMargin
+      }),
+
     // ------------------------------- Markov removal-effect attribution
     // Data-driven multi-touch attribution (operators/MarkovAttribution,
     // Anderl et al. 2016): session journeys become a first-order

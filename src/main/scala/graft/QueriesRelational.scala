@@ -1291,6 +1291,57 @@ object QueriesRelational {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
       }),
 
+    // ------------------------------------ candidate-key detection
+    // The uniqueness sibling of FD discovery: which single columns and
+    // column pairs uniquely identify a row (n_distinct = n_rows) —
+    // the primary-key / join-key candidate report. All 15 combos
+    // (5 singles + 10 unordered pairs) share ONE pipeline: a map-side
+    // explode emits each combo's separator-joined value string (injective
+    // per engine, so distinct counts are representation-independent),
+    // then a single two-phase distinct aggregate. Integer outputs.
+    Q("q_profile_key_candidates",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+        val combos = cols.map(Seq(_)) ++
+          (for { i <- cols.indices; j <- i + 1 until cols.size }
+            yield Seq(cols(i), cols(j)))
+        val long = Tables.orders(s, d)
+          .select(explode(array(combos.map { c =>
+            struct(lit(c.mkString("+")).as("combo"),
+              concat_ws("\u0001", c.map(col(_).cast("string")): _*)
+                .as("kv"))
+          }: _*)).as("p"))
+          .select(col("p.combo").as("combo"), col("p.kv").as("kv"))
+        val t = Tables.orders(s, d).agg(count(lit(1)).as("__rows"))
+        long.groupBy(col("combo"))
+          .agg(countDistinct(col("kv")).as("n_distinct"))
+          .crossJoin(broadcast(t))
+          .select(col("combo"), col("n_distinct"),
+            col("__rows").as("n_rows"),
+            when(col("n_distinct") === col("__rows"), 1L).otherwise(0L)
+              .as("is_key"))
+          .orderBy(col("combo"))
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+        val combos = cols.map(Seq(_)) ++
+          (for { i <- cols.indices; j <- i + 1 until cols.size }
+            yield Seq(cols(i), cols(j)))
+        combos.map { c =>
+          val kv = c.map(x => s"CAST($x AS VARCHAR)")
+            .mkString(" || chr(1) || ")
+          s"""SELECT '${c.mkString("+")}' AS combo,
+             |  CAST(count(DISTINCT $kv) AS BIGINT) AS n_distinct,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CASE WHEN count(DISTINCT $kv) = count(*)
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             |  END AS is_key
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY combo")
+      }),
+
     // ------------------------------- categorical association (Cramér's V)
     // Contingency-table profiling: does order status depend on order
     // priority? χ² over the status×priority cells plus Cramér's V =

@@ -2345,6 +2345,97 @@ object QueriesSimilarity {
               |  precision, recall, f1, macro_f1
               |FROM per, mf ORDER BY label""".stripMargin)),
 
+    // --------------------------------- split-conformal calibration
+    // Distribution-free uncertainty for the centroid classifier:
+    // nonconformity = 1 − cos(vector, own-label centroid), stabilized
+    // to a 6-decimal INTEGER grid (a monotone transform, so the
+    // conformal guarantee is untouched — and the bounded grid lets the
+    // exact-histogram rank path find the calibration quantile without
+    // a global sort). Even vec_ids calibrate, odd ones test: q̂ is the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration score (α=0.1, ceil in pure
+    // integer arithmetic), empirical test coverage is an exact integer
+    // ratio — the ≥ 90% check a model card reports. Histogram shuffle
+    // is O(distinct grid values); nothing corpus-scale is sorted.
+    Q("q_eval_conformal",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("__c0"))
+          .select(col("label"), col("pos"), stab6(col("__c0")).as("__c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("__c"))))
+            .as("__cl"))
+          .select(col("label"),
+            transform(col("__cl"), x => x.getField("__c")).as("__centroid"))
+        val scored = e.join(broadcast(carr), Seq("label"))
+          .select(col("vec_id"),
+            round(stab6(lit(1.0) - Similarity.cosine(col("embedding"),
+              col("__centroid"))) * lit(1e6)).cast("long").as("s6"))
+          .cache() // one corpus pass feeds calibration AND test
+        val cal = scored.filter(col("vec_id") % 2 === 0)
+        val tst = scored.filter(col("vec_id") % 2 =!= 0)
+        val hist = cal.groupBy(col("s6")).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("s6"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+          .withColumn("rank", expr("(9 * n_cal + 18) div 10"))
+        val qhat = cum.crossJoin(broadcast(nCal))
+          .filter(col("cum") >= col("rank"))
+          .groupBy(col("n_cal"), col("rank"))
+          .agg(min(col("s6")).as("qhat_s6"))
+        tst.crossJoin(broadcast(qhat))
+          .agg(first(col("n_cal")).as("n_cal"),
+            first(col("rank")).as("rank"),
+            first(col("qhat_s6")).as("qhat_s6"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("s6") <= col("qhat_s6"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .withColumn("coverage", col("n_covered").cast("double")
+            / col("n_test").cast("double"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+              |         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+              |cent AS (
+              |  SELECT label, pos,
+              |    ${graft.functions.Stabilize.stabSql("avg(x)", 6)} AS c
+              |  FROM ex GROUP BY label, pos),
+              |carr AS (
+              |  SELECT label, list(c ORDER BY pos) AS centroid
+              |  FROM cent GROUP BY label),
+              |scored AS (
+              |  SELECT vec_id,
+              |    CAST(round(${graft.functions.Stabilize.stabSql(
+                     "1.0 - " + cosSql("e.embedding", "centroid"), 6)}
+              |      * 1000000.0) AS BIGINT) AS s6
+              |  FROM embeddings e JOIN carr USING (label)),
+              |cal AS (SELECT s6 FROM scored WHERE vec_id % 2 = 0),
+              |tst AS (SELECT s6 FROM scored WHERE vec_id % 2 <> 0),
+              |h AS (SELECT s6, count(*) AS c FROM cal GROUP BY 1),
+              |cum AS (
+              |  SELECT s6, sum(c) OVER (ORDER BY s6 ROWS BETWEEN
+              |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM h),
+              |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+              |         CAST((9 * count(*) + 18) // 10 AS BIGINT) AS rank
+              |       FROM cal),
+              |q AS (SELECT n_cal, rank, min(s6) AS qhat_s6
+              |      FROM cum, nc WHERE cum >= rank GROUP BY 1, 2)
+              |SELECT q.n_cal, q.rank, q.qhat_s6,
+              |  CAST(count(*) AS BIGINT) AS n_test,
+              |  CAST(sum(CASE WHEN s6 <= qhat_s6 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_covered,
+              |  CAST(sum(CASE WHEN s6 <= qhat_s6 THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+              |FROM tst, q
+              |GROUP BY 1, 2, 3""".stripMargin)),
+
     // --------------------------------- MMR diversity re-ranking
     // Maximal marginal relevance (operators/Similarity.mmrRerank) as
     // the final stage of a retrieval pipeline: the distributed

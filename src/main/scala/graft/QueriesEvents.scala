@@ -1479,6 +1479,61 @@ object QueriesEvents {
              |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_active_sessions,
              |  CAST(max(c) AS BIGINT) AS peak
-             |FROM run GROUP BY day ORDER BY day""".stripMargin))
+             |FROM run GROUP BY day ORDER BY day""".stripMargin)),
+
+    // ------------------------------------ interval merge (union coverage)
+    // operators/Intervals.mergeIslands: give each event a duration
+    // (`value` minutes, floored to exact micros) and union the
+    // overlapping extents per user into maximal disjoint islands — the
+    // busy-time statistic that sum-of-durations double-counts under
+    // overlap. Differs from sessionization: an event STARTING inside an
+    // earlier event's extent merges regardless of the start-to-start
+    // gap. One user-key window + one rollup shuffle, no interval
+    // self-join; all arithmetic in integer epoch micros (floor() before
+    // the cast — Spark truncates double→long, DuckDB rounds, floor
+    // makes both exact on the same value).
+    Q("q_ev_interval_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + floor(col("value") * 60000000d)
+            .cast("long")).as("e_us"))
+        graft.operators.Intervals.mergeIslands(ev, Seq(col("user_id")),
+            col("s_us"), col("e_us"), Seq(col("s_us"), col("e_us"),
+              col("event_id")))
+          .select(col("user_id"), col("island_id"),
+            col("island_start"), col("island_end"),
+            (col("island_end") - col("island_start")).as("busy_us"),
+            col("n_intervals"))
+          .orderBy(col("user_id"), col("island_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             |    epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT)
+             |      AS e_us
+             |  FROM events),
+             |g AS (
+             |  SELECT *, max(e_us) OVER (
+             |      PARTITION BY user_id ORDER BY s_us, e_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev_max_end
+             |  FROM iv),
+             |f AS (
+             |  SELECT *, CASE WHEN prev_max_end IS NULL
+             |                   OR s_us > prev_max_end
+             |                 THEN 1 ELSE 0 END AS opens
+             |  FROM g),
+             |isl AS (
+             |  SELECT *, CAST(sum(opens) OVER (
+             |      PARTITION BY user_id ORDER BY s_us, e_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS island_id
+             |  FROM f)
+             |SELECT user_id, island_id,
+             |  min(s_us) AS island_start, max(e_us) AS island_end,
+             |  max(e_us) - min(s_us) AS busy_us,
+             |  CAST(count(*) AS BIGINT) AS n_intervals
+             |FROM isl GROUP BY 1, 2
+             |ORDER BY user_id, island_id""".stripMargin))
   )
 }

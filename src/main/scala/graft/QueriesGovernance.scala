@@ -251,6 +251,73 @@ object QueriesGovernance {
            |  CASE WHEN CAST(sum(iterm) AS DOUBLE) > 0
            |    THEN $ratio END AS ndcg
            |FROM t GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // --------------------------- Poisson bootstrap CI (one-pass)
+    // operators/Bootstrap.replicateMean: error bars on the mean order
+    // value via the Google one-pass Poisson bootstrap — each
+    // (order, replica) pair draws a deterministic Poisson(1) weight
+    // from the portable hash, so all 100 resamples fall out of ONE
+    // scan with partial aggregation (network cost O(B·partitions),
+    // data-size-free). The CI is the exact 2.5%/97.5% order statistic
+    // of the replica means (rank selection over 100 rows — no float
+    // combining); the weight ladder's thresholds are one shared
+    // literal list on both sides. Everything is hash-deterministic:
+    // same result on any engine, partitioning, or cluster size.
+    Q("q_eval_bootstrap_ci",
+      (s, d) => {
+        val b = 100
+        val reps = graft.operators.Bootstrap.replicateMean(
+          Tables.orders(s, d), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)"), b, "boot")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean"), col("replica"))
+        val ranked = reps.withColumn("__rn", row_number().over(w))
+        val ci = ranked.agg(
+          min(when(col("__rn") === 3, col("mean"))).as("ci_lo"),
+          min(when(col("__rn") === 98, col("mean"))).as("ci_hi"),
+          count(lit(1)).cast("long").as("b_replicas"))
+        val full = Tables.orders(s, d).agg(
+          count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)).cast("double")).as("mean_full"))
+        full.crossJoin(broadcast(ci))
+          .select(col("n_orders"), col("mean_full"), col("b_replicas"),
+            col("ci_lo"), col("ci_hi"))
+      },
+      Some {
+        val u = graft.operators.Bootstrap.uniformSql(
+          "CAST(o_orderkey AS VARCHAR)", "CAST(r.rep AS VARCHAR)", "boot")
+        s"""WITH reps AS (
+           |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+           |    r.rep,
+           |    CAST(${graft.operators.Bootstrap.poissonWeightSql(u)}
+           |      AS BIGINT) AS w
+           |  FROM orders, (SELECT unnest(range(0, 100)) AS rep) r),
+           |agg AS (
+           |  SELECT rep AS replica,
+           |    CAST(sum(v * w) AS DOUBLE) AS w_sum,
+           |    CAST(sum(w) AS BIGINT) AS n_eff
+           |  FROM reps GROUP BY 1),
+           |m AS (
+           |  SELECT replica, w_sum / CAST(n_eff AS DOUBLE) AS mean
+           |  FROM agg),
+           |rk AS (
+           |  SELECT mean, row_number() OVER (ORDER BY mean, replica)
+           |    AS rn
+           |  FROM m),
+           |ci AS (
+           |  SELECT min(CASE WHEN rn = 3 THEN mean END) AS ci_lo,
+           |    min(CASE WHEN rn = 98 THEN mean END) AS ci_hi,
+           |    CAST(count(*) AS BIGINT) AS b_replicas
+           |  FROM rk),
+           |f AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS mean_full
+           |  FROM orders)
+           |SELECT n_orders, mean_full, b_replicas, ci_lo, ci_hi
+           |FROM f, ci""".stripMargin
       })
   )
 }

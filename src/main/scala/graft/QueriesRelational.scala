@@ -1244,6 +1244,47 @@ object QueriesRelational {
                   "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS expected
              |FROM c, t ORDER BY digit""".stripMargin)),
 
+    // ------------------------------- Gini revenue concentration
+    // operators/Concentration.gini over per-customer revenue: the
+    // single-number inequality alert ("what share of revenue sits in
+    // the top accounts") sitting beside key_skew's HHI. Revenue enters
+    // as exact CENTS (the DECIMAL(18,2) sum ×100 — fixed-point scale
+    // cancels in the ratio), the rank arithmetic folds from the value
+    // HISTOGRAM in DECIMAL(38,0) (no per-row ranking; see the
+    // operator's bounded-domain note), and only the one-row report
+    // divides doubles, 6-decimal stabilized.
+    Q("q_profile_gini",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)").as("cents"))
+        graft.operators.Concentration.gini(rev, col("cents"))
+      },
+      Some(s"""WITH rev AS (
+             |  SELECT o_custkey, CAST(sum(CAST(o_totalprice
+             |      AS DECIMAL(18,2))) * 100 AS HUGEINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |h AS (
+             |  SELECT cents AS v, CAST(count(*) AS HUGEINT) AS c
+             |  FROM rev GROUP BY 1),
+             |rk AS (
+             |  SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS m
+             |  FROM h),
+             |tot AS (
+             |  SELECT sum(c) AS n, sum(v * c) AS s FROM h),
+             |num AS (
+             |  SELECT sum(v * c * (m * 2 + c - n)) AS num
+             |  FROM rk, tot)
+             |SELECT CAST(n AS BIGINT) AS n_values,
+             |  CAST(s AS DOUBLE) AS total,
+             |  ${graft.functions.Stabilize.stabSql(
+                  "CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) *" +
+                  " CAST(s AS DOUBLE))", 6)} AS gini
+             |FROM num, tot""".stripMargin)),
+
     // ------------------------------- functional-dependency discovery
     // Schema profiling: which column determines which (A → B iff every
     // A value maps to exactly one B value) over a declared column set —
@@ -1341,6 +1382,97 @@ object QueriesRelational {
              |FROM orders""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY combo")
       }),
+
+    // ----------------------- mutual information (categorical pair)
+    // The information-theoretic sibling of Cramér's V below, on the
+    // corpus-mix pair (lang × source) of `documents`: per-cell PMI
+    // ln(n·obs/(ra·cb)) plus the table MI = Σ (obs/n)·pmi and the
+    // sqrt-normalized NMI = MI/√(H(lang)·H(source)) — the redundancy
+    // score a feature-selection or source-mix audit ranks categorical
+    // pairs by. One O(r·c) cell aggregate feeds margins, entropies,
+    // and cells (corpus scanned once). Every ln goes through the
+    // 6-decimal stabilizer BEFORE its ordered fold (libm ulps), so
+    // the folds add identical doubles; everything else is exact
+    // integer ratios.
+    Q("q_profile_mutual_info",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("obs"))
+          .cache() // O(r·c) rows; feeds margins, totals, and the cells
+        val ra = cells.groupBy(col("lang")).agg(sum(col("obs")).as("ra"))
+        val cb = cells.groupBy(col("source")).agg(sum(col("obs")).as("cb"))
+        val tot = cells.agg(sum(col("obs")).as("n"))
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val nD = col("n").cast("double")
+        val hx = ra.crossJoin(broadcast(tot))
+          .select(col("lang"), stab6(-(col("ra").cast("double") / nD)
+            * log(col("ra").cast("double") / nD)).as("__t"))
+          .agg(aggregate(transform(array_sort(collect_list(
+            struct(col("lang"), col("__t").as("__v")))),
+            x => x.getField("__v")), lit(0.0), (a, x) => a + x).as("hx"))
+        val hy = cb.crossJoin(broadcast(tot))
+          .select(col("source"), stab6(-(col("cb").cast("double") / nD)
+            * log(col("cb").cast("double") / nD)).as("__t"))
+          .agg(aggregate(transform(array_sort(collect_list(
+            struct(col("source"), col("__t").as("__v")))),
+            x => x.getField("__v")), lit(0.0), (a, x) => a + x).as("hy"))
+        val obsD = col("obs").cast("double")
+        val per = cells.join(broadcast(ra), Seq("lang"))
+          .join(broadcast(cb), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi", stab6(log(obsD * nD
+            / (col("ra").cast("double") * col("cb").cast("double")))))
+          .withColumn("__term", stab6((obsD / nD) * log(obsD * nD
+            / (col("ra").cast("double") * col("cb").cast("double")))))
+        val mi = per.agg(aggregate(transform(array_sort(collect_list(
+          struct(col("lang"), col("source"), col("__term").as("__v")))),
+          x => x.getField("__v")), lit(0.0), (a, x) => a + x).as("mi"))
+        per.crossJoin(broadcast(mi))
+          .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+          .select(col("lang"), col("source"), col("obs"), col("pmi"),
+            col("mi"),
+            stab6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+             |  FROM documents GROUP BY 1, 2),
+             |ra AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS ra
+             |       FROM cells GROUP BY 1),
+             |cb AS (SELECT source, CAST(sum(obs) AS BIGINT) AS cb
+             |       FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+             |hx AS (
+             |  SELECT list_sum(list(term ORDER BY lang)) AS hx
+             |  FROM (SELECT lang, ${graft.functions.Stabilize.stabSql(
+                  "-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+                  " ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS term
+             |        FROM ra, t) x),
+             |hy AS (
+             |  SELECT list_sum(list(term ORDER BY source)) AS hy
+             |  FROM (SELECT source, ${graft.functions.Stabilize.stabSql(
+                  "-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+                  " ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS term
+             |        FROM cb, t) x),
+             |per AS (
+             |  SELECT lang, source, obs,
+             |    ${graft.functions.Stabilize.stabSql(
+                  "ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) /" +
+                  " (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))", 6)} AS pmi,
+             |    ${graft.functions.Stabilize.stabSql(
+                  "(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+                  " ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE) /" +
+                  " (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))", 6)} AS term
+             |  FROM cells JOIN ra USING (lang) JOIN cb USING (source), t),
+             |m AS (
+             |  SELECT list_sum(list(term ORDER BY lang, source)) AS mi
+             |  FROM per)
+             |SELECT lang, source, obs, pmi, mi,
+             |  ${graft.functions.Stabilize.stabSql(
+                  "mi / sqrt(hx * hy)", 6)} AS nmi
+             |FROM per, m, hx, hy ORDER BY lang, source""".stripMargin)),
 
     // ------------------------------- categorical association (Cramér's V)
     // Contingency-table profiling: does order status depend on order

@@ -2145,6 +2145,60 @@ object QueriesSimilarity {
              |FROM tc JOIN deg ON deg.id = tc.id
              |ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------ bounded k-core peeling (kNN graph)
+    // operators/KCore.boundedPeel over the same kNN-3 graph: three
+    // rounds of "drop nodes with degree < 3 among survivors", then the
+    // survivors' final degrees — the dense-kernel extractor community
+    // detection and near-dup cluster triage start from. Fixed-round
+    // peeling keeps the cost deterministic and distributed (one degree
+    // aggregate + two restriction joins per round, cached so the
+    // lineage stays linear); the oracle unrolls the identical three
+    // rounds as chained CTEs. Pure integer outputs.
+    Q("q_graph_kcore",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = e.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.crossJoin(b).filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            (Similarity.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb"))).as("cos"))
+        val edges = Windows.topKPerGroup(pairs, Seq(col("src")),
+            Seq(col("cos").desc, col("nid")), 3)
+          .select(col("src"), col("nid").as("dst"))
+        val und = edges
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        graft.operators.KCore.boundedPeel(und, k = 3, rounds = 3)
+          .select(col("id").as("vec_id"), col("deg"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def degCte(src: String, nm: String): String =
+          s"""$nm AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT u AS id FROM $src UNION ALL SELECT v FROM $src)
+             |  GROUP BY 1)""".stripMargin
+        def round(src: String, r: Int): String =
+          s"""${degCte(src, s"kd$r")},
+             |kk$r AS (SELECT id FROM kd$r WHERE deg >= 3),
+             |ke$r AS (
+             |  SELECT u, v FROM $src
+             |  JOIN kk$r a ON a.id = u JOIN kk$r b ON b.id = v)"""
+            .stripMargin
+        s"""WITH $knnTriangleCtesSql,
+           |${round("und", 1)},
+           |${round("ke1", 2)},
+           |${round("ke2", 3)},
+           |${degCte("ke3", "kd4")}
+           |SELECT id AS vec_id, CAST(deg AS BIGINT) AS deg
+           |FROM kd4 ORDER BY vec_id""".stripMargin
+      }),
+
     // -------------------------------- sorted-neighborhood near-dup scan
     // The record-linkage classic (Hernández & Stolfo merge/purge)
     // complementing the LSH/minhash family: sort by a discriminating

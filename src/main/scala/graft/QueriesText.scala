@@ -1511,6 +1511,75 @@ object QueriesText {
              |    AS d
              |FROM scored ORDER BY diff DESC, gv DESC LIMIT 1""".stripMargin)),
 
+    // ----------------------------- snapshot drift gate (Mann–Whitney U)
+    // The location-shift member of the drift family on the same
+    // half-split snapshots (operators/Drift.mannWhitney): did one side
+    // stochastically dominate? Rank arithmetic runs over the value
+    // HISTOGRAM — tie-averaged rank of a value with t occurrences after
+    // m earlier ones is m + (t+1)/2, so 2·R_ref = Σ rn·(2m+t+1), all
+    // DECIMAL(38,0) integers (rank sums are ≈N² — BIGINT overflows at
+    // petabyte row counts, decimals don't). The corpus is never ranked
+    // row-by-row; z and the common-language effect size are 6-decimal
+    // stabilized, every other output is an exact integer or a single
+    // correctly-rounded division.
+    Q("q_drift_mannwhitney",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mid = docs.agg(expr("(max(doc_id) + 1) div 2").as("m"))
+        val sided = docs.crossJoin(broadcast(mid))
+        graft.operators.Drift.mannWhitney(
+          sided.filter(col("doc_id") < col("m")),
+          sided.filter(col("doc_id") >= col("m")),
+          "n_chars")
+      },
+      Some(s"""WITH mid AS (
+             |  SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+             |rh AS (
+             |  SELECT n_chars AS gv, count(*) AS rn FROM documents, mid
+             |  WHERE doc_id < m GROUP BY 1),
+             |ch AS (
+             |  SELECT n_chars AS gv, count(*) AS cn FROM documents, mid
+             |  WHERE doc_id >= m GROUP BY 1),
+             |h AS (
+             |  SELECT coalesce(rh.gv, ch.gv) AS gv,
+             |    coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+             |  FROM rh FULL OUTER JOIN ch ON rh.gv = ch.gv),
+             |rk AS (
+             |  SELECT gv, rn, cn,
+             |    CAST(rn + cn AS DECIMAL(38,0)) AS t,
+             |    CAST(coalesce(sum(rn + cn) OVER (ORDER BY gv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS DECIMAL(38,0)) AS m_before
+             |  FROM h),
+             |sums AS (
+             |  SELECT sum(CAST(rn AS DECIMAL(38,0)) * (m_before * 2 + t + 1))
+             |           AS r1x2,
+             |         sum(t * t * t - t) AS tie_sum
+             |  FROM rk),
+             |tot AS (
+             |  SELECT CAST(sum(rn) AS DECIMAL(38,0)) AS rt,
+             |         CAST(sum(cn) AS DECIMAL(38,0)) AS ct
+             |  FROM h),
+             |rep AS (
+             |  SELECT rt, ct, r1x2 - rt * (rt + 1) AS u1x2, tie_sum
+             |  FROM sums, tot)
+             |SELECT CAST(rt AS BIGINT) AS ref_total,
+             |  CAST(ct AS BIGINT) AS cur_total,
+             |  CAST(u1x2 AS DOUBLE) / 2 AS u_ref,
+             |  CAST(rt * ct * 2 - u1x2 AS DOUBLE) / 2 AS u_cur,
+             |  CAST(tie_sum AS DOUBLE) AS tie_sum,
+             |  ${graft.functions.Stabilize.stabSql(
+                  "(CAST(u1x2 AS DOUBLE) / 2 - CAST(rt AS DOUBLE) *" +
+                  " CAST(ct AS DOUBLE) / 2) / sqrt(CAST(rt AS DOUBLE) *" +
+                  " CAST(ct AS DOUBLE) / 12 * ((CAST(rt AS DOUBLE) +" +
+                  " CAST(ct AS DOUBLE) + 1) - CAST(tie_sum AS DOUBLE) /" +
+                  " ((CAST(rt AS DOUBLE) + CAST(ct AS DOUBLE)) *" +
+                  " (CAST(rt AS DOUBLE) + CAST(ct AS DOUBLE) - 1))))", 6)} AS z,
+             |  ${graft.functions.Stabilize.stabSql(
+                  "CAST(u1x2 AS DOUBLE) / 2 / (CAST(rt AS DOUBLE) *" +
+                  " CAST(ct AS DOUBLE))", 6)} AS r_effect
+             |FROM rep""".stripMargin)),
+
     // --------------------------------------- BPE merge-rule training
     // Three rounds of distributed BPE merge induction (Sennrich et al.
     // 2016) over word tokens (= phrase induction; the operator is

@@ -166,6 +166,75 @@ object Drift {
           .as("d"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the
+    * snapshots' value distributions — the LOCATION-shift member of the
+    * drift family: KS asks "did the shape change anywhere", U asks
+    * "did one side stochastically dominate" (robust to outliers where
+    * a mean-shift t-test is not).
+    *
+    * Rank arithmetic runs over the value HISTOGRAM, never per row: for
+    * a value with rn + cn = t occurrences after m earlier occurrences,
+    * the tie-averaged rank is m + (t+1)/2, so TWICE the rank-sum of
+    * the reference side is Σ rn·(2m + t + 1) — all integers. U follows
+    * as 2·U_ref = 2·R_ref − rt·(rt+1), kept in DECIMAL(38,0) so
+    * petabyte-scale rank sums (≈N²) cannot overflow; the tie-correction
+    * Σ(t³−t) likewise. Only the final report row produces doubles: the
+    * halvings are exact, the normal-approximation z goes through the
+    * 6-decimal stabilizer, and every other division is a single
+    * correctly-rounded op on identical operands.
+    *
+    * Scale shape: one histogram pass per snapshot, a full-outer merge
+    * of the O(distinct) histograms, one cumulative window over the
+    * HISTOGRAM (the bounded-domain contract of operators/Percentiles),
+    * and a one-row aggregate. The corpus is never ranked row-by-row —
+    * the classic sort-and-rank formulation is a global sort this
+    * derivation deletes.
+    */
+  def mannWhitney(ref: DataFrame, cur: DataFrame,
+                  valueCol: String): DataFrame =
+    mannWhitneyFromHists(valueHistogram(ref, valueCol),
+      valueHistogram(cur, valueCol))
+
+  /** [[mannWhitney]] from pre-built `(gv, c)` histograms. */
+  def mannWhitneyFromHists(refHist: DataFrame,
+                           curHist: DataFrame): DataFrame = {
+    val h = refHist.withColumnRenamed("c", "rn")
+      .join(curHist.withColumnRenamed("c", "cn"), Seq("gv"), "full_outer")
+      .select(col("gv"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      .cache() // O(distinct) rows; feeds the window AND the totals
+    val w = Window.orderBy(col("gv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = (col("rn") + col("cn")).cast("decimal(38,0)")
+    val mBefore = coalesce(sum(col("rn") + col("cn")).over(w), lit(0L))
+      .cast("decimal(38,0)")
+    val terms = h.select(
+      (col("rn").cast("decimal(38,0)") * (mBefore * 2 + t + 1)).as("rr2"),
+      (t * t * t - t).as("tt"))
+    val sums = terms.agg(sum(col("rr2")).as("r1x2"),
+      sum(col("tt")).as("tie_sum"))
+    val tot = h.agg(sum(col("rn")).cast("decimal(38,0)").as("rt"),
+      sum(col("cn")).cast("decimal(38,0)").as("ct"))
+    val rtd = col("rt").cast("double")
+    val ctd = col("ct").cast("double")
+    val nd = rtd + ctd
+    val u1x2 = col("r1x2") - col("rt") * (col("rt") + 1)
+    val uRefD = u1x2.cast("double") / 2
+    val uCurD = (col("rt") * col("ct") * 2 - u1x2).cast("double") / 2
+    val mu = rtd * ctd / 2
+    val sig2 = rtd * ctd / 12 *
+      ((nd + 1) - col("tie_sum").cast("double") / (nd * (nd - 1)))
+    sums.crossJoin(tot).select(
+      col("rt").cast("long").as("ref_total"),
+      col("ct").cast("long").as("cur_total"),
+      uRefD.as("u_ref"), uCurD.as("u_cur"),
+      col("tie_sum").cast("double").as("tie_sum"),
+      graft.functions.Stabilize.stab((uRefD - mu) / sqrt(sig2), 6).as("z"),
+      graft.functions.Stabilize.stab(uRefD / (rtd * ctd), 6)
+        .as("r_effect"))
+  }
+
   /** Population stability index over the SAME equi-depth bins —
     * computed from [[chiSquaredFromHists]]'s report frame, so one bin
     * construction feeds both gates. psi = Σ (p_i − q_i)·ln(p_i/q_i)

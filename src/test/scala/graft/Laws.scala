@@ -230,4 +230,142 @@ object Laws extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // Intervals.mergeIslands == brute-force sweep: islands are maximal
+  // disjoint unions (strict gaps between islands), cover every input
+  // interval, and preserve the interval count. Small key/coordinate
+  // domains force heavy overlap, containment, and abutment cases.
+  property("interval merge == brute-force union sweep") =
+    Prop.forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 2),
+      Gen.choose(0L, 60L), Gen.choose(0L, 25L)))) { xs =>
+      xs.isEmpty || {
+        val rows = xs.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, i.toLong, s, s + len) }
+        val df = rows.toDF("k", "id", "s", "e")
+        val got = graft.operators.Intervals.mergeIslands(df,
+            Seq(col("k")), col("s"), col("e"),
+            Seq(col("s"), col("e"), col("id")))
+          .orderBy("k", "island_id").collect()
+          .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        // reference: per key, sort by start and sweep a running max
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.map(r => (r._3, r._4)).sorted
+          val islands = sorted.tail.foldLeft(
+            Vector((sorted.head._1, sorted.head._2, 1L))) {
+            case (acc, (s, e)) =>
+              val (is, ie, n) = acc.last
+              if (s > ie) acc :+ ((s, e, 1L))
+              else acc.init :+ ((is, math.max(ie, e), n + 1))
+          }
+          islands.map { case (s, e, n) => (k, s, e, n) }
+        }.sorted
+        got.toSeq.map(r => (r._1, r._2, r._3, r._4)).sorted == want
+      }
+    }
+
+  // Concentration.gini == the O(n²) mean-absolute-difference form
+  // G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) on any nonnegative integer sample (the
+  // histogram rank fold is an algebraic rewrite of exactly this).
+  property("gini == brute-force mean absolute difference") =
+    Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 40L))) { xs =>
+      xs.sum == 0 || {
+        val df = xs.toDF("v")
+        val got = graft.operators.Concentration.gini(df, col("v"))
+          .collect().head
+        val n = xs.size.toDouble
+        val s = xs.sum.toDouble
+        val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+        val want = mad / (2 * n * s)
+        got.getLong(0) == xs.size &&
+          math.abs(got.getDouble(2) - want) < 1e-5
+      }
+    }
+
+  // Drift.mannWhitney == brute-force pair counting: U_ref counts
+  // cross pairs the reference value wins plus half the ties. Narrow
+  // value domain forces heavy tie handling through the histogram path.
+  property("mann-whitney U == brute-force pair counts") =
+    Prop.forAll(Gen.zip(
+      Gen.listOfN(25, Gen.choose(0L, 8L)),
+      Gen.listOfN(25, Gen.choose(0L, 8L)))) { case (as, bs) =>
+      as.isEmpty || bs.isEmpty || {
+        val ra = as.toDF("v")
+        val cb = bs.toDF("v")
+        val got = graft.operators.Drift.mannWhitney(ra, cb, "v")
+          .collect().head
+        val wins = (for (a <- as; b <- bs) yield
+          if (a > b) 2L else if (a == b) 1L else 0L).sum
+        got.getLong(0) == as.size && got.getLong(1) == bs.size &&
+          got.getDouble(2) == wins / 2.0 &&
+          got.getDouble(3) == (2L * as.size * bs.size - wins) / 2.0
+      }
+    }
+
+  // KCore.boundedPeel == brute-force fixed-round peeling on arbitrary
+  // small undirected graphs (dense node domain forces real peeling
+  // cascades: nodes surviving round 1 die in round 2 when their
+  // neighbors dropped).
+  property("bounded k-core peel == brute-force rounds") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0, 9),
+      Gen.choose(0, 9)))) { raw =>
+      val und0 = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      und0.isEmpty || {
+        val k = 2; val rounds = 3
+        val df = und0.toDF("u", "v")
+        val got = graft.operators.KCore.boundedPeel(df, k, rounds)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+        var e = und0
+        for (_ <- 1 to rounds) {
+          val deg = (e.map(_._1) ++ e.map(_._2))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val keep = deg.filter(_._2 >= k).keySet
+          e = e.filter(p => keep(p._1) && keep(p._2))
+        }
+        val want = (e.map(_._1) ++ e.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sorted
+        got.toSeq == want
+      }
+    }
+
+  // Bootstrap.replicateMean == a plain-Scala replay of the same
+  // md5-derived Poisson weights: determinism and the weighted
+  // decimal arithmetic are both pinned (the hash, the CDF ladder, and
+  // the mean must all agree with an independent implementation).
+  property("poisson bootstrap replicates == scala replay") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(1, 500))) { xs =>
+      xs.isEmpty || {
+        val b = 5
+        val rows = xs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, BigDecimal(v)) }
+        val df = rows.toDF("id", "v")
+        val got = graft.operators.Bootstrap.replicateMean(df, col("id"),
+            col("v"), b, "law")
+          .collect().map(r => (r.getLong(0), r.getLong(2),
+            r.getDouble(3))).sortBy(_._1)
+        def md5Long(s: String): Long = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8"))
+            .map(x => f"$x%02x").mkString.take(15)
+          java.lang.Long.parseLong(hex, 16)
+        }
+        val want = (0 until b).map { rep =>
+          val wts = rows.map { case (id, _) =>
+            val u = md5Long(s"law:$rep:$id").toDouble / 1.152921504606847e18
+            val cdf = graft.operators.Bootstrap.poisson1Cdf
+            id -> cdf.indexWhere(u < _) match {
+              case (i, -1) => (i, cdf.size.toLong)
+              case (i, k)  => (i, k.toLong)
+            }
+          }
+          val nEff = wts.map(_._2).sum
+          val wSum = rows.zip(wts).map { case ((_, v), (_, w)) =>
+            v * w }.sum
+          (rep.toLong, nEff, wSum.toDouble / nEff.toDouble)
+        }
+        got.toSeq == want
+      }
+    }
 }

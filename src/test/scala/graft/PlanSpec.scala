@@ -247,7 +247,21 @@ class PlanSpec extends AnyFunSuite {
       "q_ev_concurrency"          -> (12, 4),
       "q_profile_cramers_v"       -> (80, 40),
       "q_agg_grouping_sets"       -> (5, 3),
-      "q_text_heaps"              -> (20, 8))
+      "q_text_heaps"              -> (20, 8),
+      // round-8 stats wave (PlanProbe, identical at sf0.001 and
+      // sf0.01; mannwhitney/gini/mutual_info cache their histogram /
+      // cell frame, so counts include the usual InMemoryRelation
+      // lineage reprints — large but stable)
+      "q_ev_interval_merge"       -> (5, 3),
+      "q_drift_mannwhitney"       -> (68, 35),
+      "q_profile_gini"            -> (28, 10),
+      "q_profile_mutual_info"     -> (123, 60),
+      // kcore's FINAL plan must stay checkpoint-backed: 0 file scans
+      // proves per-round lineage truncation (the dup_clusters pin) —
+      // drop the localCheckpoint in KCore and the 3^rounds lineage
+      // replay lands here (measured 27k exchange nodes uncut)
+      "q_graph_kcore"             -> (5, 0),
+      "q_eval_bootstrap_ci"       -> (10, 5))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

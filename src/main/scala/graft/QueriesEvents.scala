@@ -1006,6 +1006,108 @@ object QueriesEvents {
              |  CAST(num AS DOUBLE) / CAST(dn AS DOUBLE) AS r
              |FROM agg, den ORDER BY lag""".stripMargin)),
 
+    // --------------------------------- temporal split with embargo gap
+    // Leakage-safe TIME split (the time-series sibling of
+    // q_split_leakage_safe / q_split_cluster_safe): train is everything
+    // through the exact 80%-of-events boundary day, then a 3-day
+    // EMBARGO absorbs the horizon over which features computed at
+    // train time still overlap labels (rolling windows, session
+    // carryover) — evaluating inside it is look-ahead leakage — and
+    // test is the remainder. The boundary day comes off the day
+    // HISTOGRAM by integer rank arithmetic (cum·5 ≥ n·4; one
+    // cumulative window over O(days) rows), broadcast into a map-only
+    // label; the report is one aggregation. No row-level sort, no
+    // float anywhere.
+    Q("q_split_temporal_gap",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val hist = ev.groupBy(col("day")).agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("__n"))
+        val wcum = org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val cut = hist.withColumn("__cum", sum(col("c")).over(wcum))
+          .crossJoin(broadcast(tot))
+          .agg(min(when(col("__cum") * 5 >= col("__n") * 4, col("day")))
+            .as("__cut"))
+        ev.crossJoin(broadcast(cut))
+          .withColumn("split",
+            when(col("day") <= col("__cut"), lit("train"))
+              .when(col("day") <= date_add(col("__cut"), 3),
+                lit("embargo"))
+              .otherwise(lit("test")))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+             |h AS (SELECT day, count(*) AS c FROM ev GROUP BY 1),
+             |tot AS (SELECT sum(c) AS n FROM h),
+             |cut AS (
+             |  SELECT min(CASE WHEN cum * 5 >= n * 4 THEN day END)
+             |    AS cut_day
+             |  FROM (SELECT day, sum(c) OVER (ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS cum
+             |        FROM h) x, tot),
+             |lab AS (
+             |  SELECT CASE WHEN day <= cut_day THEN 'train'
+             |              WHEN day <= cut_day + 3 THEN 'embargo'
+             |              ELSE 'test' END AS split,
+             |    day, user_id
+             |  FROM ev, cut)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  min(day) AS first_day, max(day) AS last_day
+             |FROM lab GROUP BY split ORDER BY split""".stripMargin)),
+
+    // --------------------------------------- dominant-period detection
+    // Seasonality detector on top of the oracled ACF machinery: the
+    // dominant period is the lag with the largest autocorrelation over
+    // lags 2..10 (lag 1 is excluded — trend autocorrelation swamps the
+    // seasonal signal in any smooth series). All ACF r values share
+    // ONE denominator (Σ dev², exact HUGEINT), so the float argmax
+    // ranks identically on both engines; ties break to the smallest
+    // lag. One-row report: the period, its r, and n_pairs.
+    Q("q_ts_period_detect",
+      (s, d) => graft.operators.Timeseries.acf(
+          Tables.events(s, d)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("x")),
+          "day", "x", maxLag = 10)
+        .filter(col("lag") >= 2)
+        .orderBy(col("r").desc, col("lag"))
+        .limit(1)
+        .select(col("lag").as("period"), col("n_pairs"), col("r")),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(x) AS BIGINT) AS s FROM daily),
+             |c AS (SELECT day, CAST(n * x - s AS HUGEINT) AS dev
+             |      FROM daily, t),
+             |den AS (SELECT sum(dev * dev) AS dn FROM c),
+             |lags AS (SELECT unnest(range(1, 11)) AS lag),
+             |pairs AS (
+             |  SELECT l.lag AS lag, a.dev AS d1, b.dev AS d2
+             |  FROM lags l, c a, c b
+             |  WHERE b.day = a.day + CAST(l.lag AS INT)),
+             |agg AS (
+             |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    sum(d1 * d2) AS num
+             |  FROM pairs GROUP BY lag)
+             |SELECT lag AS period, n_pairs,
+             |  CAST(num AS DOUBLE) / CAST(dn AS DOUBLE) AS r
+             |FROM agg, den WHERE lag >= 2
+             |ORDER BY r DESC, lag LIMIT 1""".stripMargin)),
+
     // ------------------------------------------- CUSUM changepoint scan
     // Offline CUSUM (Page 1954) over the same daily series: the
     // running sum of mean deviations peaks in magnitude at the most
@@ -1534,6 +1636,75 @@ object QueriesEvents {
              |  max(e_us) - min(s_us) AS busy_us,
              |  CAST(count(*) AS BIGINT) AS n_intervals
              |FROM isl GROUP BY 1, 2
-             |ORDER BY user_id, island_id""".stripMargin))
+             |ORDER BY user_id, island_id""".stripMargin)),
+
+    // ------------------------ Kaplan–Meier time-to-first-purchase
+    // operators/Survival.kaplanMeier on time-to-conversion: duration =
+    // whole days from a user's first event to their FIRST purchase;
+    // users who never purchase are CENSORED at the snapshot edge
+    // (duration first-event → max ts) — still at risk until then,
+    // which the naive conversion-by-duration histogram gets wrong.
+    // At-risk counts fold from the duration histogram (one cumulative
+    // window over O(distinct durations) rows), the survival curve is
+    // an ordered prefix-product in a single array fold, and the
+    // oracle replays it with DuckDB's ordered windowed product —
+    // survival is 6-decimal stabilized, everything else is exact
+    // integers.
+    Q("q_ev_survival_km",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val per = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("f"),
+            min(when(col("event_type") === "purchase", col("us")))
+              .as("fp"))
+        val tmax = ev.agg(max(col("us")).as("T"))
+        val subjects = per.crossJoin(broadcast(tmax))
+          .select(
+            expr("(coalesce(fp, T) - f) div 86400000000")
+              .as("dur_days"),
+            when(col("fp").isNotNull, 1L).otherwise(0L)
+              .as("converted"))
+        graft.operators.Survival.kaplanMeier(subjects, "dur_days",
+          "converted")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |per AS (
+             |  SELECT user_id, min(us) AS f,
+             |    min(CASE WHEN event_type = 'purchase' THEN us END)
+             |      AS fp
+             |  FROM ev GROUP BY 1),
+             |tmax AS (SELECT max(us) AS T FROM ev),
+             |subj AS (
+             |  SELECT (coalesce(fp, T) - f) // 86400000000 AS t,
+             |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END
+             |      AS churned
+             |  FROM per, tmax),
+             |h AS (
+             |  SELECT t, count(*) AS c, sum(churned) AS d
+             |  FROM subj GROUP BY 1),
+             |tot AS (SELECT sum(c) AS n FROM h),
+             |r AS (
+             |  SELECT t, c, d, coalesce(sum(c) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS cb
+             |  FROM h),
+             |e AS (
+             |  SELECT t, n - cb AS n_risk, d,
+             |    1.0 - CAST(d AS DOUBLE) / CAST(n - cb AS DOUBLE)
+             |      AS factor
+             |  FROM r, tot WHERE d >= 1),
+             |s AS (
+             |  SELECT t, n_risk, d, product(factor) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS surv
+             |  FROM e)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(d AS BIGINT) AS d_events,
+             |  ${graft.functions.Stabilize.stabSql("surv", 6)} AS survival
+             |FROM s ORDER BY t""".stripMargin))
   )
 }

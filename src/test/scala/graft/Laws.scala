@@ -368,4 +368,31 @@ object Laws extends Properties("graft") {
         got.toSeq == want
       }
     }
+
+  // Survival.kaplanMeier == the textbook product-limit computation on
+  // arbitrary censored samples (narrow duration domain forces ties
+  // between observed events and censorings at the same time).
+  property("kaplan-meier == brute-force product-limit") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 6L),
+      Gen.oneOf(0L, 1L)))) { xs =>
+      xs.isEmpty || {
+        val df = xs.toDF("dur", "ev")
+        val got = graft.operators.Survival.kaplanMeier(df, "dur", "ev")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        val eventTimes = xs.filter(_._2 == 1L).map(_._1).distinct.sorted
+        var surv = 1.0
+        val want = eventTimes.map { t =>
+          val nRisk = xs.count(_._1 >= t).toLong
+          val d = xs.count(x => x._1 == t && x._2 == 1L).toLong
+          surv *= 1.0 - d.toDouble / nRisk.toDouble
+          (t, nRisk, d, surv)
+        }
+        got.length == want.length &&
+          got.zip(want).forall { case ((t1, n1, d1, s1), (t2, n2, d2, s2)) =>
+            t1 == t2 && n1 == n2 && d1 == d2 && math.abs(s1 - s2) < 1e-5
+          }
+      }
+    }
 }

@@ -261,7 +261,12 @@ class PlanSpec extends AnyFunSuite {
       // drop the localCheckpoint in KCore and the 3^rounds lineage
       // replay lands here (measured 27k exchange nodes uncut)
       "q_graph_kcore"             -> (5, 0),
-      "q_eval_bootstrap_ci"       -> (10, 5))
+      "q_eval_bootstrap_ci"       -> (10, 5),
+      // survival/period/split cache or reuse their histogram frames —
+      // counts include cached-lineage reprints, stable across SFs
+      "q_ev_survival_km"          -> (48, 20),
+      "q_ts_period_detect"        -> (78, 23),
+      "q_split_temporal_gap"      -> (24, 7))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

@@ -2145,6 +2145,98 @@ object QueriesSimilarity {
              |FROM tc JOIN deg ON deg.id = tc.id
              |ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------- simplified silhouette (cluster quality)
+    // Cluster-validation score for the label partition of the
+    // embedding space: per vector, a = distance to the OWN label's
+    // centroid, b = distance to the nearest OTHER centroid, s =
+    // (b−a)/max(a,b) ∈ [−1,1] — negative s flags probable mislabels,
+    // the per-corpus mean is the standard clustering-quality gauge.
+    // This is the centroid ("simplified") silhouette: the classic
+    // all-pairs form is O(n²); the centroid decomposition is O(n·k)
+    // with the k centroids BROADCAST, so the corpus is scored
+    // map-side in one pass (one tiny window per vector's k rows picks
+    // the nearest foreign centroid with a deterministic tie-break).
+    // Cross-engine exactness: centroid components are 6-decimal
+    // stabilized (the label_centroids discipline), after which both
+    // engines fold IDENTICAL arrays in index order — every later op
+    // is a single correctly-rounded IEEE step, so rows hash-match
+    // with no further rounding.
+    Q("q_emb_silhouette",
+      (s, d) => {
+        def stab6(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("__c0"))
+          .select(col("label"), col("pos"), stab6(col("__c0")).as("__c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("__c"))))
+            .as("__cl"))
+          .select(col("label").as("clabel"),
+            transform(col("__cl"), x => x.getField("__c")).as("__centroid"))
+        val dist = sqrt(greatest(
+          Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2) * Similarity.dot(col("embedding"), col("__centroid"))
+            + Similarity.dot(col("__centroid"), col("__centroid")),
+          lit(0.0)))
+        val pairs = e.crossJoin(broadcast(carr))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            dist.as("dd"))
+        val a = pairs.filter(col("clabel") === col("label"))
+          .select(col("vec_id"), col("label"), col("dd").as("a_dist"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dd"), col("clabel"))
+        val b = pairs.filter(col("clabel") =!= col("label"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("clabel").as("b_label"),
+            col("dd").as("b_dist"))
+        a.join(b, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("a_dist"),
+            col("b_label"), col("b_dist"),
+            when(greatest(col("a_dist"), col("b_dist")) > 0,
+              (col("b_dist") - col("a_dist"))
+                / greatest(col("a_dist"), col("b_dist")))
+              .otherwise(lit(0.0)).as("silhouette"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def distSql(x: String, c: String) =
+          s"sqrt(greatest(${dotSql(x, x)} - 2 * ${dotSql(x, c)}" +
+            s" + ${dotSql(c, c)}, 0.0))"
+        s"""WITH ex AS (
+           |  SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+           |         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+           |cent AS (
+           |  SELECT label, pos,
+           |    ${graft.functions.Stabilize.stabSql("avg(x)", 6)} AS c
+           |  FROM ex GROUP BY label, pos),
+           |carr AS (
+           |  SELECT label AS clabel, list(c ORDER BY pos) AS centroid
+           |  FROM cent GROUP BY label),
+           |pairs AS (
+           |  SELECT vec_id, e.label, clabel,
+           |    ${distSql("e.embedding", "centroid")} AS dd
+           |  FROM embeddings e, carr),
+           |a AS (
+           |  SELECT vec_id, label, dd AS a_dist FROM pairs
+           |  WHERE clabel = label),
+           |b0 AS (
+           |  SELECT vec_id, clabel, dd, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dd, clabel) AS rn
+           |  FROM pairs WHERE clabel <> label),
+           |b AS (
+           |  SELECT vec_id, clabel AS b_label, dd AS b_dist
+           |  FROM b0 WHERE rn = 1)
+           |SELECT vec_id, label, a_dist, b_label, b_dist,
+           |  CASE WHEN greatest(a_dist, b_dist) > 0
+           |    THEN (b_dist - a_dist) / greatest(a_dist, b_dist)
+           |    ELSE 0.0 END AS silhouette
+           |FROM a JOIN b USING (vec_id) ORDER BY vec_id""".stripMargin
+      }),
+
     // ------------------------------ bounded k-core peeling (kNN graph)
     // operators/KCore.boundedPeel over the same kNN-3 graph: three
     // rounds of "drop nodes with degree < 3 among survivors", then the

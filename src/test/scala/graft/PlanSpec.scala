@@ -266,7 +266,8 @@ class PlanSpec extends AnyFunSuite {
       // counts include cached-lineage reprints, stable across SFs
       "q_ev_survival_km"          -> (48, 20),
       "q_ts_period_detect"        -> (78, 23),
-      "q_split_temporal_gap"      -> (24, 7))
+      "q_split_temporal_gap"      -> (24, 7),
+      "q_emb_silhouette"          -> (24, 9))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

@@ -45,6 +45,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("minhash-LSH candidate recall vs exact jaccard ground truth") {
+    // Recall CERTIFICATION for the banding scheme the near-dup family
+    // runs on (16 hashes × 8 bands of 2): theory gives P(candidate) =
+    // 1 − (1 − s²)^8 ≥ 0.995 at s ≥ 0.7, so over a corpus whose truth
+    // pairs all sit at s ≈ 0.8 the measured recall must be near-total.
+    // Deterministic synthetic corpus: 25 base docs, each with a twin
+    // mutated in 2 of 30 words (shingle jaccard ≈ 0.8).
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs0 = (0 until 25).flatMap { i =>
+      val toks = Vector.fill(30)(word())
+      val twin = toks.updated(3, word()).updated(17, word())
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, twin.mkString(" ")))
+    }
+    def shingleSet(t: String) = t.sliding(5).toSet
+    val truth = for {
+      (a, ta) <- docs0; (b, tb) <- docs0 if a < b
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if (sa & sb).size.toDouble / (sa | sb).size >= 0.7
+    } yield (a, b)
+    assert(truth.size >= 20, s"degenerate corpus: ${truth.size} truth pairs")
+    val df = docs0.toDF("id", "text")
+    val sh = Similarity.charShingles(df, "id", "text", k = 5)
+    val sig = Similarity.minhashSignature(sh, "id", numHashes = 16)
+    val bands = Similarity.lshBands(sig, "id", 16, rowsPerBand = 2)
+    val cand = Similarity.candidatePairs(bands, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(cand).toDouble / truth.size
+    info(f"LSH recall over ${truth.size} truth pairs = $recall%.3f")
+    assert(recall >= 0.9, s"banding recall $recall below 0.9")
+  }
+
   test("jaccardForPairs computes exact set jaccard") {
     val sh = Similarity.charShingles(docs, "id", "text", k = 5)
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

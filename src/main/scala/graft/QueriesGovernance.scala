@@ -180,6 +180,54 @@ object QueriesGovernance {
              |  CAST(tp AS DOUBLE) / p AS recall
              |FROM c ORDER BY threshold""".stripMargin)),
 
+    // ------------------------------------------- t-closeness audit
+    // Distribution-skew release gate completing the k-anon/l-diversity
+    // family: per equivalence class, the total-variation distance
+    // between the class's nation distribution and the global one,
+    // computed exactly over the common denominator (one IEEE division
+    // per class at the end — operators/Privacy.tClosenessReport). The
+    // missing-sensitive-value mass falls out algebraically (n·N −
+    // Σ_present g·n), so no class×domain cross join exists in the
+    // plan. t = 0.2, the paper's running-example threshold.
+    Q("q_priv_tcloseness",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"),
+          col("c_nationkey"))
+        Privacy.tClosenessReport(c, Seq("c_mktsegment", "bal_bin"),
+            "c_nationkey", 0.2)
+          .orderBy(col("c_mktsegment"), col("bal_bin"))
+      },
+      Some(s"""WITH base AS ($kanonPrepSql),
+              |cells AS (
+              |  SELECT c_mktsegment, bal_bin, c_nationkey,
+              |    count(*) AS c
+              |  FROM base GROUP BY 1, 2, 3),
+              |gdist AS (
+              |  SELECT c_nationkey, count(*) AS g
+              |  FROM base GROUP BY 1),
+              |tot AS (SELECT count(*) AS totn FROM base),
+              |j AS (
+              |  SELECT cells.c_mktsegment, cells.bal_bin, c, g, totn,
+              |    sum(c) OVER (
+              |      PARTITION BY cells.c_mktsegment, cells.bal_bin)
+              |      AS clsn
+              |  FROM cells JOIN gdist USING (c_nationkey), tot),
+              |r AS (
+              |  SELECT c_mktsegment, bal_bin,
+              |    CAST(max(clsn) AS BIGINT) AS k_size,
+              |    sum(abs(CAST(c AS HUGEINT) * totn
+              |        - CAST(g AS HUGEINT) * clsn)) AS present,
+              |    sum(CAST(g AS HUGEINT) * clsn) AS present_gn,
+              |    max(CAST(clsn AS HUGEINT) * totn) AS nN
+              |  FROM j GROUP BY 1, 2)
+              |SELECT c_mktsegment, bal_bin, k_size,
+              |  CAST(present + (nN - present_gn) AS DOUBLE)
+              |    / CAST(2 * nN AS DOUBLE) AS tvd,
+              |  CAST(present + (nN - present_gn) AS DOUBLE)
+              |    / CAST(2 * nN AS DOUBLE) <= 0.2 AS t_close
+              |FROM r ORDER BY c_mktsegment, bal_bin""".stripMargin)),
+
     // ------------------------------------- ε-DP noisy count release
     // Differentially-private release of per-segment counts: n +
     // Laplace(1/ε) with ε = 1, the Laplace draw seeded from
@@ -250,6 +298,59 @@ object QueriesGovernance {
            |  CAST(sum(iterm) AS DOUBLE) AS idcg,
            |  CASE WHEN CAST(sum(iterm) AS DOUBLE) > 0
            |    THEN $ratio END AS ndcg
+           |FROM t GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // ------------------------------------------------ MAP@10 + MRR
+    // Binary-relevance companions to q_eval_ndcg over the same
+    // source-as-query framing (ranker = n_chars DESC, relevant =
+    // English): mean-reciprocal-rank and average-precision@10
+    // normalized by min(R, 10), the trec_eval convention
+    // (operators/Eval.mapMrrAtK). Each AP term is one stabilized IEEE
+    // division DECIMAL-summed — partial-agg order can't move it — and
+    // MRR/AP normalization are single divisions on exact integers.
+    Q("q_eval_map_mrr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            (col("lang") === "en").as("rel"))
+        Eval.mapMrrAtK(docs, "source", "n_chars", "rel", "doc_id", 10)
+          .orderBy(col("source"))
+      },
+      Some {
+        val term = graft.functions.Stabilize.stabSql(
+          "CAST(cumrel AS DOUBLE) / CAST(rk AS DOUBLE)", 9)
+        s"""WITH r AS (
+           |  SELECT source, doc_id, n_chars, lang = 'en' AS rel
+           |  FROM documents),
+           |rk AS (
+           |  SELECT source, rel,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS rk,
+           |    sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY source ORDER BY n_chars DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cumrel
+           |  FROM r),
+           |t AS (
+           |  SELECT source, rel, rk,
+           |    CASE WHEN rel AND rk <= 10
+           |      THEN CAST($term AS DECIMAL(24,12))
+           |      ELSE CAST(0 AS DECIMAL(24,12)) END AS term
+           |  FROM rk)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE rel) AS BIGINT) AS n_rel,
+           |  CAST(min(CASE WHEN rel THEN rk END) AS BIGINT)
+           |    AS first_rel_rank,
+           |  CASE WHEN count(*) FILTER (WHERE rel) > 0
+           |    THEN CAST(1 AS DOUBLE)
+           |      / CAST(min(CASE WHEN rel THEN rk END) AS DOUBLE)
+           |    END AS mrr,
+           |  CASE WHEN count(*) FILTER (WHERE rel) > 0
+           |    THEN CAST(sum(term) AS DOUBLE)
+           |      / CAST(least(count(*) FILTER (WHERE rel), 10)
+           |             AS DOUBLE)
+           |    END AS ap
            |FROM t GROUP BY source ORDER BY source""".stripMargin
       }),
 

@@ -125,4 +125,56 @@ object Eval {
         when(col("idcg") > 0, stab(col("dcg") / col("idcg"), 6))
           .as("ndcg"))
   }
+
+  /** Binary-relevance ranking metrics per query group: MRR and MAP@k
+    * (AP@k normalized by min(R, k), the trec_eval convention). The
+    * ranking is `scoreCol DESC, tieCol ASC` (a total order), relevance
+    * is boolean `relCol`.
+    *
+    * Scale shape: one window pass PARTITIONED BY group (per-group
+    * state only — candidate lists are bounded by the retriever's k,
+    * never corpus-sized) computing rank and cumulative-relevant in the
+    * same frame, then ONE partial-aggregated groupBy. Each AP term
+    * `cumrel/rank` is one IEEE division 1e-9-stabilized and summed as
+    * DECIMAL, so partial-agg order cannot move the result (the
+    * [[ndcgAtK]] discipline); MRR's `1/first_rank` and AP's final
+    * normalization are single IEEE divisions on exact integers.
+    *
+    * Output per group: `(group, n_docs, n_rel, first_rel_rank, mrr,
+    * ap)` — `first_rel_rank`/`mrr`/`ap` are null when the group has no
+    * relevant documents.
+    */
+  def mapMrrAtK(df: DataFrame, groupCol: String, scoreCol: String,
+                relCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stab = graft.functions.Stabilize.stab(_, _)
+    val g = col(groupCol)
+    val w = Window.partitionBy(g)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val cum = Window.partitionBy(g)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rel = col(relCol).cast("boolean")
+    df.select(g, col(scoreCol), col(tieCol), rel.as("__rel"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cum",
+        sum(when(col("__rel"), 1L).otherwise(0L)).over(cum))
+      .select(g, col("__rel"), col("__rk"),
+        when(col("__rel") && col("__rk") <= k,
+            stab(col("__cum").cast("double") / col("__rk").cast("double"),
+              9).cast("decimal(24,12)"))
+          .otherwise(lit(0).cast("decimal(24,12)")).as("__t"))
+      .groupBy(g)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("__rel"), col("__rk").cast("long")))
+          .as("first_rel_rank"),
+        sum(col("__t")).cast("double").as("__ap_num"))
+      .select(g, col("n_docs"), col("n_rel"), col("first_rel_rank"),
+        when(col("n_rel") > 0,
+          lit(1.0) / col("first_rel_rank").cast("double")).as("mrr"),
+        when(col("n_rel") > 0,
+          col("__ap_num") /
+            least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
 }

@@ -88,6 +88,64 @@ object Privacy {
       .withColumn("diverse", col("l_distinct") >= l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    * third member of the release-gate family): per equivalence class,
+    * the TOTAL VARIATION distance between the class's sensitive-value
+    * distribution and the corpus-global one. A diverse class whose
+    * distribution still skews hard toward one value (say 90% one
+    * nation vs 4% globally) leaks probabilistic information that
+    * l-diversity's distinct-count misses.
+    *
+    * Exactness: with class cells c_i (class size n), global counts g_i
+    * (total N), TVD = Σ_i |c_i/n − g_i/N| / 2. Over the common
+    * denominator this is `(Σ_present |c_i·N − g_i·n| + (n·N −
+    * Σ_present g_i·n)) / (2·n·N)` — the second term is the mass of
+    * sensitive values ABSENT from the class (Σ_all g_i·n = n·N), so no
+    * class×domain cross join is ever built. All sums are exact
+    * DECIMAL(38,0) integers; the single IEEE division at the end is
+    * bit-equal cross-engine.
+    *
+    * Scale shape (100 TB): one partial-aggregated groupBy(QI,
+    * sensitive) collapses the corpus to cells; the global distribution
+    * (O(|sensitive domain|) rows) broadcasts onto them; class sizes
+    * come from a window over the CELLS frame partitioned by QI —
+    * bounded at |sensitive domain| rows per partition by construction,
+    * so the hot-class hazard that bans row-level QI windows (see
+    * object scaladoc) does not apply; the report is one more tiny
+    * groupBy. No shuffle ever carries more than the cell frame.
+    */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0 && t <= 1, s"t must be in (0, 1], got $t")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = df.groupBy(col(sensitiveCol).as("__sv"))
+      .agg(count(lit(1)).as("__g"))
+      .crossJoin(df.agg(count(lit(1)).as("__tot")))
+    // null-safe: a null sensitive value is a category of its own on
+    // both sides, and <=> still extracts as a hash-join key
+    val joined = cells.join(broadcast(global),
+      col(sensitiveCol) <=> col("__sv"))
+    val wc = Window.partitionBy(quasiCols.map(col): _*)
+    joined
+      .withColumn("__n", sum(col("__c")).over(wc))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("k_size"),
+        sum(abs(dec(col("__c")) * dec(col("__tot"))
+          - dec(col("__g")) * dec(col("__n")))).as("__present"),
+        sum(dec(col("__g")) * dec(col("__n"))).as("__present_gn"),
+        max(dec(col("__n")) * dec(col("__tot"))).as("__nN"))
+      .select((quasiCols.map(col) :+ col("k_size") :+
+        ((col("__present") + (col("__nN") - col("__present_gn")))
+          .cast("double") /
+          (lit(2).cast("decimal(38,0)") * col("__nN")).cast("double"))
+          .as("tvd")): _*)
+      .withColumn("t_close", col("tvd") <= t)
+  }
+
   /** ε-differentially-private group counts (Dwork et al. 2006) with
     * SEEDED Laplace noise: each group's count is released as
     * `n + Lap(1/ε)`, where the Laplace draw comes from a uniform

@@ -66,4 +66,53 @@ class EvalSpec extends AnyFunSuite {
       (1L, 2L, 2L, 1.0, 0.65),  // scores 0.6, 0.7
       (2L, 1L, 0L, 0.0, 1.2)))
   }
+
+  test("mapMrrAtK matches the textbook AP/MRR on a worked example") {
+    // group g ranked by score desc: rel pattern [F, T, T, F, T]
+    // → first relevant at rank 2, MRR = 1/2,
+    //   AP = (1/2 + 2/3 + 3/5) / 3 (3 relevant, all inside k=10)
+    val rows = Seq(
+      ("g", 1L, 50L, false), ("g", 2L, 40L, true), ("g", 3L, 30L, true),
+      ("g", 4L, 20L, false), ("g", 5L, 10L, true))
+    val out = Eval.mapMrrAtK(rows.toDF("q", "id", "s", "rel"),
+      "q", "s", "rel", "id", 10).head()
+    assert(out.getAs[Long]("n_docs") == 5L)
+    assert(out.getAs[Long]("n_rel") == 3L)
+    assert(out.getAs[Long]("first_rel_rank") == 2L)
+    assert(out.getAs[Double]("mrr") == 0.5)
+    val expAp = (1.0 / 2 + 2.0 / 3 + 3.0 / 5) / 3
+    assert(math.abs(out.getAs[Double]("ap") - expAp) < 1e-9)
+  }
+
+  test("mapMrrAtK: no-relevant group yields nulls; k cuts the AP sum") {
+    val rows = Seq(
+      ("none", 1L, 9L, false), ("none", 2L, 8L, false),
+      // "cut": relevant docs at ranks 1 and 3 with k=2 — only rank 1's
+      // term enters AP, but normalization is min(R=2, k=2) = 2
+      ("cut", 1L, 9L, true), ("cut", 2L, 8L, false),
+      ("cut", 3L, 7L, true))
+    val out = Eval.mapMrrAtK(rows.toDF("q", "id", "s", "rel"),
+        "q", "s", "rel", "id", 2)
+      .orderBy(col("q")).collect()
+    val cut = out(0)
+    assert(cut.getAs[Long]("n_rel") == 2L &&
+      cut.getAs[Double]("ap") == 0.5 && // (1/1) / min(2,2)
+      cut.getAs[Double]("mrr") == 1.0)
+    val none = out(1)
+    assert(none.getAs[Long]("n_docs") == 2L &&
+      none.isNullAt(none.fieldIndex("first_rel_rank")) &&
+      none.isNullAt(none.fieldIndex("mrr")) &&
+      none.isNullAt(none.fieldIndex("ap")))
+  }
+
+  test("mapMrrAtK is partitioning-invariant") {
+    val rows = (1L to 200L).map(i =>
+      (s"q${i % 7}", i, (i * 37) % 101, (i * 13) % 3 == 0))
+    val df = rows.toDF("q", "id", "s", "rel")
+    val a = Eval.mapMrrAtK(df, "q", "s", "rel", "id", 5)
+      .orderBy(col("q")).collect().toSeq
+    val b = Eval.mapMrrAtK(df.repartition(17), "q", "s", "rel", "id", 5)
+      .orderBy(col("q")).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -57,6 +57,58 @@ class PrivacySpec extends AnyFunSuite {
       ("B", 1L, 2L, 2L, true)))
   }
 
+  /** Brute-force TVD: ½ Σ over the full sensitive domain of
+    * |class share − global share|.
+    */
+  private def bruteTvd(cls: Seq[Int], all: Seq[Int]): Double = {
+    val n = cls.size.toDouble
+    val bigN = all.size.toDouble
+    all.distinct.map { v =>
+      math.abs(cls.count(_ == v) / n - all.count(_ == v) / bigN)
+    }.sum / 2
+  }
+
+  test("tClosenessReport matches the brute-force TVD per class") {
+    val all = rows.map(_._4)
+    val rep = Privacy.tClosenessReport(df, Seq("seg", "bin"), "nat", 0.55)
+      .orderBy(col("seg"), col("bin")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getAs[Long]("k_size"),
+        r.getAs[Double]("tvd"), r.getAs[Boolean]("t_close")))
+    val classes = rows.groupBy(t => (t._2, t._3))
+      .view.mapValues(_.map(_._4)).toMap
+    assert(rep.map(_._1).toSeq == classes.keys.toSeq.sorted)
+    rep.foreach { case (key, k, tvd, close) =>
+      assert(k == classes(key).size)
+      assert(math.abs(tvd - bruteTvd(classes(key), all)) < 1e-12,
+        s"class $key")
+      assert(close == (tvd <= 0.55))
+    }
+    // hand-checked values: (A,1) pure nation-10 class vs 50% global
+    assert(rep.find(_._1 == ("A", 1L)).get._3 == 0.5)
+    assert(rep.find(_._1 == ("B", 1L)).get._3 == 2.0 / 3)
+  }
+
+  test("tClosenessReport: the whole table as one class has TVD 0") {
+    val one = df.withColumn("c", lit("x"))
+    val rep = Privacy.tClosenessReport(one, Seq("c"), "nat", 0.2)
+      .collect()
+    assert(rep.length == 1 && rep.head.getAs[Double]("tvd") == 0.0 &&
+      rep.head.getAs[Boolean]("t_close"))
+  }
+
+  test("tClosenessReport treats a null sensitive value as a category") {
+    val withNull = Seq(
+      (1L, "A", 1L, Some(10)), (2L, "A", 1L, None),
+      (3L, "B", 1L, Some(10)), (4L, "B", 1L, Some(10)))
+      .toDF("id", "seg", "bin", "nat")
+    val rep = Privacy.tClosenessReport(withNull, Seq("seg"), "nat", 0.2)
+      .orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("tvd")))
+    // global: {10: 3/4, null: 1/4}; class A = {10: 1/2, null: 1/2}
+    // → TVD = ¼; class B = {10: 1} → TVD = ¼
+    assert(rep.toSeq == Seq(("A", 0.25), ("B", 0.25)))
+  }
+
   test("null QI values form their own equivalence class") {
     val withNull = (rows :+ (7L, null.asInstanceOf[String], 1L, 50))
       .toDF("id", "seg", "bin", "nat")

@@ -120,11 +120,13 @@ object Privacy {
     require(t > 0 && t <= 1, s"t must be in (0, 1], got $t")
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // global distribution and grand total derive from the cell frame,
+    // not from re-scanning the corpus: ONE pass over the data total
     val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
-    val global = df.groupBy(col(sensitiveCol).as("__sv"))
-      .agg(count(lit(1)).as("__g"))
-      .crossJoin(df.agg(count(lit(1)).as("__tot")))
+    val global = cells.groupBy(col(sensitiveCol).as("__sv"))
+      .agg(sum(col("__c")).as("__g"))
+      .crossJoin(cells.agg(sum(col("__c")).as("__tot")))
     // null-safe: a null sensitive value is a category of its own on
     // both sides, and <=> still extracts as a hash-join key
     val joined = cells.join(broadcast(global),

@@ -16,6 +16,7 @@ object PlanProbe {
       val scans = "FileScan".r.findAllIn(plan).size
       val codegen = "WholeStageCodegen".r.findAllIn(plan).size
       println(s"PROBE $q exchanges=$ex scans=$scans codegenSpans=$codegen")
+      if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(plan)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -267,7 +267,13 @@ class PlanSpec extends AnyFunSuite {
       "q_ev_survival_km"          -> (48, 20),
       "q_ts_period_detect"        -> (78, 23),
       "q_split_temporal_gap"      -> (24, 7),
-      "q_emb_silhouette"          -> (24, 9))
+      "q_emb_silhouette"          -> (24, 9),
+      // governance completers (probed 20/4 and 4/2, identical at
+      // sf0.001 and sf0.01; tcloseness' count includes the two
+      // ReusedExchange prints of the single cells shuffle — the
+      // corpus is physically scanned ONCE)
+      "q_priv_tcloseness"         -> (25, 6),
+      "q_eval_map_mrr"            -> (5, 3))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

@@ -387,14 +387,18 @@ object QueriesGovernance {
             col("ci_lo"), col("ci_hi"))
       },
       Some {
-        val u = graft.operators.Bootstrap.uniformSql(
-          "CAST(o_orderkey AS VARCHAR)", "CAST(r.rep AS VARCHAR)", "boot")
-        s"""WITH reps AS (
-           |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-           |    r.rep,
-           |    CAST(${graft.operators.Bootstrap.poissonWeightSql(u)}
+        import graft.operators.Bootstrap
+        val m = Bootstrap.mixedSql("h", "r.rep", 100)
+        s"""WITH uh AS (
+           |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+           |    ${Bootstrap.unitHashSql(
+                  "CAST(o_orderkey AS VARCHAR)", "boot")} AS h
+           |  FROM orders),
+           |reps AS (
+           |  SELECT v, r.rep,
+           |    CAST(${Bootstrap.weightFromMixedSql(m)}
            |      AS BIGINT) AS w
-           |  FROM orders, (SELECT unnest(range(0, 100)) AS rep) r),
+           |  FROM uh, (SELECT unnest(range(0, 100)) AS rep) r),
            |agg AS (
            |  SELECT rep AS replica,
            |    CAST(sum(v * w) AS DOUBLE) AS w_sum,

@@ -132,6 +132,35 @@ object QueriesSources {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // ------------------------------------------------- ORC lake surface
+    // Columnar-format breadth beyond parquet: write a lineitem slice as
+    // ORC partitioned by return flag, read it back with a partition
+    // filter AND a row-group predicate. At 100 TB the partition filter
+    // prunes directories before any I/O and the quantity predicate
+    // reaches the ORC reader as a pushed filter (ORC keeps min/max
+    // stripe statistics exactly like parquet row groups), so the scan
+    // touches one flag's stripes, not the table. The oracle pins the
+    // full write→read→filter chain to the source parquet.
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val dir = s"$TMP/orc_lineitem"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_shipdate"))
+          .write.mode("overwrite").partitionBy("l_returnflag").orc(dir)
+        s.read.orc(dir)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_extendedprice, l_shipdate
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity >= 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ------------------------------------------------- S6/S7/S8/S11 JDBC
     // replace-load the first half, append the second, probe existence,
     // verify the count, then read back through SQL passthrough. The oracle

@@ -13,16 +13,29 @@ import graft.functions.HashFns
   * score, dedup rate, click value) at 100 TB, where a classical
   * bootstrap's B separate resamples are unrunnable.
   *
-  * Determinism: the weight is a pure function of
-  * md5(salt:replica:unit) — the engine-portable 60-bit hash mapped to
-  * u ∈ [0,1) (long→double is correctly rounded, the 2⁻⁶⁰ scale is a
-  * power of two, so u is bit-identical everywhere), then inverted
-  * through the Poisson(1) CDF as a CASE ladder over SHARED literal
-  * thresholds (the same decimal strings parse to the same doubles in
-  * any IEEE engine; the Scala constants and the SQL fragment are
-  * generated from ONE list so they cannot drift). Results are
-  * reproducible across runs, engines, partitionings, and cluster
-  * sizes — rand()-based bootstraps are none of these.
+  * Determinism AND hash economy: md5 runs ONCE PER UNIT —
+  * `h = md5(salt:unit)` (the portable 60-bit hash) — and each replica's
+  * uniform is an affine mix of h's two 30-bit halves,
+  * `m_r = (h_lo·A_r + h_hi·B_r + C_r) mod 2^60`, with per-replica
+  * constants derived from md5 of the replica index in PLAIN Scala (so
+  * both engines receive them as shared literals, the poisson1Cdf
+  * discipline). The first implementation hashed every (unit, replica)
+  * pair: B=100 made md5 + string building ~60% of the query's CPU at
+  * sf0.1 (measured 16 s → 6 s for the registered query). The mix is a
+  * multiply-add (2-universal-style) family across replicas: each m_r
+  * is marginally uniform on [0, 2^60) and pairs (m_r, m_s) are
+  * decorrelated at the universal-hashing level — the same independence
+  * grade the md5-per-pair scheme effectively provided for variance
+  * estimation. All arithmetic stays in 62 bits (30+30-bit products),
+  * so no engine ever overflows a signed 64-bit integer.
+  *
+  * The Poisson(1) inversion is integer-exact: thresholds
+  * `T_k = cdf_k · 2^60` are EXACT longs (every double in (0,1) times
+  * 2^60 is an integer; computed with BigDecimal and verified exact at
+  * class-load), and the weight is the CASE ladder `m < T_k → k` — long
+  * compares, no per-row division. Results are reproducible across
+  * runs, engines, partitionings, and cluster sizes — rand()-based
+  * bootstraps are none of these.
   *
   * Scale shape: explode(replicas) multiplies the SCAN, not the
   * shuffle — partial aggregation folds each partition's B×rows down to
@@ -41,37 +54,94 @@ object Bootstrap {
     0.999916758850712, 0.9999897508033253, 0.999998874797402,
     0.9999998885745217)
 
-  private val twoTo60 = 1.152921504606847e18 // 2^60, binary-exact
+  private val two60 = BigDecimal(BigInt(1) << 60)
 
-  /** u ∈ [0,1) from the portable hash of (salt:replica:unit). */
-  def uniform(unit: Column, replica: Column, salt: String): Column =
-    HashFns.md5Long(concat(lit(salt + ":"), replica.cast("string"),
-      lit(":"), unit.cast("string"))).cast("double") / twoTo60
-
-  /** DuckDB mirror of [[uniform]]; operand fragments must be VARCHAR
-    * expressions.
+  /** The CDF thresholds scaled to the hash domain: T_k = cdf_k · 2^60,
+    * exact (u < cdf_k ⟺ m < T_k for integer m = u·2^60).
     */
-  def uniformSql(unitSql: String, replicaSql: String, salt: String): String =
-    s"${HashFns.md5LongSql(s"'$salt:' || $replicaSql || ':' || $unitSql")}" +
-      s" / 1.152921504606847e18"
+  val poisson1CdfT: Seq[Long] = poisson1Cdf.map { t =>
+    // new java.math.BigDecimal(double) is the EXACT binary value of the
+    // double (Scala's BigDecimal(d) would re-parse the decimal string)
+    (BigDecimal(new java.math.BigDecimal(t)) * two60).toBigIntExact
+      .getOrElse(sys.error(s"cdf threshold $t * 2^60 not exact")).toLong
+  }
 
-  /** Poisson(1) weight via CDF inversion of `u`: the count of
-    * thresholds at or below u (0 when u < cdf(0)).
+  private val mask30 = (1L << 30) - 1
+  private val mod60 = 1L << 60
+
+  /** Plain-Scala 60-bit md5 value of a string (same contract as
+    * expressions.Md5Long / HashFns.md5LongSql).
     */
-  def poissonWeight(u: Column): Column =
+  private def md5Long60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Per-replica mix constants, derived deterministically from the
+    * replica index (shared literals on both engines): A, B odd 30-bit
+    * multipliers with the top bit set; C a 60-bit offset.
+    */
+  def mixConstants(b: Int): (Seq[Long], Seq[Long], Seq[Long]) = {
+    def mult(tag: String, r: Int): Long =
+      (md5Long60(s"bootmix:$tag:$r") & mask30) | (1L << 29) | 1L
+    ((0 until b).map(mult("a", _)),
+     (0 until b).map(mult("b", _)),
+     (0 until b).map(r => md5Long60(s"bootmix:c:$r") % mod60))
+  }
+
+  /** The per-unit portable hash: md5(salt:unit) ∈ [0, 2^60). */
+  def unitHash(unit: Column, salt: String): Column =
+    HashFns.md5Long(concat(lit(salt + ":"), unit.cast("string")))
+
+  /** DuckDB mirror of [[unitHash]]; `unitSql` must be VARCHAR. */
+  def unitHashSql(unitSql: String, salt: String): String =
+    HashFns.md5LongSql(s"'$salt:' || $unitSql")
+
+  /** Replica-r mixed value m ∈ [0, 2^60) from the unit hash `h`:
+    * (h_lo·A_r + h_hi·B_r + C_r) mod 2^60, constants indexed by the
+    * replica column (0-based, must be < b).
+    */
+  def mixed(h: Column, rep: Column, b: Int): Column = {
+    val (as, bs, cs) = mixConstants(b)
+    val idx = (rep + 1).cast("int")
+    val a = element_at(typedLit(as), idx)
+    val bb = element_at(typedLit(bs), idx)
+    val c = element_at(typedLit(cs), idx)
+    (((h.bitwiseAND(lit(mask30)) * a) +
+      (shiftright(h, 30) * bb) + c) % mod60).cast("long")
+  }
+
+  /** DuckDB mirror of [[mixed]] — the constant lists are generated from
+    * the SAME [[mixConstants]] call, so the sides cannot drift.
+    * `repSql` must be an integer expression.
+    */
+  def mixedSql(hSql: String, repSql: String, b: Int): String = {
+    val (as, bs, cs) = mixConstants(b)
+    def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
+    val i = s"(CAST($repSql AS INT) + 1)"
+    s"((($hSql) & $mask30) * (${lst(as)})[$i]" +
+      s" + (($hSql) >> 30) * (${lst(bs)})[$i]" +
+      s" + (${lst(cs)})[$i]) % $mod60"
+  }
+
+  /** Poisson(1) weight from a mixed value: the CASE ladder over the
+    * EXACT integer thresholds [[poisson1CdfT]] (m < T_k → k).
+    */
+  def weightFromMixed(m: Column): Column =
     // foldRight so the SMALLEST threshold is the OUTERMOST branch —
-    // the CDF is increasing, so u < cdf(0) must win before u < cdf(9)
-    poisson1Cdf.zipWithIndex.foldRight(lit(poisson1Cdf.size.toLong)) {
-      case ((t, k), acc) => when(u < t, k.toLong).otherwise(acc)
+    // the CDF is increasing, so m < T_0 must win before m < T_9
+    poisson1CdfT.zipWithIndex.foldRight(lit(poisson1CdfT.size.toLong)) {
+      case ((t, k), acc) => when(m < t, k.toLong).otherwise(acc)
     }
 
-  /** DuckDB mirror of [[poissonWeight]] — generated from the SAME
+  /** DuckDB mirror of [[weightFromMixed]] — generated from the SAME
     * threshold list, so the ladders cannot drift.
     */
-  def poissonWeightSql(uSql: String): String =
-    "CASE " + poisson1Cdf.zipWithIndex.map { case (t, k) =>
-      s"WHEN ($uSql) < $t THEN $k"
-    }.mkString(" ") + s" ELSE ${poisson1Cdf.size} END"
+  def weightFromMixedSql(mSql: String): String =
+    "CASE " + poisson1CdfT.zipWithIndex.map { case (t, k) =>
+      s"WHEN ($mSql) < $t THEN $k"
+    }.mkString(" ") + s" ELSE ${poisson1CdfT.size} END"
 
   /** Bootstrap replica table for a SUM/MEAN statistic: one row per
     * replica with the weighted decimal sum, weighted count, and the
@@ -82,11 +152,13 @@ object Bootstrap {
   def replicateMean(df: DataFrame, unitKey: Column, value: Column,
                     b: Int, salt: String): DataFrame = {
     require(b >= 2, s"need at least 2 replicas, got $b")
-    val u = uniform(col("__unit"), col("__rep"), salt)
-    df.select(unitKey.as("__unit"), value.cast("decimal(38,6)").as("__v"))
-      .select(col("__unit"), col("__v"),
+    df.select(unitHash(unitKey, salt).as("__h"),
+        value.cast("decimal(38,6)").as("__v"))
+      .select(col("__h"), col("__v"),
         explode(sequence(lit(0), lit(b - 1))).as("__rep"))
-      .withColumn("__w", poissonWeight(u).cast("decimal(38,0)"))
+      .withColumn("__w",
+        weightFromMixed(mixed(col("__h"), col("__rep"), b))
+          .cast("decimal(38,0)"))
       .groupBy(col("__rep").as("replica"))
       .agg(sum(col("__v") * col("__w")).as("w_sum"),
         sum(col("__w")).cast("long").as("n_eff"))

@@ -331,9 +331,10 @@ object Laws extends Properties("graft") {
     }
 
   // Bootstrap.replicateMean == a plain-Scala replay of the same
-  // md5-derived Poisson weights: determinism and the weighted
-  // decimal arithmetic are both pinned (the hash, the CDF ladder, and
-  // the mean must all agree with an independent implementation).
+  // hash-derived Poisson weights: determinism and the weighted
+  // decimal arithmetic are both pinned (the per-unit md5, the
+  // per-replica affine mix, the integer CDF ladder, and the mean must
+  // all agree with an independent implementation).
   property("poisson bootstrap replicates == scala replay") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(1, 500))) { xs =>
       xs.isEmpty || {
@@ -351,14 +352,16 @@ object Laws extends Properties("graft") {
             .map(x => f"$x%02x").mkString.take(15)
           java.lang.Long.parseLong(hex, 16)
         }
+        val (as, bs, cs) = graft.operators.Bootstrap.mixConstants(b)
+        val thresholds = graft.operators.Bootstrap.poisson1CdfT
+        val mask30 = (1L << 30) - 1
         val want = (0 until b).map { rep =>
           val wts = rows.map { case (id, _) =>
-            val u = md5Long(s"law:$rep:$id").toDouble / 1.152921504606847e18
-            val cdf = graft.operators.Bootstrap.poisson1Cdf
-            id -> cdf.indexWhere(u < _) match {
-              case (i, -1) => (i, cdf.size.toLong)
-              case (i, k)  => (i, k.toLong)
-            }
+            val h = md5Long(s"law:$id")
+            val m = ((h & mask30) * as(rep) + (h >> 30) * bs(rep) +
+              cs(rep)) % (1L << 60)
+            val k = thresholds.indexWhere(m < _)
+            id -> (if (k == -1) thresholds.size.toLong else k.toLong)
           }
           val nEff = wts.map(_._2).sum
           val wSum = rows.zip(wts).map { case ((_, v), (_, w)) =>

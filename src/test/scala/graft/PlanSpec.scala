@@ -33,6 +33,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("o_orderpriority") && !read.contains("o_custkey"))
   }
 
+  test("ORC read prunes partitions and pushes the row predicate") {
+    // q_orc_roundtrip writes ORC partitioned by l_returnflag, then
+    // filters on the partition column AND l_quantity. The flag filter
+    // must land in PartitionFilters (directory pruning — no I/O for
+    // other flags) and the quantity predicate in PushedFilters (ORC
+    // stripe-statistics skipping), mirroring the parquet discipline.
+    val d = df("q_orc_roundtrip")
+    d.collect() // runs the write, so the read side has real files
+    val plan = planString(d)
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("FileScan orc")).mkString
+    assert(scanLine.nonEmpty, s"no ORC scan in plan:\n$plan")
+    assert(scanLine.contains("PartitionFilters:") &&
+      scanLine.replaceAll(".*PartitionFilters", "")
+        .takeWhile(_ != ']').contains("l_returnflag"),
+      s"partition filter not pruned:\n$scanLine")
+    assert(scanLine.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"quantity predicate not pushed:\n$scanLine")
+  }
+
   test("star join broadcasts fixed-size dims, never forces customer") {
     val plan = planString(df("q_join_star_revenue"))
     // nation + region arrive via explicit broadcast hints

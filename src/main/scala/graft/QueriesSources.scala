@@ -279,6 +279,78 @@ object QueriesSources {
               |              all_varchar=true)
               |ORDER BY point_date, point_time""".stripMargin)),
 
+    // --------------------------------------------- GPX track statistics
+    // The engine-side payoff of the GPX scan: per-track (per-date)
+    // distance and climb — the reference maps these routes in PBI; a
+    // pipeline computes their stats in-engine. Consecutive-point
+    // haversine steps via a lag window PARTITIONED BY track (a track
+    // is bounded by its recording, so partitions are naturally small),
+    // each step stabilized to 1e-6 km (1 mm — far above the ~1e-13
+    // transcendental-chain noise) and DECIMAL-summed; climb sums only
+    // positive elevation deltas (exact double subtraction on identical
+    // inputs, same stabilize-then-sum fold). Oracle replays the same
+    // formula over the committed expected_points.csv.
+    Q("q_gpx_track_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stab6 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.Stabilize.stab(c, 6)
+        val w = Window.partitionBy(col("point_date"))
+          .orderBy(col("point_time"))
+        val pts = Gpx.scanPoints(s, s"$FX/gpx/*.gpx")
+          .withColumn("plat", lag(col("latitude"), 1).over(w))
+          .withColumn("plon", lag(col("longitude"), 1).over(w))
+          .withColumn("pele", lag(col("elevation"), 1).over(w))
+        pts
+          .select(col("point_date"),
+            when(col("plat").isNotNull,
+              stab6(graft.functions.Geo.haversineKm(col("plat"),
+                col("plon"), col("latitude"), col("longitude")))
+                .cast("decimal(24,9)"))
+              .otherwise(lit(0).cast("decimal(24,9)")).as("__step"),
+            when(col("pele").isNotNull && col("elevation") > col("pele"),
+              stab6(col("elevation") - col("pele")).cast("decimal(24,9)"))
+              .otherwise(lit(0).cast("decimal(24,9)")).as("__climb"))
+          .groupBy(col("point_date"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("__step")).cast("double").as("dist_km"),
+            sum(col("__climb")).cast("double").as("elev_gain_m"))
+          .orderBy(col("point_date"))
+      },
+      Some {
+        val hav = graft.functions.Geo.haversineKmSql(
+          "plat", "plon", "latitude", "longitude")
+        val stab = graft.functions.Stabilize.stabSql(_: String, 6)
+        s"""WITH p AS (
+           |  SELECT CAST(point_date AS DATE) AS point_date, point_time,
+           |    CAST(latitude AS DOUBLE) AS latitude,
+           |    CAST(longitude AS DOUBLE) AS longitude,
+           |    CAST(elevation AS DOUBLE) AS elevation
+           |  FROM read_csv('$FX/gpx/expected_points.csv', header=true,
+           |                all_varchar=true)),
+           |l AS (
+           |  SELECT point_date,
+           |    lag(latitude) OVER w AS plat,
+           |    lag(longitude) OVER w AS plon,
+           |    lag(elevation) OVER w AS pele,
+           |    latitude, longitude, elevation
+           |  FROM p WINDOW w AS (PARTITION BY point_date
+           |                      ORDER BY point_time)),
+           |t AS (
+           |  SELECT point_date,
+           |    CASE WHEN plat IS NOT NULL THEN
+           |      CAST(${stab(hav)} AS DECIMAL(24,9))
+           |    ELSE CAST(0 AS DECIMAL(24,9)) END AS step,
+           |    CASE WHEN pele IS NOT NULL AND elevation > pele THEN
+           |      CAST(${stab("elevation - pele")} AS DECIMAL(24,9))
+           |    ELSE CAST(0 AS DECIMAL(24,9)) END AS climb
+           |  FROM l)
+           |SELECT point_date, CAST(count(*) AS BIGINT) AS n_points,
+           |  CAST(sum(step) AS DOUBLE) AS dist_km,
+           |  CAST(sum(climb) AS DOUBLE) AS elev_gain_m
+           |FROM t GROUP BY point_date ORDER BY point_date""".stripMargin
+      }),
+
     // -------------------------------------------------------------- S10
     // Zip extraction prep + scan of the contained CSV; the oracle reads
     // the committed plain copy of the same file.

@@ -354,6 +354,88 @@ object QueriesGovernance {
            |FROM t GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ---------------------------------------- smoothed target encoding
+    // Supervised categorical encoding (Micci-Barreca 2001) for the
+    // order-priority feature against order value: the smoothed mean
+    // enc = (sum_c + m·mean_global)/(n_c + m) over the COMMON
+    // denominator (one IEEE division on exact decimals), plus the
+    // leakage-safe leave-one-out row encoding (sum_c − y_i)/(n_c − 1).
+    // One category aggregate + broadcast back — no windows, no per-row
+    // state (operators/Encoding.targetEncode).
+    Q("q_feat_target_encoding",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("__y"))
+        graft.operators.Encoding.targetEncode(
+            o, "o_orderpriority", col("__y"), 10L)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("n_cat"), col("enc_smooth"), col("enc_loo"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH cat AS (
+             |  SELECT o_orderpriority,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sc,
+             |    count(*) AS nc
+             |  FROM orders GROUP BY 1),
+             |tot AS (
+             |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             |    count(*) AS n
+             |  FROM orders)
+             |SELECT o.o_orderkey, o.o_orderpriority,
+             |  CAST(nc AS BIGINT) AS n_cat,
+             |  CAST(sc * n + 10 * s AS DOUBLE)
+             |    / CAST((nc + 10) * n AS DOUBLE) AS enc_smooth,
+             |  CASE WHEN nc > 1 THEN
+             |    CAST(sc - CAST(o.o_totalprice AS DECIMAL(18,2))
+             |         AS DOUBLE) / CAST(nc - 1 AS DOUBLE)
+             |  END AS enc_loo
+             |FROM orders o JOIN cat USING (o_orderpriority), tot
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // --------------------------------------- weight of evidence / IV
+    // Credit-scoring-standard feature-strength report for the length
+    // feature against is-English, over the calibration query's 50-char
+    // bins: per-bin woe = ln((pos/P)/(neg/Neg)) as ONE stabilized ln
+    // of an exact integer ratio, IV as the stabilize-then-DECIMAL-sum
+    // fold of the bin terms (operators/Encoding.woeIv). Zero-pos or
+    // zero-neg bins carry null woe and contribute nothing.
+    Q("q_feat_woe_iv",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(floor(col("n_chars") / 50).cast("long").as("bin"),
+            (col("lang") === "en").as("__lab"))
+        graft.operators.Encoding.woeIv(docs, "bin", col("__lab"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val stab = graft.functions.Stabilize.stabSql(_: String, 6)
+        val woe = stab("ln(CAST(pos * q AS DOUBLE)" +
+          " / CAST(neg * p AS DOUBLE))")
+        val term = stab("(CAST(pos AS DOUBLE) / CAST(p AS DOUBLE)" +
+          " - CAST(neg AS DOUBLE) / CAST(q AS DOUBLE)) * woe")
+        s"""WITH b AS (
+           |  SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bin,
+           |    count(*) FILTER (WHERE lang = 'en') AS pos,
+           |    count(*) - count(*) FILTER (WHERE lang = 'en') AS neg
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT sum(pos) AS p, sum(neg) AS q FROM b),
+           |w AS (
+           |  SELECT bin, pos, neg, p, q,
+           |    CASE WHEN pos > 0 AND neg > 0 THEN $woe END AS woe
+           |  FROM b, tot),
+           |t AS (
+           |  SELECT bin, pos, neg, woe,
+           |    CASE WHEN woe IS NOT NULL THEN
+           |      CAST($term AS DECIMAL(24,12))
+           |    ELSE CAST(0 AS DECIMAL(24,12)) END AS term
+           |  FROM w),
+           |iv AS (SELECT CAST(sum(term) AS DOUBLE) AS iv_total FROM t)
+           |SELECT bin, CAST(pos AS BIGINT) AS pos,
+           |  CAST(neg AS BIGINT) AS neg, woe, iv_total
+           |FROM t, iv ORDER BY bin""".stripMargin
+      }),
+
     // --------------------------- Poisson bootstrap CI (one-pass)
     // operators/Bootstrap.replicateMean: error bars on the mean order
     // value via the Google one-pass Poisson bootstrap — each

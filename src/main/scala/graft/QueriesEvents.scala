@@ -1705,6 +1705,119 @@ object QueriesEvents {
              |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
              |  CAST(d AS BIGINT) AS d_events,
              |  ${graft.functions.Stabilize.stabSql("surv", 6)} AS survival
-             |FROM s ORDER BY t""".stripMargin))
+             |FROM s ORDER BY t""".stripMargin)),
+
+    // --------------------------------------------- Welch's t (A/B test)
+    // Experimentation readout over user-level value sums: variant =
+    // user parity (a deterministic 50/50 assignment), metric = each
+    // user's Jan-16-onward value total. The unit rollup is one
+    // groupBy; Welch's t and the Satterthwaite df come from ONE exact
+    // decimal moment pass (operators/Experiment — identical IEEE
+    // formula trees both engines, 1e-6 stabilized).
+    Q("q_ab_welch_ttest",
+      (s, d) => {
+        val units = Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("__y"))
+        graft.operators.Experiment.welchTTest(
+          units, col("user_id") % 2 === 1, col("__y"))
+      },
+      Some("""WITH units AS (
+             |  SELECT user_id,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS y
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY 1),
+             |m AS (
+             |  SELECT
+             |    count(*) FILTER (WHERE user_id % 2 = 0) AS na,
+             |    sum(y) FILTER (WHERE user_id % 2 = 0) AS sa,
+             |    sum(y * y) FILTER (WHERE user_id % 2 = 0) AS qa,
+             |    count(*) FILTER (WHERE user_id % 2 = 1) AS nb,
+             |    sum(y) FILTER (WHERE user_id % 2 = 1) AS sb,
+             |    sum(y * y) FILTER (WHERE user_id % 2 = 1) AS qb
+             |  FROM units),
+             |f AS (
+             |  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT)
+             |      AS n_b,
+             |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+             |  FROM m),
+             |v AS (
+             |  SELECT *,
+             |    (qad - sad * sad / nad) / (nad - 1) AS va,
+             |    (qbd - sbd * sbd / nbd) / (nbd - 1) AS vb
+             |  FROM f),
+             |se AS (SELECT *, va / nad + vb / nbd AS se2 FROM v)
+             |SELECT n_a, n_b, sad / nad AS mean_a, sbd / nbd AS mean_b,
+             |  CASE WHEN nad > 1 AND nbd > 1 AND se2 > 0 THEN
+             |    round_even((sbd / nbd - sad / nad) / sqrt(se2)
+             |      * 1000000.0, 0) / 1000000.0 END AS t_stat,
+             |  CASE WHEN nad > 1 AND nbd > 1 AND se2 > 0 THEN
+             |    round_even((se2 * se2) / ((va / nad) * (va / nad)
+             |        / (nad - 1) + (vb / nbd) * (vb / nbd) / (nbd - 1))
+             |      * 1000000.0, 0) / 1000000.0 END AS df
+             |FROM se""".stripMargin)),
+
+    // ------------------------------------------- CUPED variance reduction
+    // The pre-period companion (Deng et al., WSDM 2013): covariate =
+    // each user's Jan-1..15 value total, metric = the Jan-16-onward
+    // total; θ = cov/var_x and the adjusted variance via the closed
+    // form var(y − θx) = var_y − cov²/var_x, all from ONE exact
+    // decimal moment pass over the unit frame — var_reduction is the
+    // squared pre/post correlation.
+    Q("q_ab_cuped",
+      (s, d) => {
+        val boundary = lit("2024-01-16").cast("timestamp")
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            coalesce(sum(when(col("ts") < boundary,
+              col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("__x"),
+            coalesce(sum(when(col("ts") >= boundary,
+              col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("__y"))
+        graft.operators.Experiment.cuped(units, col("__x"), col("__y"))
+      },
+      Some("""WITH units AS (
+             |  SELECT user_id,
+             |    COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+             |      FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+             |      CAST(0 AS DECIMAL(18,2))) AS x,
+             |    COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+             |      FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+             |      CAST(0 AS DECIMAL(18,2))) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+             |  FROM units),
+             |f AS (
+             |  SELECT CAST(n AS BIGINT) AS n_units,
+             |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+             |  FROM m),
+             |v AS (
+             |  SELECT n_units,
+             |    (sxyd - sxd * syd / nd) / (nd - 1) AS cov,
+             |    (sxxd - sxd * sxd / nd) / (nd - 1) AS vx,
+             |    (syyd - syd * syd / nd) / (nd - 1) AS vy
+             |  FROM f)
+             |SELECT n_units,
+             |  CASE WHEN vx > 0 THEN
+             |    round_even(cov / vx * 1000000.0, 0) / 1000000.0
+             |  END AS theta,
+             |  round_even(vy * 1000000.0, 0) / 1000000.0 AS var_y,
+             |  CASE WHEN vx > 0 THEN
+             |    round_even((vy - cov * cov / vx) * 1000000.0, 0)
+             |      / 1000000.0 END AS var_y_adj,
+             |  CASE WHEN vx > 0 AND vy > 0 THEN
+             |    round_even(cov * cov / (vx * vy) * 1000000.0, 0)
+             |      / 1000000.0 END AS var_reduction
+             |FROM v""".stripMargin))
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation analysis: Welch's unequal-variance t-test and CUPED
+  * variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) — the two
+  * statistics an A/B-testing platform computes over unit-level
+  * metrics at fleet scale.
+  *
+  * Scale shape (100 TB of events): metrics are first collapsed to one
+  * row per UNIT (user) by an ordinary partial-aggregated groupBy, then
+  * every statistic here is ONE more aggregation pass producing exact
+  * DECIMAL moments (Σy, Σy², Σxy, … — order-independent, so partial
+  * aggregation cannot move them), followed by a fixed scalar formula
+  * tree on the driver-free 1-row frame. No windows, no second scan.
+  *
+  * Exactness: the moment sums are exact decimals; both engines cast
+  * the SAME exact values to double and evaluate the IDENTICAL formula
+  * tree (each step one correctly-rounded IEEE op), with a final 1e-6
+  * stabilization absorbing any last-ulp engine variance — the
+  * groupwise-zscore discipline.
+  */
+object Experiment {
+
+  private def stab(c: Column) = graft.functions.Stabilize.stab(c, 6)
+
+  /** Welch's t over a unit-level frame: `treat` marks the treatment
+    * unit, `y` is the (exact DECIMAL) unit metric. One aggregation
+    * pass via conditional sums; output one row
+    * `(n_a, n_b, mean_a, mean_b, t_stat, df)` with Welch-Satterthwaite
+    * degrees of freedom (a/b = control/treatment). Null t when either
+    * arm has fewer than 2 units or zero pooled variance.
+    */
+  def welchTTest(df: DataFrame, treat: Column, y: Column): DataFrame = {
+    val a = !treat
+    val moments = df.agg(
+      count(when(a, 1)).as("__na"),
+      sum(when(a, y)).as("__sa"),
+      sum(when(a, y * y)).as("__qa"),
+      count(when(treat, 1)).as("__nb"),
+      sum(when(treat, y)).as("__sb"),
+      sum(when(treat, y * y)).as("__qb"))
+    def d(c: String) = col(c).cast("double")
+    val (na, nb) = (d("__na"), d("__nb"))
+    val (sa, sb) = (d("__sa"), d("__sb"))
+    val (qa, qb) = (d("__qa"), d("__qb"))
+    val va = (qa - sa * sa / na) / (na - 1)
+    val vb = (qb - sb * sb / nb) / (nb - 1)
+    val se2 = va / na + vb / nb
+    moments.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      (sa / na).as("mean_a"), (sb / nb).as("mean_b"),
+      when(na > 1 && nb > 1 && se2 > 0,
+        stab((sb / nb - sa / na) / sqrt(se2))).as("t_stat"),
+      when(na > 1 && nb > 1 && se2 > 0,
+        stab((se2 * se2) / ((va / na) * (va / na) / (na - 1)
+          + (vb / nb) * (vb / nb) / (nb - 1)))).as("df"))
+  }
+
+  /** CUPED report over a unit-level frame with pre-experiment
+    * covariate `x` and in-experiment metric `y` (both exact DECIMAL):
+    * θ = cov(x,y)/var(x), and the adjusted-metric variance via the
+    * closed form var(y − θx) = var(y) − cov²/var(x) — so ONE moment
+    * pass yields θ, the variance before/after, and the reduction
+    * ratio cov²/(var_x·var_y) = ρ² (the paper's headline number).
+    * Null θ when var(x) = 0 (no pre-period signal to exploit).
+    */
+  def cuped(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val moments = df.agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("__n")
+    val cov = (d("__sxy") - d("__sx") * d("__sy") / n) / (n - 1)
+    val vx = (d("__sxx") - d("__sx") * d("__sx") / n) / (n - 1)
+    val vy = (d("__syy") - d("__sy") * d("__sy") / n) / (n - 1)
+    moments.select(
+      col("__n").as("n_units"),
+      when(vx > 0, stab(cov / vx)).as("theta"),
+      stab(vy).as("var_y"),
+      when(vx > 0, stab(vy - cov * cov / vx)).as("var_y_adj"),
+      when(vx > 0 && vy > 0,
+        stab(cov * cov / (vx * vy))).as("var_reduction"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ExperimentSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stab6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("welchTTest matches the textbook statistic and df") {
+    val a = Seq(10.0, 12.0, 9.0, 11.0)       // control
+    val b = Seq(14.0, 15.0, 13.0, 18.0, 16.0) // treatment
+    val rows = a.map((false, _)) ++ b.map((true, _))
+    val out = Experiment.welchTTest(
+      rows.toDF("t", "y").withColumn("y", col("y").cast("decimal(18,2)")),
+      col("t"), col("y")).head()
+    def meanVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(v => (v - m) * (v - m)).sum / (xs.size - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+    val se2 = va / a.size + vb / b.size
+    val t = (mb - ma) / math.sqrt(se2)
+    val dfW = se2 * se2 / (va / a.size * (va / a.size) / (a.size - 1) +
+      vb / b.size * (vb / b.size) / (b.size - 1))
+    assert(out.getAs[Long]("n_a") == 4L && out.getAs[Long]("n_b") == 5L)
+    assert(out.getAs[Double]("mean_a") == ma)
+    assert(math.abs(out.getAs[Double]("t_stat") - stab6(t)) < 1e-12)
+    assert(math.abs(out.getAs[Double]("df") - stab6(dfW)) < 1e-12)
+  }
+
+  test("welchTTest: degenerate arms yield null t") {
+    val rows = Seq((false, 5.0), (true, 7.0), (true, 8.0))
+    val out = Experiment.welchTTest(
+      rows.toDF("t", "y").withColumn("y", col("y").cast("decimal(18,2)")),
+      col("t"), col("y")).head()
+    assert(out.isNullAt(out.fieldIndex("t_stat")) &&
+      out.isNullAt(out.fieldIndex("df")))
+  }
+
+  test("cuped matches the direct adjusted-variance computation") {
+    val rows = (1 to 40).map { i =>
+      val x = (i * 7 % 13).toDouble
+      (x, 2.5 * x + (i * 11 % 5).toDouble) // correlated pre/post
+    }
+    val out = Experiment.cuped(
+      rows.toDF("x", "y")
+        .withColumn("x", col("x").cast("decimal(18,2)"))
+        .withColumn("y", col("y").cast("decimal(18,2)")),
+      col("x"), col("y")).head()
+    val n = rows.size
+    val (mx, my) = (rows.map(_._1).sum / n, rows.map(_._2).sum / n)
+    val cov = rows.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = rows.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val vy = rows.map { case (_, y) => (y - my) * (y - my) }.sum / (n - 1)
+    val theta = cov / vx
+    // the closed form equals the variance of the directly adjusted metric
+    val adj = rows.map { case (x, y) => y - theta * (x - mx) }
+    val madj = adj.sum / n
+    val vAdjDirect = adj.map(v => (v - madj) * (v - madj)).sum / (n - 1)
+    assert(math.abs(out.getAs[Double]("theta") - theta) < 1e-6)
+    assert(math.abs(out.getAs[Double]("var_y") - vy) < 1e-6)
+    assert(math.abs(out.getAs[Double]("var_y_adj") - vAdjDirect) < 1e-6)
+    assert(math.abs(out.getAs[Double]("var_reduction")
+      - cov * cov / (vx * vy)) < 1e-6) // 1e-6 stabilization grid
+  }
+
+  test("cuped: constant covariate yields null theta") {
+    val rows = Seq((1.0, 5.0), (1.0, 9.0), (1.0, 6.0))
+    val out = Experiment.cuped(
+      rows.toDF("x", "y")
+        .withColumn("x", col("x").cast("decimal(18,2)"))
+        .withColumn("y", col("y").cast("decimal(18,2)")),
+      col("x"), col("y")).head()
+    assert(out.isNullAt(out.fieldIndex("theta")) &&
+      out.isNullAt(out.fieldIndex("var_y_adj")))
+  }
+}

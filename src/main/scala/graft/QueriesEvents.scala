@@ -1707,6 +1707,92 @@ object QueriesEvents {
              |  ${graft.functions.Stabilize.stabSql("surv", 6)} AS survival
              |FROM s ORDER BY t""".stripMargin)),
 
+    // -------------------------------------- forecast backtest scoring
+    // Walk-forward one-step evaluation of two forecasters over the
+    // daily value series per event type: naive (yesterday) and the
+    // 3-day moving average, scored with MAE / MAPE / sMAPE and MASE
+    // (MAE relative to naive — the scale-free standard). Series live
+    // in day-count-bounded windows per type; error terms are exact
+    // decimals (naive) or single-IEEE-op doubles stabilized to 1e-9
+    // then DECIMAL-summed (ma3), so the fold order cannot move the
+    // result. One shuffle for the daily rollup; the scoring windows
+    // ride the same partitioning.
+    Q("q_ts_forecast_error",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stab9 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.Stabilize.stab(c, 9).cast("decimal(24,12)")
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val wma = w.rowsBetween(-3, -1)
+        val scored = daily
+          .withColumn("naive", lag(col("y"), 1).over(w))
+          .withColumn("__ms", sum(col("y")).over(wma))
+          .withColumn("__mn", count(col("y")).over(wma))
+          .filter(col("naive").isNotNull && col("__mn") === 3)
+          .withColumn("ma3", col("__ms").cast("double") / 3)
+          .withColumn("yd", col("y").cast("double"))
+          .withColumn("ae_naive", abs(col("y") - col("naive")))
+          .withColumn("ae_ma3", abs(col("yd") - col("ma3")))
+        scored.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            (sum(col("ae_naive")).cast("double") /
+              count(lit(1)).cast("double")).as("mae_naive"),
+            (sum(stab9(col("ae_ma3"))).cast("double") /
+              count(lit(1)).cast("double")).as("mae_ma3"),
+            (sum(stab9(col("ae_ma3") / col("yd"))).cast("double") /
+              count(lit(1)).cast("double")).as("mape_ma3"),
+            (sum(stab9(col("ae_ma3") /
+              ((abs(col("yd")) + abs(col("ma3"))) / 2)))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("smape_ma3"))
+          .withColumn("mase_ma3", col("mae_ma3") / col("mae_naive"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val stab9 = (e: String) =>
+          s"CAST(${graft.functions.Stabilize.stabSql(e, 9)}" +
+            " AS DECIMAL(24,12))"
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    sum(CAST(value AS DECIMAL(18,2))) AS y
+           |  FROM events GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT event_type, day, y,
+           |    lag(y) OVER w AS naive,
+           |    sum(y) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ms,
+           |    count(y) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mn
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           |f AS (
+           |  SELECT event_type, y, naive,
+           |    CAST(ms AS DOUBLE) / 3 AS ma3,
+           |    CAST(y AS DOUBLE) AS yd
+           |  FROM sc WHERE naive IS NOT NULL AND mn = 3),
+           |t AS (
+           |  SELECT event_type, abs(y - naive) AS ae_naive,
+           |    abs(yd - ma3) AS ae_ma3, yd, ma3
+           |  FROM f),
+           |g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(ae_naive) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |      AS mae_naive,
+           |    CAST(sum(${stab9("ae_ma3")}) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS mae_ma3,
+           |    CAST(sum(${stab9("ae_ma3 / yd")}) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS mape_ma3,
+           |    CAST(sum(${stab9("ae_ma3 / ((abs(yd) + abs(ma3)) / 2)")})
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS smape_ma3
+           |  FROM t GROUP BY 1)
+           |SELECT event_type, n_days, mae_naive, mae_ma3, mape_ma3,
+           |  smape_ma3, mae_ma3 / mae_naive AS mase_ma3
+           |FROM g ORDER BY event_type""".stripMargin
+      }),
+
     // --------------------------------------------- Welch's t (A/B test)
     // Experimentation readout over user-level value sums: variant =
     // user parity (a deterministic 50/50 assignment), metric = each

@@ -1628,6 +1628,75 @@ object QueriesText {
            |ORDER BY iter""".stripMargin
       }),
 
+    // ----------------------------------------- BPE encode (rule apply)
+    // The other half of the tokenizer loop: ENCODE the corpus with the
+    // rule table q_text_bpe_merges learns. The 3 trained rules are
+    // collected to the driver (the tokenizer artifact — the classic
+    // rules-as-literals broadcast shape) and applied as K nested
+    // greedy folds in ONE map-only projection (Bpe.applyMerges): no
+    // joins, no shuffles, so encoding throughput scales linearly with
+    // executors at any corpus size. Reported per doc: token counts
+    // before/after and the merges applied. The oracle replays
+    // training AND encoding with the same list_reduce fold.
+    Q("q_text_bpe_encode",
+      (s, d) => {
+        val docsT = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val rules = graft.operators.Bpe.trainMerges(
+            docsT.select(col("toks")), "toks", iters = 3)
+          .select(col("pair_l"), col("pair_r")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.operators.Bpe.applyMerges(docsT, "toks", rules)
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_before"),
+            size(col("bpe_toks")).cast("long").as("n_after"),
+            (size(col("toks")) - size(col("bpe_toks"))).cast("long")
+              .as("n_merged"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def round(src: String, b: String, p: String): String =
+          s"""$p AS (
+             |  SELECT toks[CAST(u.i AS INT)] AS pair_l,
+             |    toks[CAST(u.i AS INT) + 1] AS pair_r, count(*) AS pair_n
+             |  FROM $src, unnest(range(1, len(toks))) u(i)
+             |  GROUP BY 1, 2),
+             |$b AS (
+             |  SELECT pair_l, pair_r FROM $p
+             |  ORDER BY pair_n DESC, pair_l, pair_r LIMIT 1)"""
+            .stripMargin
+        def apply(src: String, b: String, dst: String,
+                  keyed: Boolean): String = {
+          val key = if (keyed) "doc_id, " else ""
+          s"""$dst AS (
+             |  SELECT ${key}list_reduce(list_transform(toks, x -> [x]),
+             |    (acc, t) -> CASE
+             |      WHEN acc[-1] = $b.pair_l AND t[1] = $b.pair_r
+             |      THEN list_concat(acc[1:len(acc)-1],
+             |        [$b.pair_l || '_' || $b.pair_r])
+             |      ELSE list_concat(acc, t) END) AS toks
+             |  FROM $src, $b)""".stripMargin
+        }
+        s"""WITH t0d AS (
+           |  SELECT doc_id, string_split($normSql, ' ') AS toks
+           |  FROM documents),
+           |t0 AS (SELECT toks FROM t0d),
+           |${round("t0", "b1", "p1")},
+           |${apply("t0", "b1", "t1", keyed = false)},
+           |${round("t1", "b2", "p2")},
+           |${apply("t1", "b2", "t2", keyed = false)},
+           |${round("t2", "b3", "p3")},
+           |${apply("t0d", "b1", "d1", keyed = true)},
+           |${apply("d1", "b2", "d2", keyed = true)},
+           |${apply("d2", "b3", "d3", keyed = true)}
+           |SELECT t0d.doc_id,
+           |  CAST(len(t0d.toks) AS BIGINT) AS n_before,
+           |  CAST(len(d3.toks) AS BIGINT) AS n_after,
+           |  CAST(len(t0d.toks) - len(d3.toks) AS BIGINT) AS n_merged
+           |FROM t0d JOIN d3 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ------------------------------ source mixing under a token budget
     // The data-mixing step of pretraining-corpus assembly (Pile/Dolma
     // style): each source carries a declared mixing weight (curated

@@ -73,4 +73,27 @@ object Bpe {
     }
     out.get.orderBy(col("iter"))
   }
+
+  /** ENCODE with a learned rule table: apply `rules` (in learned
+    * order) to `toksCol`, returning the frame plus `bpe_toks`. Rules
+    * are a driver-side literal table (the tokenizer artifact — a few
+    * thousand entries at most, the classic broadcast-as-literals
+    * shape), so encoding is a PURE MAP: K nested greedy folds compile
+    * into one projection, no joins, no shuffles, trivially parallel
+    * over any corpus size. The fold per rule is the same greedy
+    * left-to-right pass the trainer's rewrite uses — training and
+    * encoding cannot disagree.
+    */
+  def applyMerges(df: DataFrame, toksCol: String,
+                  rules: Seq[(String, String)]): DataFrame = {
+    val encoded = rules.foldLeft(col(toksCol)) { case (tc, (l, r)) =>
+      aggregate(tc, array().cast("array<string>"),
+        (acc, tok) => when(
+          size(acc) > 0 && element_at(acc, -1) === l && tok === r,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(s"${l}_$r"))))
+          .otherwise(concat(acc, array(tok))))
+    }
+    df.withColumn("bpe_toks", encoded)
+  }
 }

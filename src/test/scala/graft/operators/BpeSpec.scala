@@ -55,4 +55,23 @@ class BpeSpec extends AnyFunSuite {
     assert(m(0) == ((1L, "a", "b", 3L)))
     assert(m(1) == ((2L, "a_b", "c", 2L)))
   }
+
+  test("applyMerges encodes with the learned rules, rule order honored") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a", "b")),
+      (2L, Seq("b", "a")),       // no rule matches
+      (3L, Seq("a", "a", "b")))  // greedy: a stays, (a,b) merges
+    .toDF("id", "toks")
+    val out = Bpe.applyMerges(df, "toks", Seq("a" -> "b", "a_b" -> "c"))
+      .orderBy(col("id")).select("bpe_toks").as[Seq[String]].collect()
+    assert(out(0) == Seq("a_b_c", "a_b")) // both rules fire in order
+    assert(out(1) == Seq("b", "a"))
+    assert(out(2) == Seq("a", "a_b"))
+    // empty sequence: fold of nothing is nothing
+    val empty = Bpe.applyMerges(
+      Seq((9L, Seq.empty[String])).toDF("id", "toks"), "toks",
+      Seq("a" -> "b")).select("bpe_toks").as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
 }

@@ -129,6 +129,48 @@ object QueriesMultimodal {
              |  CAST(sum_b AS DOUBLE) / n_px AS mean_b
              |FROM truth ORDER BY media_id""".stripMargin)),
 
+    // --------------------------------------- deterministic box resize
+    // The model-input-normalization step over the same committed PNGs:
+    // resizeBoxStats downsamples every image to 32x32 by integer-floor
+    // box averaging — bit-identical on any JVM, unlike Graphics2D
+    // interpolation, and O(scanline) memory. The three source sizes
+    // (60/120/300 px) land within ~0.4% of each other's channel sums
+    // after normalization — the property a thumbnail-dedup pipeline
+    // relies on. Truth literals were computed once from the
+    // deterministic spec (MultimodalSpec pins the math on synthetic
+    // images; two independent runs reproduced the digests bit-exactly).
+    Q("q_mm_resize",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "img_*.png")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("image").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.resizeBoxStats(media, 32, 32).toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH truth(media_id, src_w, src_h, out_w, out_h,
+             |           sum_r, sum_g, sum_b, digest) AS (
+             |  VALUES
+             |   (1, 60, 60, 32, 32, 133829, 96874, 71560,
+             |    '98f992bacd5d3f9e4a27cbca0ee2b164'),
+             |   (2, 120, 120, 32, 32, 133331, 96520, 71387,
+             |    '5743568ab1b09cd3ed9615afd3d186b3'),
+             |   (3, 300, 300, 32, 32, 133294, 96458, 71313,
+             |    'e8d317a9728e66b0d43b04750d38499c'))
+             |SELECT CAST(media_id AS BIGINT) AS media_id,
+             |  CAST(src_w AS BIGINT) AS src_w,
+             |  CAST(src_h AS BIGINT) AS src_h,
+             |  CAST(out_w AS BIGINT) AS out_w,
+             |  CAST(out_h AS BIGINT) AS out_h,
+             |  CAST(sum_r AS BIGINT) AS sum_r,
+             |  CAST(sum_g AS BIGINT) AS sum_g,
+             |  CAST(sum_b AS BIGINT) AS sum_b, digest
+             |FROM truth ORDER BY media_id""".stripMargin)),
+
     // Perceptual-hash near-dup over binary media: signature = sign bits
     // of the (fake-)decoded feature vector — the pHash shape, where a
     // real decoder slots in without touching anything downstream.

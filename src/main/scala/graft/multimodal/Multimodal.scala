@@ -157,6 +157,85 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(media_id: Long, src_w: Long, src_h: Long,
+    out_w: Long, out_h: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+    digest: String)
+
+  /** Deterministic box-average RESIZE to `w`×`h` (the thumbnail /
+    * model-input-normalization step): each output pixel is the
+    * integer-floor mean of its source box (boxes partition the image
+    * by `⌊i·W/w⌋` boundaries), so the result is bit-identical on any
+    * JVM — unlike Graphics2D interpolation, whose rendering pipeline
+    * is implementation-defined. Returns the resized dims, per-channel
+    * sums over the resized grid, and the md5 of the row-major RGB
+    * byte stream (the artifact a downstream exact-dup check would
+    * key on).
+    *
+    * Memory: one input scanline at a time + an `w×3` accumulator row —
+    * O(W), never a full-frame buffer. Corrupt payloads drop (flatMap),
+    * the [[decodeImageStats]] quarantine contract.
+    */
+  def resizeBoxStats(media: Dataset[MediaRow], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[ResizedImage] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got $w x $h")
+    import spark.implicits._
+    media.flatMap { m =>
+      Option(m.bytes).filter(_.nonEmpty).flatMap { bs =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bs))).map { im =>
+          val pw = im.getWidth; val ph = im.getHeight
+          val out = new Array[Byte](w * h * 3)
+          val row = new Array[Int](pw)
+          val acc = Array.ofDim[Long](w, 3)
+          val cnt = new Array[Long](w)
+          var oy = 0
+          var y = 0
+          def flush(): Unit = {
+            var ox = 0
+            while (ox < w) {
+              val n = math.max(cnt(ox), 1L)
+              val base = (oy * w + ox) * 3
+              out(base) = (acc(ox)(0) / n).toByte
+              out(base + 1) = (acc(ox)(1) / n).toByte
+              out(base + 2) = (acc(ox)(2) / n).toByte
+              acc(ox)(0) = 0; acc(ox)(1) = 0; acc(ox)(2) = 0; cnt(ox) = 0
+              ox += 1
+            }
+          }
+          while (y < ph) {
+            // output row this scanline belongs to: oy = ⌊y·h/H⌋
+            val yBucket = (y.toLong * h / ph).toInt
+            if (yBucket != oy) { flush(); oy = yBucket }
+            im.getRGB(0, y, pw, 1, row, 0, pw)
+            var x = 0
+            while (x < pw) {
+              val ox = (x.toLong * w / pw).toInt
+              val p = row(x)
+              acc(ox)(0) += (p >> 16) & 0xff
+              acc(ox)(1) += (p >> 8) & 0xff
+              acc(ox)(2) += p & 0xff
+              cnt(ox) += 1
+              x += 1
+            }
+            y += 1
+          }
+          flush()
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < out.length) {
+            sr += out(i) & 0xff; sg += out(i + 1) & 0xff
+            sb += out(i + 2) & 0xff
+            i += 3
+          }
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(out).map(b => f"$b%02x").mkString
+          ResizedImage(m.media_id, pw.toLong, ph.toLong, w.toLong,
+            h.toLong, sr, sg, sb, digest)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block becomes one frame row — the explode shape (media_id, frame_no,
     * frame_bytes) a real frame extractor would produce.

@@ -89,6 +89,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageStats(rows.toDS()).collect().isEmpty)
   }
 
+  /** Encode a synthetic RGB image as PNG bytes (row-major pixel fn). */
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resizeBoxStats is the exact integer box average") {
+    // 2x2 image -> 1x1: output pixel = floor mean of the four pixels
+    val rgb = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030)
+    val one = MediaRow(1, "image",
+      pngBytes(2, 2)((x, y) => rgb(y * 2 + x)))
+    val r = Multimodal.resizeBoxStats(Seq(one).toDS(), 1, 1).head()
+    // means: r = (255+0+0+16)/4 = 67, g = (0+255+0+32)/4 = 71,
+    //        b = (0+0+255+48)/4 = 75
+    assert((r.sum_r, r.sum_g, r.sum_b) == ((67L, 71L, 75L)))
+    assert((r.src_w, r.src_h, r.out_w, r.out_h) == ((2L, 2L, 1L, 1L)))
+    // 4x2 -> 2x1: left box = cols 0-1, right box = cols 2-3, both rows
+    val grad = MediaRow(2, "image",
+      pngBytes(4, 2)((x, _) => (x * 60) << 16))
+    val g = Multimodal.resizeBoxStats(Seq(grad).toDS(), 2, 1).head()
+    // left r = (0+60+0+60)/4 = 30; right r = (120+180+120+180)/4 = 150
+    assert(g.sum_r == 180L && g.sum_g == 0L && g.sum_b == 0L)
+    // identity resize preserves the image: digest of raw RGB stream
+    val idR = Multimodal.resizeBoxStats(Seq(one).toDS(), 2, 2).head()
+    val raw = rgb.flatMap(p => Seq(((p >> 16) & 0xff).toByte,
+      ((p >> 8) & 0xff).toByte, (p & 0xff).toByte)).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw).map(b => f"$b%02x").mkString
+    assert(idR.digest == md)
+    // corrupt payloads quarantine, decode contract shared
+    assert(Multimodal.resizeBoxStats(
+      Seq(MediaRow(9, "image", Array[Byte](1, 2, 3))).toDS(), 4, 4)
+      .collect().isEmpty)
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

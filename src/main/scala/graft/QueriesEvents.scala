@@ -1847,6 +1847,69 @@ object QueriesEvents {
              |      * 1000000.0, 0) / 1000000.0 END AS df
              |FROM se""".stripMargin)),
 
+    // ------------------------------------------- delta-method ratio SE
+    // Standard error of the value-per-event ratio metric (Deng et al.
+    // KDD 2018): per-user (Σvalue, n_events) pairs make the metric a
+    // ratio of means, whose variance the naive per-user-ratio formula
+    // misstates. Both the naive SE (stabilized per-unit ratios,
+    // DECIMAL-summed) and the correct first-order delta SE come from
+    // ONE exact decimal moment pass (operators/Experiment.ratioDelta).
+    Q("q_ab_ratio_delta",
+      (s, d) => {
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(coalesce(sum(col("value").cast("decimal(18,2)")),
+              lit(0).cast("decimal(18,2)")).as("__x"),
+            count(lit(1)).cast("decimal(18,0)").as("__y"))
+        graft.operators.Experiment.ratioDelta(
+          units, col("__x"), col("__y"))
+      },
+      Some {
+        def stab9(e: String) = graft.functions.Stabilize.stabSql(e, 9)
+        s"""WITH units AS (
+           |  SELECT user_id,
+           |    COALESCE(sum(CAST(value AS DECIMAL(18,2))),
+           |      CAST(0 AS DECIMAL(18,2))) AS x,
+           |    CAST(count(*) AS DECIMAL(18,0)) AS y
+           |  FROM events GROUP BY 1),
+           |m AS (
+           |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+           |    count(*) FILTER (WHERE y <> 0) AS nr,
+           |    sum(CAST(${stab9("CAST(x AS DOUBLE) / CAST(y AS DOUBLE)")}
+           |        AS DECIMAL(24,12))) FILTER (WHERE y <> 0) AS sr,
+           |    sum(CAST(${stab9(
+                  "(CAST(x AS DOUBLE) / CAST(y AS DOUBLE)) *" +
+                  " (CAST(x AS DOUBLE) / CAST(y AS DOUBLE))")}
+           |        AS DECIMAL(24,12))) FILTER (WHERE y <> 0) AS srr
+           |  FROM units),
+           |f AS (
+           |  SELECT CAST(n AS BIGINT) AS n_units,
+           |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+           |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+           |    CAST(nr AS DOUBLE) AS nrd, CAST(sr AS DOUBLE) AS srd,
+           |    CAST(srr AS DOUBLE) AS srrd
+           |  FROM m),
+           |v AS (
+           |  SELECT n_units, nd, sxd, syd, nrd,
+           |    sxd / nd AS mx, syd / nd AS my,
+           |    (sxyd - sxd * syd / nd) / (nd - 1) AS cov,
+           |    (sxxd - sxd * sxd / nd) / (nd - 1) AS vx,
+           |    (syyd - syd * syd / nd) / (nd - 1) AS vy,
+           |    (srrd - srd * srd / nrd) / (nrd - 1) AS vnaive
+           |  FROM f)
+           |SELECT n_units,
+           |  CASE WHEN syd <> 0 THEN ${stab9("mx / my")} END AS ratio,
+           |  CASE WHEN nrd > 1 THEN
+           |    ${stab9("sqrt(vnaive / nrd)")} END AS se_naive,
+           |  CASE WHEN syd <> 0 AND nd > 1 THEN
+           |    ${stab9("sqrt((vx / (my * my) - 2 * mx * cov" +
+                " / (my * my * my) + mx * mx * vy" +
+                " / (my * my * my * my)) / nd)")} END AS se_delta
+           |FROM v""".stripMargin
+      }),
+
     // ------------------------------------------- CUPED variance reduction
     // The pre-period companion (Deng et al., WSDM 2013): covariate =
     // each user's Jan-1..15 value total, metric = the Jan-16-onward

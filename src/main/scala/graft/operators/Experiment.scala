@@ -58,6 +58,52 @@ object Experiment {
           + (vb / nb) * (vb / nb) / (nb - 1)))).as("df"))
   }
 
+  /** Delta-method variance for a RATIO metric (Deng et al., "Applying
+    * the Delta Method in Metric Analytics", KDD 2018): per-user
+    * numerator/denominator pairs (clicks/sessions, revenue/orders)
+    * make the user-level ratio X̄/Ȳ a ratio of MEANS, whose variance
+    * the naive per-row formula understates. The first-order expansion
+    * gives `var(X̄/Ȳ) ≈ (v_x/ȳ² − 2·x̄·cov/ȳ³ + x̄²·v_y/ȳ⁴)/n`.
+    * One exact decimal moment pass (n, Σx, Σy, Σxy, Σx², Σy²) →
+    * identical IEEE formula trees, 1e-9 stabilized (ratio variances
+    * are small — the finer grid keeps sf-scale signal).
+    *
+    * Output one row: `(n_units, ratio, se_naive, se_delta)` where
+    * se_naive treats per-unit ratios x_i/y_i as iid (the common
+    * mistake — units with y_i = 0 silently drop) and se_delta is the
+    * correct standard error. Null ratio when Σy = 0.
+    */
+  def ratioDelta(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val stab9 = (c: Column) => graft.functions.Stabilize.stab(c, 9)
+    val perUnit = x.cast("double") / y.cast("double")
+    val moments = df.agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"),
+      count(when(y =!= 0, 1)).as("__nr"),
+      sum(when(y =!= 0, stab9(perUnit).cast("decimal(24,12)")))
+        .as("__sr"),
+      sum(when(y =!= 0,
+        stab9(perUnit * perUnit).cast("decimal(24,12)"))).as("__srr"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("__n")
+    val (mx, my) = (d("__sx") / n, d("__sy") / n)
+    val cov = (d("__sxy") - d("__sx") * d("__sy") / n) / (n - 1)
+    val vx = (d("__sxx") - d("__sx") * d("__sx") / n) / (n - 1)
+    val vy = (d("__syy") - d("__sy") * d("__sy") / n) / (n - 1)
+    val varDelta = (vx / (my * my) - lit(2.0) * mx * cov / (my * my * my)
+      + mx * mx * vy / (my * my * my * my)) / n
+    val nr = d("__nr")
+    val vNaive = (d("__srr") - d("__sr") * d("__sr") / nr) / (nr - 1)
+    moments.select(
+      col("__n").as("n_units"),
+      when(d("__sy") =!= 0, stab9(mx / my)).as("ratio"),
+      when(nr > 1, stab9(sqrt(vNaive / nr))).as("se_naive"),
+      when(d("__sy") =!= 0 && n > 1,
+        stab9(sqrt(varDelta))).as("se_delta"))
+  }
+
   /** CUPED report over a unit-level frame with pre-experiment
     * covariate `x` and in-experiment metric `y` (both exact DECIMAL):
     * θ = cov(x,y)/var(x), and the adjusted-metric variance via the

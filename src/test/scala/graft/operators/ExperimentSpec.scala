@@ -68,6 +68,30 @@ class ExperimentSpec extends AnyFunSuite {
       - cov * cov / (vx * vy)) < 1e-6) // 1e-6 stabilization grid
   }
 
+  test("ratioDelta matches the first-order delta formula") {
+    val rows = (1 to 30).map(i =>
+      ((i % 7 + 1).toDouble, (i % 4 + 1).toDouble)) // (x, y), y > 0
+    val out = Experiment.ratioDelta(
+      rows.toDF("x", "y")
+        .withColumn("x", col("x").cast("decimal(18,2)"))
+        .withColumn("y", col("y").cast("decimal(18,0)")),
+      col("x"), col("y")).head()
+    val n = rows.size
+    val (mx, my) = (rows.map(_._1).sum / n, rows.map(_._2).sum / n)
+    val cov = rows.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = rows.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val vy = rows.map { case (_, y) => (y - my) * (y - my) }.sum / (n - 1)
+    val seDelta = math.sqrt((vx / (my * my) - 2 * mx * cov /
+      (my * my * my) + mx * mx * vy / (my * my * my * my)) / n)
+    val rs = rows.map { case (x, y) => x / y }
+    val mr = rs.sum / n
+    val seNaive = math.sqrt(
+      rs.map(r => (r - mr) * (r - mr)).sum / (n - 1) / n)
+    assert(math.abs(out.getAs[Double]("ratio") - mx / my) < 1e-9)
+    assert(math.abs(out.getAs[Double]("se_delta") - seDelta) < 1e-6)
+    assert(math.abs(out.getAs[Double]("se_naive") - seNaive) < 1e-6)
+  }
+
   test("cuped: constant covariate yields null theta") {
     val rows = Seq((1.0, 5.0), (1.0, 9.0), (1.0, 6.0))
     val out = Experiment.cuped(

@@ -293,7 +293,18 @@ class PlanSpec extends AnyFunSuite {
       // ReusedExchange prints of the single cells shuffle — the
       // corpus is physically scanned ONCE)
       "q_priv_tcloseness"         -> (25, 6),
-      "q_eval_map_mrr"            -> (5, 3))
+      "q_eval_map_mrr"            -> (5, 3),
+      // experimentation / feature-engineering / sweep wave (probed at
+      // sf0.001 and sf0.01, identical; all one-moment-pass or
+      // aggregate+broadcast shapes)
+      "q_ab_welch_ttest"          -> (5, 3),
+      "q_ab_cuped"                -> (5, 3),
+      "q_ab_ratio_delta"          -> (5, 3),
+      "q_ts_forecast_error"       -> (8, 3),
+      "q_feat_target_encoding"    -> (13, 8),
+      "q_feat_woe_iv"             -> (29, 7),
+      "q_gpx_track_stats"         -> (5, 3),
+      "q_text_bpe_encode"         -> (3, 3))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

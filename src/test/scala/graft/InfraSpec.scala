@@ -141,4 +141,28 @@ class InfraSpec extends AnyFunSuite {
       Tables.events(spark, sf)
         .filter(to_date(col("ts")) === "2024-01-03").count())
   }
+
+  test("doc query totals cannot drift from the registry") {
+    // The r7 verdict caught SURVEY/README totals lagging the registry
+    // twice; this pins them. Every oracle-bearing doc number must equal
+    // Queries.all.size, and every registered query must carry an oracle
+    // (rows-only entries are banned since round 8 closed the last one).
+    val n = Queries.all.size
+    def docN(path: String, re: scala.util.matching.Regex): Int = {
+      val text = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      re.findFirstMatchIn(text)
+        .getOrElse(sys.error(s"totals sentence missing from $path"))
+        .group(1).toInt
+    }
+    assert(docN("/root/repo/SURVEY.md",
+      "(\\d+) registered queries".r) == n,
+      s"SURVEY.md totals != $n registered")
+    assert(docN("/root/repo/README.md",
+      "ALL (\\d+) registered queries".r) == n,
+      s"README.md totals != $n registered")
+    val unoracled = Queries.all.keySet -- Queries.oracles.keySet
+    assert(unoracled.isEmpty,
+      s"queries without a DuckDB oracle: $unoracled")
+  }
 }

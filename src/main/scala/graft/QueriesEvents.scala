@@ -1847,6 +1847,127 @@ object QueriesEvents {
              |      * 1000000.0, 0) / 1000000.0 END AS df
              |FROM se""".stripMargin)),
 
+    // ------------------------------------------- difference-in-differences
+    // The non-randomized-assignment companion: per-user pre (Jan 1-15)
+    // and post (Jan 16-30) value totals, arms by user parity; DiD =
+    // mean per-unit delta difference between arms with Welch SE over
+    // the deltas (operators/Experiment.diffInDiff — one exact decimal
+    // moment pass on δ = post − pre).
+    Q("q_ab_diff_in_diff",
+      (s, d) => {
+        val boundary = lit("2024-01-16").cast("timestamp")
+        val units = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            coalesce(sum(when(col("ts") < boundary,
+              col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("__pre"),
+            coalesce(sum(when(col("ts") >= boundary,
+              col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("__post"))
+        graft.operators.Experiment.diffInDiff(units,
+          col("user_id") % 2 === 1, col("__pre"), col("__post"))
+      },
+      Some("""WITH units AS (
+             |  SELECT user_id,
+             |    COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+             |      FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+             |      CAST(0 AS DECIMAL(18,2))) AS pre,
+             |    COALESCE(sum(CAST(value AS DECIMAL(18,2)))
+             |      FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+             |      CAST(0 AS DECIMAL(18,2))) AS post
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT
+             |    count(*) FILTER (WHERE user_id % 2 = 0) AS nc,
+             |    sum(post - pre) FILTER (WHERE user_id % 2 = 0) AS sc,
+             |    sum((post - pre) * (post - pre))
+             |      FILTER (WHERE user_id % 2 = 0) AS qc,
+             |    count(*) FILTER (WHERE user_id % 2 = 1) AS nt,
+             |    sum(post - pre) FILTER (WHERE user_id % 2 = 1) AS st,
+             |    sum((post - pre) * (post - pre))
+             |      FILTER (WHERE user_id % 2 = 1) AS qt
+             |  FROM units),
+             |f AS (
+             |  SELECT CAST(nc AS BIGINT) AS n_c, CAST(nt AS BIGINT)
+             |      AS n_t,
+             |    CAST(nc AS DOUBLE) AS ncd, CAST(nt AS DOUBLE) AS ntd,
+             |    CAST(sc AS DOUBLE) AS scd, CAST(st AS DOUBLE) AS std,
+             |    CAST(qc AS DOUBLE) AS qcd, CAST(qt AS DOUBLE) AS qtd
+             |  FROM m),
+             |v AS (
+             |  SELECT *,
+             |    (qcd - scd * scd / ncd) / (ncd - 1) AS vc,
+             |    (qtd - std * std / ntd) / (ntd - 1) AS vt
+             |  FROM f)
+             |SELECT n_c, n_t, scd / ncd AS delta_c, std / ntd AS delta_t,
+             |  round_even((std / ntd - scd / ncd) * 1000000.0, 0)
+             |    / 1000000.0 AS did,
+             |  CASE WHEN ncd > 1 AND ntd > 1 THEN
+             |    round_even(sqrt(vc / ncd + vt / ntd) * 1000000.0, 0)
+             |      / 1000000.0 END AS se
+             |FROM v""".stripMargin)),
+
+    // ----------------------------------------- minimum detectable effect
+    // The pre-experiment sizing readout: pooled variance of the
+    // post-period user metric and the two-sample MDE at α = 5%
+    // two-sided, 80% power — (z_{α/2} + z_β)·√(2σ̂²/n_arm), z literals
+    // shared between engines (operators/Experiment.minDetectableEffect).
+    Q("q_ab_mde",
+      (s, d) => {
+        val units = Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("__y"))
+        graft.operators.Experiment.minDetectableEffect(
+          units, col("user_id") % 2 === 1, col("__y"))
+      },
+      Some {
+        import graft.operators.Experiment.{zAlphaHalf, zPower}
+        s"""WITH units AS (
+           |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS y
+           |  FROM events
+           |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           |  GROUP BY 1),
+           |m AS (
+           |  SELECT
+           |    count(*) FILTER (WHERE user_id % 2 = 0) AS na,
+           |    sum(y) FILTER (WHERE user_id % 2 = 0) AS sa,
+           |    sum(y * y) FILTER (WHERE user_id % 2 = 0) AS qa,
+           |    count(*) FILTER (WHERE user_id % 2 = 1) AS nb,
+           |    sum(y) FILTER (WHERE user_id % 2 = 1) AS sb,
+           |    sum(y * y) FILTER (WHERE user_id % 2 = 1) AS qb
+           |  FROM units),
+           |f AS (
+           |  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT)
+           |      AS n_b,
+           |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+           |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+           |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+           |  FROM m),
+           |v AS (
+           |  SELECT n_a, n_b, nad, nbd,
+           |    (sad + sbd) / (nad + nbd) AS mean,
+           |    (qad + qbd - (nad + nbd) * ((sad + sbd) / (nad + nbd))
+           |       * ((sad + sbd) / (nad + nbd))) / (nad + nbd - 1) AS v,
+           |    least(nad, nbd) AS narm
+           |  FROM f),
+           |w AS (
+           |  SELECT *, ($zAlphaHalf + $zPower) * sqrt(2.0 * v / narm)
+           |    AS mde
+           |  FROM v)
+           |SELECT n_a, n_b,
+           |  round_even(mean * 1000000.0, 0) / 1000000.0 AS pooled_mean,
+           |  CASE WHEN nad + nbd > 1 THEN
+           |    round_even(v * 1000000.0, 0) / 1000000.0 END AS pooled_var,
+           |  CASE WHEN nad + nbd > 1 AND narm > 0 THEN
+           |    round_even(mde * 1000000.0, 0) / 1000000.0 END AS mde_abs,
+           |  CASE WHEN nad + nbd > 1 AND narm > 0 AND mean <> 0 THEN
+           |    round_even(mde / mean * 1000000.0, 0) / 1000000.0
+           |  END AS mde_rel
+           |FROM w""".stripMargin
+      }),
+
     // ------------------------------------------- delta-method ratio SE
     // Standard error of the value-per-event ratio metric (Deng et al.
     // KDD 2018): per-user (Σvalue, n_events) pairs make the metric a

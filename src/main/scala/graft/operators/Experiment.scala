@@ -58,6 +58,83 @@ object Experiment {
           + (vb / nb) * (vb / nb) / (nb - 1)))).as("df"))
   }
 
+  /** Difference-in-differences over unit-level (pre, post) metric
+    * pairs: the treatment-effect estimate when assignment isn't
+    * randomized — `DiD = (post_t − pre_t) − (post_c − pre_c)`,
+    * computed as the mean per-unit DELTA difference between arms
+    * (the two-period panel form), with Welch's unequal-variance SE
+    * over the per-unit deltas. One exact decimal moment pass on
+    * δ = post − pre per arm; the same conditional-aggregation shape
+    * as [[welchTTest]].
+    *
+    * Output one row: `(n_c, n_t, delta_c, delta_t, did, se)` — se
+    * null when either arm has < 2 units.
+    */
+  def diffInDiff(df: DataFrame, treat: Column, pre: Column,
+                 post: Column): DataFrame = {
+    val delta = post - pre
+    val c = !treat
+    val moments = df.agg(
+      count(when(c, 1)).as("__nc"),
+      sum(when(c, delta)).as("__sc"),
+      sum(when(c, delta * delta)).as("__qc"),
+      count(when(treat, 1)).as("__nt"),
+      sum(when(treat, delta)).as("__st"),
+      sum(when(treat, delta * delta)).as("__qt"))
+    def d(s: String) = col(s).cast("double")
+    val (nc, nt) = (d("__nc"), d("__nt"))
+    val (sc, st) = (d("__sc"), d("__st"))
+    val vc = (d("__qc") - sc * sc / nc) / (nc - 1)
+    val vt = (d("__qt") - st * st / nt) / (nt - 1)
+    moments.select(
+      col("__nc").as("n_c"), col("__nt").as("n_t"),
+      (sc / nc).as("delta_c"), (st / nt).as("delta_t"),
+      stab(st / nt - sc / nc).as("did"),
+      when(nc > 1 && nt > 1,
+        stab(sqrt(vc / nc + vt / nt))).as("se"))
+  }
+
+  /** z-quantiles for the standard 5% two-sided test at 80% power —
+    * correctly rounded literals shared with the SQL mirror (the
+    * poisson1Cdf discipline).
+    */
+  val zAlphaHalf = 1.9599639845400545
+  val zPower = 0.8416212335729143
+
+  /** Minimum detectable effect at the current sample: per variant arm
+    * the pooled two-sample MDE `(z_{α/2} + z_β)·√(2σ̂²/n)` where σ̂² is
+    * the pooled per-arm variance and n the per-arm unit count — the
+    * pre-experiment sizing readout every A/B platform surfaces. One
+    * exact decimal moment pass; `mde_rel` is MDE over the pooled mean.
+    */
+  def minDetectableEffect(df: DataFrame, treat: Column,
+                          y: Column): DataFrame = {
+    val a = !treat
+    val moments = df.agg(
+      count(when(a, 1)).as("__na"),
+      sum(when(a, y)).as("__sa"),
+      sum(when(a, y * y)).as("__qa"),
+      count(when(treat, 1)).as("__nb"),
+      sum(when(treat, y)).as("__sb"),
+      sum(when(treat, y * y)).as("__qb"))
+    def d(s: String) = col(s).cast("double")
+    val (na, nb) = (d("__na"), d("__nb"))
+    val (sa, sb) = (d("__sa"), d("__sb"))
+    val n = na + nb
+    val mean = (sa + sb) / n
+    // pooled variance: Σ(y²) − n·mean² over n−1, across both arms
+    val v = (d("__qa") + d("__qb") - n * mean * mean) / (n - 1)
+    val nArm = least(na, nb)
+    val mde = lit(zAlphaHalf + zPower) * sqrt(lit(2.0) * v / nArm)
+    moments.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      stab(mean).as("pooled_mean"),
+      when(n > 1, stab(v)).as("pooled_var"),
+      when(n > 1 && nArm > 0, stab(mde)).as("mde_abs"),
+      when(n > 1 && nArm > 0 && mean =!= 0,
+        stab(mde / mean)).as("mde_rel"))
+  }
+
   /** Delta-method variance for a RATIO metric (Deng et al., "Applying
     * the Delta Method in Metric Analytics", KDD 2018): per-user
     * numerator/denominator pairs (clicks/sessions, revenue/orders)

@@ -398,4 +398,77 @@ object Laws extends Properties("graft") {
           }
       }
     }
+
+  // Eval.mapMrrAtK == a brute-force AP/MRR replay on random rankings
+  // (scores collide on purpose: ties resolve by the id tiebreaker)
+  property("MAP/MRR == brute-force replay") =
+    Prop.forAll(Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 20L),
+        Gen.prob(0.4)))) { raw =>
+      raw.isEmpty || {
+        val rows = raw.zipWithIndex.map { case ((g, s, r), i) =>
+          (s"g$g", i.toLong, s, r) }
+        val k = 5
+        val got = Eval2.mapMrr(rows, k)
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          val ranked = rs.sortBy(r => (-r._3, r._2))
+          var cum = 0L
+          val terms = ranked.zipWithIndex.map { case (r, i0) =>
+            if (r._4) cum += 1
+            if (r._4 && i0 + 1 <= k)
+              BigDecimal(math.rint(cum.toDouble / (i0 + 1) * 1e9) / 1e9)
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            else BigDecimal(0)
+          }
+          val nRel = rs.count(_._4).toLong
+          val first = ranked.zipWithIndex
+            .collectFirst { case (r, i0) if r._4 => (i0 + 1).toLong }
+          val ap = if (nRel > 0)
+            Some(terms.sum.toDouble / math.min(nRel, k).toDouble)
+          else None
+          g -> (rs.size.toLong, nRel, first,
+            first.map(1.0 / _), ap)
+        }
+        got == want
+      }
+    }
+
+  private object Eval2 {
+    def mapMrr(rows: Seq[(String, Long, Long, Boolean)], k: Int) = {
+      graft.operators.Eval.mapMrrAtK(
+          rows.toDF("q", "id", "s", "rel"), "q", "s", "rel", "id", k)
+        .collect().map { r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2),
+            Option(r.getAs[Any]("first_rel_rank"))
+              .map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("mrr")).map(_.asInstanceOf[Double]),
+            Option(r.getAs[Any]("ap")).map(_.asInstanceOf[Double]))
+        }.toMap
+    }
+  }
+
+  // Privacy.tClosenessReport == brute-force TVD over the full domain
+  property("t-closeness TVD == brute force") =
+    Prop.forAll(Gen.listOfN(50,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0, 6)))) { raw =>
+      raw.isEmpty || {
+        val rows = raw.map { case (q, sv) => (s"q$q", sv) }
+        val all = rows.map(_._2)
+        val got = graft.operators.Privacy.tClosenessReport(
+            rows.toDF("qi", "sv"), Seq("qi"), "sv", 0.5)
+          .collect()
+          .map(r => r.getString(0) -> (r.getAs[Long]("k_size"),
+            r.getAs[Double]("tvd"))).toMap
+        rows.groupBy(_._1).forall { case (q, rs) =>
+          val cls = rs.map(_._2)
+          val n = cls.size.toDouble
+          val tvd = all.distinct.map { v =>
+            math.abs(cls.count(_ == v) / n -
+              all.count(_ == v) / all.size.toDouble)
+          }.sum / 2
+          val (k, t) = got(q)
+          k == cls.size && math.abs(t - tvd) < 1e-12
+        }
+      }
+    }
 }

@@ -92,6 +92,42 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("se_naive") - seNaive) < 1e-6)
   }
 
+  test("diffInDiff matches the hand-computed panel estimate") {
+    // control deltas: {+1, +3}; treatment deltas: {+5, +9}
+    val rows = Seq(
+      (false, 10.0, 11.0), (false, 20.0, 23.0),
+      (true, 10.0, 15.0), (true, 20.0, 29.0))
+    val out = Experiment.diffInDiff(
+      rows.toDF("t", "pre", "post")
+        .withColumn("pre", col("pre").cast("decimal(18,2)"))
+        .withColumn("post", col("post").cast("decimal(18,2)")),
+      col("t"), col("pre"), col("post")).head()
+    assert(out.getAs[Double]("delta_c") == 2.0)
+    assert(out.getAs[Double]("delta_t") == 7.0)
+    assert(out.getAs[Double]("did") == 5.0)
+    // Welch SE over deltas: var_c = 2, var_t = 8, se = sqrt(1 + 4)
+    assert(math.abs(out.getAs[Double]("se") - math.sqrt(5.0)) < 1e-6)
+  }
+
+  test("minDetectableEffect matches the two-sample formula") {
+    val a = Seq(10.0, 12.0, 14.0); val b = Seq(11.0, 13.0)
+    val rows = a.map((false, _)) ++ b.map((true, _))
+    val out = Experiment.minDetectableEffect(
+      rows.toDF("t", "y").withColumn("y", col("y").cast("decimal(18,2)")),
+      col("t"), col("y")).head()
+    val all = a ++ b
+    val n = all.size
+    val mean = all.sum / n
+    val v = all.map(x => x * x).sum
+    val pooledVar = (v - n * mean * mean) / (n - 1)
+    val mde = (Experiment.zAlphaHalf + Experiment.zPower) *
+      math.sqrt(2 * pooledVar / 2) // n_arm = min(3, 2)
+    assert(math.abs(out.getAs[Double]("pooled_mean") - mean) < 1e-6)
+    assert(math.abs(out.getAs[Double]("pooled_var") - pooledVar) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mde_abs") - mde) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mde_rel") - mde / mean) < 1e-6)
+  }
+
   test("cuped: constant covariate yields null theta") {
     val rows = Seq((1.0, 5.0), (1.0, 9.0), (1.0, 6.0))
     val out = Experiment.cuped(

@@ -447,6 +447,64 @@ object Laws extends Properties("graft") {
     }
   }
 
+  // Encoding.targetEncode == the common-denominator formula and the
+  // exact leave-one-out means on random categorized data
+  property("target encoding == brute-force smoothing and LOO") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(1, 1000)))) { raw =>
+      raw.isEmpty || {
+        val rows = raw.zipWithIndex.map { case ((c, v), i) =>
+          (i.toLong, s"c$c", v) }
+        val m = 7L
+        val df = rows.toDF("id", "cat", "y")
+          .withColumn("y", col("y").cast("decimal(18,2)"))
+        val got = graft.operators.Encoding
+          .targetEncode(df, "cat", col("y"), m)
+          .collect().map(r => r.getAs[Long]("id") ->
+            (r.getAs[Long]("n_cat"), r.getAs[Double]("enc_smooth"),
+              Option(r.getAs[Any]("enc_loo"))
+                .map(_.asInstanceOf[Double]))).toMap
+        val bigN = rows.size.toLong
+        val s = rows.map(_._3.toLong).sum
+        val byCat = rows.groupBy(_._2)
+        rows.forall { case (id, c, v) =>
+          val cs = byCat(c)
+          val nc = cs.size.toLong
+          val sc = cs.map(_._3.toLong).sum
+          val smooth = (sc * bigN + m * s).toDouble /
+            ((nc + m) * bigN).toDouble
+          val loo = if (nc > 1)
+            Some((sc - v).toDouble / (nc - 1).toDouble) else None
+          got(id) == ((nc, smooth, loo))
+        }
+      }
+    }
+
+  // Geo.haversineKm == a plain-Scala replay of the same formula tree
+  property("haversine == scala replay") =
+    Prop.forAll(Gen.listOfN(20, Gen.zip(
+      Gen.choose(-89.9, 89.9), Gen.choose(-179.9, 179.9),
+      Gen.choose(-89.9, 89.9), Gen.choose(-179.9, 179.9)))) { pts =>
+      pts.isEmpty || {
+        val got = pts.toDF("a", "b", "c", "d")
+          .select(graft.functions.Geo.haversineKm(col("a"), col("b"),
+            col("c"), col("d")).as("km"))
+          .collect().map(_.getDouble(0)).toSeq
+        def rad(x: Double) = math.toRadians(x)
+        val want = pts.map { case (la1, lo1, la2, lo2) =>
+          val dphi = rad(la2 - la1) / 2
+          val dlam = rad(lo2 - lo1) / 2
+          val h = math.sin(dphi) * math.sin(dphi) +
+            math.cos(rad(la1)) * math.cos(rad(la2)) *
+              math.sin(dlam) * math.sin(dlam)
+          2 * graft.functions.Geo.earthRadiusKm *
+            math.asin(math.min(1.0, math.sqrt(h)))
+        }
+        got.zip(want).forall { case (g, w) =>
+          math.abs(g - w) <= 1e-9 * math.max(1.0, w) }
+      }
+    }
+
   // Privacy.tClosenessReport == brute-force TVD over the full domain
   property("t-closeness TVD == brute force") =
     Prop.forAll(Gen.listOfN(50,

@@ -132,6 +132,30 @@ object QueriesSources {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // --------------------------------------- mergeable sketch catalog
+    // The incremental-profile pattern at 100 TB: one HLL sketch per
+    // day PERSISTED to the lake (Profile.distinctSketchCatalog), the
+    // month's distinct users answered by union-merging the stored
+    // sketches — history is never rescanned, a new day appends one
+    // sketch row. n_days / per-day exact sums / global exact are
+    // oracle-checked; union_ok pins the merged estimate within 5% of
+    // exact (deterministic for fixed data — the HLL certification
+    // discipline).
+    Q("q_profile_hll_catalog",
+      (s, d) => graft.operators.Profile.distinctSketchCatalog(
+        Tables.events(s, d), to_date(col("ts")), "user_id",
+        s"$TMP/hll_catalog"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    count(DISTINCT user_id) AS exact_day
+             |  FROM events GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(exact_day) AS BIGINT) AS sum_day_distinct,
+             |  (SELECT count(DISTINCT user_id) FROM events)
+             |    AS exact_distinct,
+             |  TRUE AS union_ok
+             |FROM daily""".stripMargin)),
+
     // ------------------------------------------------- ORC lake surface
     // Columnar-format breadth beyond parquet: write a lineitem slice as
     // ORC partitioned by return flag, read it back with a partition

@@ -143,6 +143,42 @@ object Profile {
   /** P3 + P4: drop columns that are entirely null and/or carry a single
     * distinct value. Returns the pruned frame (original column order kept).
     */
+  /** Mergeable DISTINCT-count catalog (the incremental-profile pattern
+    * at 100 TB): build one DataSketches HLL sketch per partition key
+    * (here a day), PERSIST the binary sketches to `catalogDir`, and
+    * answer the global distinct by UNION-merging the stored sketches —
+    * history is never rescanned; a new day appends one sketch row. The
+    * exact per-day distincts ride along so the catalog's claims stay
+    * oracle-checkable.
+    *
+    * Returns the merged report: `(n_days, sum_day_distinct,
+    * exact_distinct, union_ok)` — sum_day_distinct > exact_distinct is
+    * the cross-day overlap the union dedups; union_ok asserts the
+    * merged estimate landed within 5% of exact (deterministic for
+    * fixed data, so the oracle pins it TRUE — the
+    * [[distinctSketchReport]] certification discipline).
+    */
+  def distinctSketchCatalog(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                            keyCol: String, catalogDir: String): DataFrame = {
+    val daily = df
+      .groupBy(dayCol.as("day"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"),
+        count_distinct(col(keyCol)).as("exact_day"))
+    daily.write.mode("overwrite").parquet(catalogDir)
+    val catalog = df.sparkSession.read.parquet(catalogDir)
+    val merged = catalog.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("exact_day")).as("sum_day_distinct"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    val exact = df.agg(count_distinct(col(keyCol)).as("exact_distinct"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("n_days"), col("sum_day_distinct"),
+        col("exact_distinct"),
+        (abs(col("__est") - col("exact_distinct")).cast("double")
+          <= col("exact_distinct").cast("double") * 0.05)
+          .as("union_ok"))
+  }
+
   def pruneUninformative(df: DataFrame,
                          dropAllNull: Boolean = true,
                          dropSingleValue: Boolean = true,

@@ -210,6 +210,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(2)), "HLL estimate outside tolerance")
   }
 
+  test("distinctSketchCatalog: union dedups cross-day overlap; " +
+      "appending a day merges WITHOUT rescanning history") {
+    import org.apache.spark.sql.functions.{hll_sketch_estimate,
+      hll_union_agg, hll_sketch_agg, to_date, lit, col}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 3 days, heavy overlap: 150 distinct users total vs 300 day-sum
+    val rows = for (d <- 1 to 3; u <- 0 until 100)
+      yield (f"2024-01-0$d", (u + (d - 1) * 25).toLong)
+    val df = rows.toDF("ds", "user_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_catalog").toString
+    val rep = Profile.distinctSketchCatalog(
+      df, to_date(col("ds")), "user_id", dir).head()
+    assert(rep.getAs[Long]("n_days") == 3L)
+    assert(rep.getAs[Long]("sum_day_distinct") == 300L)
+    assert(rep.getAs[Long]("exact_distinct") == 150L)
+    assert(rep.getAs[Boolean]("union_ok"))
+    // incremental append: day 4's sketch unions with the STORED
+    // catalog — day 1-3 data never re-read
+    val day4 = (0 until 100).map(u => (u + 75).toLong).toDF("user_id")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        org.apache.spark.sql.functions.count_distinct(col("user_id"))
+          .as("exact_day"))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-01-04")))
+      .select("day", "sk", "exact_day")
+    day4.write.mode("append").parquet(dir)
+    val est = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    val exact4 = rows.map(_._2).toSet ++ (0 until 100).map(_ + 75L)
+    assert(math.abs(est - exact4.size) <= 0.05 * exact4.size,
+      s"incremental union estimate $est vs exact ${exact4.size}")
+  }
+
   test("SpanDedup cuts exactly the cross-doc duplicated span, keeps the rest") {
     // Two docs share an 8-token boilerplate block; each also has unique
     // text. The block must be cut from BOTH docs; unique text survives;

@@ -1707,6 +1707,49 @@ object QueriesEvents {
              |  ${graft.functions.Stabilize.stabSql("surv", 6)} AS survival
              |FROM s ORDER BY t""".stripMargin)),
 
+    // --------------------------------------- period-over-period growth
+    // The WoW growth report every BI layer ships: ISO-week value
+    // totals per event type, previous-period comparison by lag window
+    // (weeks-per-type bounded partitions riding the rollup
+    // partitioning), growth = (cur − prev)/prev as ONE IEEE division
+    // on exact decimal sums — null on the first week or a zero base.
+    Q("q_ev_growth_wow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            weekofyear(col("ts")).cast("long").as("week"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("__v"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+        weekly
+          .withColumn("__prev", lag(col("__v"), 1).over(w))
+          .select(col("event_type"), col("week"), col("n_events"),
+            col("__v").cast("double").as("total_value"),
+            when(col("__prev").isNotNull && col("__prev") =!= 0,
+              ((col("__v") - col("__prev")).cast("double")
+                / col("__prev").cast("double"))).as("wow_growth"))
+          .orderBy(col("event_type"), col("week"))
+      },
+      Some("""WITH weekly AS (
+             |  SELECT event_type,
+             |    CAST(weekofyear(ts) AS BIGINT) AS week,
+             |    count(*) AS n_events,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS v
+             |  FROM events GROUP BY 1, 2),
+             |l AS (
+             |  SELECT event_type, week, n_events, v,
+             |    lag(v) OVER (PARTITION BY event_type ORDER BY week)
+             |      AS prev
+             |  FROM weekly)
+             |SELECT event_type, week, CAST(n_events AS BIGINT)
+             |    AS n_events,
+             |  CAST(v AS DOUBLE) AS total_value,
+             |  CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+             |    CAST(v - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+             |  END AS wow_growth
+             |FROM l ORDER BY event_type, week""".stripMargin)),
+
     // -------------------------------------- forecast backtest scoring
     // Walk-forward one-step evaluation of two forecasters over the
     // daily value series per event type: naive (yesterday) and the

@@ -306,7 +306,8 @@ class PlanSpec extends AnyFunSuite {
       "q_gpx_track_stats"         -> (5, 3),
       "q_text_bpe_encode"         -> (3, 3),
       "q_ab_diff_in_diff"         -> (5, 3),
-      "q_ab_mde"                  -> (5, 3))
+      "q_ab_mde"                  -> (5, 3),
+      "q_ev_growth_wow"           -> (8, 3))
       // (q_ts_theilsen / q_sample_kcenter waived: their k-deep
       // broadcast pyramids print hundreds of repeated cached subtrees,
       // so string counts track print depth, not work)

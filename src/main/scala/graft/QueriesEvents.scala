@@ -1713,12 +1713,24 @@ object QueriesEvents {
     // (weeks-per-type bounded partitions riding the rollup
     // partitioning), growth = (cur − prev)/prev as ONE IEEE division
     // on exact decimal sums — null on the first week or a zero base.
+    // Weeks are keyed by ISO WEEK-YEAR·100 + week, not the bare week
+    // number: across a year boundary ISO week numbers repeat (and
+    // late-December dates carry ISO week 1), so a bare-week key would
+    // merge different years and lag() against the wrong period. The
+    // week-year is the year of the week's THURSDAY (the ISO
+    // definition), computed arithmetically on both engines because
+    // Spark bans the 'Y' week-year pattern: isodow = Mon-1..Sun-7,
+    // thursday = date + (4 − isodow) days.
     Q("q_ev_growth_wow",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val d0 = to_date(col("ts"))
+        val isodow = ((dayofweek(d0) + lit(5)) % 7) + 1
+        val thursday = date_add(d0, lit(4) - isodow)
         val weekly = Tables.events(s, d)
           .groupBy(col("event_type"),
-            weekofyear(col("ts")).cast("long").as("week"))
+            (year(thursday).cast("long") * 100
+              + weekofyear(d0).cast("long")).as("week"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(18,2)")).as("__v"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
@@ -1733,7 +1745,9 @@ object QueriesEvents {
       },
       Some("""WITH weekly AS (
              |  SELECT event_type,
-             |    CAST(weekofyear(ts) AS BIGINT) AS week,
+             |    CAST(year(CAST(ts AS DATE)
+             |        + (4 - CAST(isodow(ts) AS INT))) AS BIGINT) * 100
+             |      + CAST(weekofyear(ts) AS BIGINT) AS week,
              |    count(*) AS n_events,
              |    sum(CAST(value AS DECIMAL(18,2))) AS v
              |  FROM events GROUP BY 1, 2),
@@ -1991,8 +2005,8 @@ object QueriesEvents {
            |v AS (
            |  SELECT n_a, n_b, nad, nbd,
            |    (sad + sbd) / (nad + nbd) AS mean,
-           |    (qad + qbd - (nad + nbd) * ((sad + sbd) / (nad + nbd))
-           |       * ((sad + sbd) / (nad + nbd))) / (nad + nbd - 1) AS v,
+           |    ((qad - sad * sad / nad) + (qbd - sbd * sbd / nbd))
+           |      / (nad + nbd - 2) AS v,
            |    least(nad, nbd) AS narm
            |  FROM f),
            |w AS (
@@ -2001,11 +2015,11 @@ object QueriesEvents {
            |  FROM v)
            |SELECT n_a, n_b,
            |  round_even(mean * 1000000.0, 0) / 1000000.0 AS pooled_mean,
-           |  CASE WHEN nad + nbd > 1 THEN
+           |  CASE WHEN nad > 1 AND nbd > 1 THEN
            |    round_even(v * 1000000.0, 0) / 1000000.0 END AS pooled_var,
-           |  CASE WHEN nad + nbd > 1 AND narm > 0 THEN
+           |  CASE WHEN nad > 1 AND nbd > 1 THEN
            |    round_even(mde * 1000000.0, 0) / 1000000.0 END AS mde_abs,
-           |  CASE WHEN nad + nbd > 1 AND narm > 0 AND mean <> 0 THEN
+           |  CASE WHEN nad > 1 AND nbd > 1 AND mean <> 0 THEN
            |    round_even(mde / mean * 1000000.0, 0) / 1000000.0
            |  END AS mde_rel
            |FROM w""".stripMargin

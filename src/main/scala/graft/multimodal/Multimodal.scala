@@ -166,7 +166,10 @@ object Multimodal {
     * integer-floor mean of its source box (boxes partition the image
     * by `⌊i·W/w⌋` boundaries), so the result is bit-identical on any
     * JVM — unlike Graphics2D interpolation, whose rendering pipeline
-    * is implementation-defined. Returns the resized dims, per-channel
+    * is implementation-defined. Upscaling (w > W or h > H) is legal:
+    * output columns/rows the floor map skips replicate their left
+    * neighbor / previous scanline (the nearest-neighbor convention) —
+    * never zero-fill. Returns the resized dims, per-channel
     * sums over the resized grid, and the md5 of the row-major RGB
     * byte stream (the artifact a downstream exact-dup check would
     * key on).
@@ -193,19 +196,38 @@ object Multimodal {
           def flush(): Unit = {
             var ox = 0
             while (ox < w) {
-              val n = math.max(cnt(ox), 1L)
               val base = (oy * w + ox) * 3
-              out(base) = (acc(ox)(0) / n).toByte
-              out(base + 1) = (acc(ox)(1) / n).toByte
-              out(base + 2) = (acc(ox)(2) / n).toByte
+              if (cnt(ox) == 0L) {
+                // upscaling: ⌊x·w/W⌋ skips output columns when w > W —
+                // replicate the left neighbor (ox=0 always has sources,
+                // x=0 maps there), the nearest-neighbor convention
+                out(base) = out(base - 3)
+                out(base + 1) = out(base - 2)
+                out(base + 2) = out(base - 1)
+              } else {
+                val n = cnt(ox)
+                out(base) = (acc(ox)(0) / n).toByte
+                out(base + 1) = (acc(ox)(1) / n).toByte
+                out(base + 2) = (acc(ox)(2) / n).toByte
+              }
               acc(ox)(0) = 0; acc(ox)(1) = 0; acc(ox)(2) = 0; cnt(ox) = 0
               ox += 1
+            }
+          }
+          // upscaling skips output ROWS the same way: replicate the
+          // previous scanline into [from, untilRow)
+          def fillRows(from: Int, untilRow: Int): Unit = {
+            var r = from
+            while (r < untilRow) {
+              System.arraycopy(out, (r - 1) * w * 3, out, r * w * 3,
+                w * 3)
+              r += 1
             }
           }
           while (y < ph) {
             // output row this scanline belongs to: oy = ⌊y·h/H⌋
             val yBucket = (y.toLong * h / ph).toInt
-            if (yBucket != oy) { flush(); oy = yBucket }
+            if (yBucket != oy) { flush(); fillRows(oy + 1, yBucket); oy = yBucket }
             im.getRGB(0, y, pw, 1, row, 0, pw)
             var x = 0
             while (x < pw) {
@@ -220,6 +242,7 @@ object Multimodal {
             y += 1
           }
           flush()
+          fillRows(oy + 1, h)
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0
           while (i < out.length) {

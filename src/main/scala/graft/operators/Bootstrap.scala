@@ -15,19 +15,27 @@ import graft.functions.HashFns
   *
   * Determinism AND hash economy: md5 runs ONCE PER UNIT —
   * `h = md5(salt:unit)` (the portable 60-bit hash) — and each replica's
-  * uniform is an affine mix of h's two 30-bit halves,
-  * `m_r = (h_lo·A_r + h_hi·B_r + C_r) mod 2^60`, with per-replica
-  * constants derived from md5 of the replica index in PLAIN Scala (so
-  * both engines receive them as shared literals, the poisson1Cdf
-  * discipline). The first implementation hashed every (unit, replica)
-  * pair: B=100 made md5 + string building ~60% of the query's CPU at
-  * sf0.1 (measured 16 s → 6 s for the registered query). The mix is a
-  * multiply-add (2-universal-style) family across replicas: each m_r
-  * is marginally uniform on [0, 2^60) and pairs (m_r, m_s) are
-  * decorrelated at the universal-hashing level — the same independence
-  * grade the md5-per-pair scheme effectively provided for variance
-  * estimation. All arithmetic stays in 62 bits (30+30-bit products),
-  * so no engine ever overflows a signed 64-bit integer.
+  * uniform is the affine map `m_r = (h·A_r + C_r) mod 2^60` with a FULL
+  * 60-bit ODD multiplier A_r (odd ⟹ a unit in Z/2^60 ⟹ the map is an
+  * EXACT BIJECTION of [0, 2^60), so m_r is marginally uniform whenever
+  * h is — not an approximation). Per-replica constants are derived from
+  * md5 of the replica index in PLAIN Scala (so both engines receive
+  * them as shared literals, the poisson1Cdf discipline). To keep every
+  * intermediate inside a signed 64-bit integer on BOTH engines the
+  * product is computed split: with A = A_hi·2^30 + A_lo and
+  * h = h_hi·2^30 + h_lo,
+  *   h·A mod 2^60 = (h_lo·A_lo
+  *                   + ((h_lo·A_hi + h_hi·A_lo) & mask30) << 30)
+  *                  mod 2^60
+  * — each partial product is ≤ (2^30−1)², their carries cannot exceed
+  * 62 bits, and the h_hi·A_hi·2^60 term vanishes mod 2^60. The first
+  * implementation hashed every (unit, replica) pair: B=100 made md5 +
+  * string building ~60% of the query's CPU at sf0.1 (measured 16 s →
+  * 6 s for the registered query). A prior mix used two independent
+  * 30-bit multipliers on the halves, which is NOT marginally uniform
+  * (the folded sum of two short-range terms is trapezoidal — per-replica
+  * mean weights simulated 0.89–1.04); the full-multiplier bijection
+  * above replaces it, and BootstrapUniformitySpec pins the marginals.
   *
   * The Poisson(1) inversion is integer-exact: thresholds
   * `T_k = cdf_k · 2^60` are EXACT longs (every double in (0,1) times
@@ -79,14 +87,14 @@ object Bootstrap {
   }
 
   /** Per-replica mix constants, derived deterministically from the
-    * replica index (shared literals on both engines): A, B odd 30-bit
-    * multipliers with the top bit set; C a 60-bit offset.
+    * replica index (shared literals on both engines): the 60-bit odd
+    * multiplier A_r split into its 30-bit halves — A_lo forced odd (so
+    * A_r is a unit in Z/2^60 and h ↦ h·A_r + C_r is a bijection) — and
+    * a 60-bit offset C_r. Returned as (alos, ahis, cs).
     */
   def mixConstants(b: Int): (Seq[Long], Seq[Long], Seq[Long]) = {
-    def mult(tag: String, r: Int): Long =
-      (md5Long60(s"bootmix:$tag:$r") & mask30) | (1L << 29) | 1L
-    ((0 until b).map(mult("a", _)),
-     (0 until b).map(mult("b", _)),
+    ((0 until b).map(r => (md5Long60(s"bootmix:alo:$r") & mask30) | 1L),
+     (0 until b).map(r => md5Long60(s"bootmix:ahi:$r") & mask30),
      (0 until b).map(r => md5Long60(s"bootmix:c:$r") % mod60))
   }
 
@@ -99,17 +107,20 @@ object Bootstrap {
     HashFns.md5LongSql(s"'$salt:' || $unitSql")
 
   /** Replica-r mixed value m ∈ [0, 2^60) from the unit hash `h`:
-    * (h_lo·A_r + h_hi·B_r + C_r) mod 2^60, constants indexed by the
-    * replica column (0-based, must be < b).
+    * (h·A_r + C_r) mod 2^60 via the split-product identity (see the
+    * object scaladoc), constants indexed by the replica column
+    * (0-based, must be < b). Exact bijection of [0, 2^60) per replica.
     */
   def mixed(h: Column, rep: Column, b: Int): Column = {
-    val (as, bs, cs) = mixConstants(b)
+    val (alos, ahis, cs) = mixConstants(b)
     val idx = (rep + 1).cast("int")
-    val a = element_at(typedLit(as), idx)
-    val bb = element_at(typedLit(bs), idx)
+    val alo = element_at(typedLit(alos), idx)
+    val ahi = element_at(typedLit(ahis), idx)
     val c = element_at(typedLit(cs), idx)
-    (((h.bitwiseAND(lit(mask30)) * a) +
-      (shiftright(h, 30) * bb) + c) % mod60).cast("long")
+    val hLo = h.bitwiseAND(lit(mask30))
+    val hHi = shiftright(h, 30)
+    val cross = (hLo * ahi + hHi * alo).bitwiseAND(lit(mask30))
+    ((hLo * alo + shiftleft(cross, 30) + c) % mod60).cast("long")
   }
 
   /** DuckDB mirror of [[mixed]] — the constant lists are generated from
@@ -117,11 +128,15 @@ object Bootstrap {
     * `repSql` must be an integer expression.
     */
   def mixedSql(hSql: String, repSql: String, b: Int): String = {
-    val (as, bs, cs) = mixConstants(b)
+    val (alos, ahis, cs) = mixConstants(b)
     def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
     val i = s"(CAST($repSql AS INT) + 1)"
-    s"((($hSql) & $mask30) * (${lst(as)})[$i]" +
-      s" + (($hSql) >> 30) * (${lst(bs)})[$i]" +
+    val hLo = s"(($hSql) & $mask30)"
+    val hHi = s"(($hSql) >> 30)"
+    val cross = s"(($hLo * (${lst(ahis)})[$i]" +
+      s" + $hHi * (${lst(alos)})[$i]) & $mask30)"
+    s"($hLo * (${lst(alos)})[$i]" +
+      s" + ($cross << 30)" +
       s" + (${lst(cs)})[$i]) % $mod60"
   }
 

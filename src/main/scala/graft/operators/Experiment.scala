@@ -103,9 +103,14 @@ object Experiment {
 
   /** Minimum detectable effect at the current sample: per variant arm
     * the pooled two-sample MDE `(z_{α/2} + z_β)·√(2σ̂²/n)` where σ̂² is
-    * the pooled per-arm variance and n the per-arm unit count — the
-    * pre-experiment sizing readout every A/B platform surfaces. One
-    * exact decimal moment pass; `mde_rel` is MDE over the pooled mean.
+    * the standard POOLED WITHIN-ARM variance
+    * `((n_a−1)·v_a + (n_b−1)·v_b)/(n_a+n_b−2)` and n the per-arm unit
+    * count — the pre-experiment sizing readout every A/B platform
+    * surfaces. Within-arm matters: the grand variance over both arms
+    * combined would include the between-arm mean gap and inflate the
+    * MDE precisely when a real effect is present. One exact decimal
+    * moment pass; `mde_rel` is MDE over the pooled mean. Variance/MDE
+    * columns are null unless BOTH arms have ≥ 2 units.
     */
   def minDetectableEffect(df: DataFrame, treat: Column,
                           y: Column): DataFrame = {
@@ -122,16 +127,19 @@ object Experiment {
     val (sa, sb) = (d("__sa"), d("__sb"))
     val n = na + nb
     val mean = (sa + sb) / n
-    // pooled variance: Σ(y²) − n·mean² over n−1, across both arms
-    val v = (d("__qa") + d("__qb") - n * mean * mean) / (n - 1)
+    // pooled WITHIN-arm variance: each arm's centered sum of squares
+    // (Σy² − (Σy)²/n), summed, over n_a + n_b − 2
+    val v = ((d("__qa") - sa * sa / na)
+      + (d("__qb") - sb * sb / nb)) / (n - 2)
     val nArm = least(na, nb)
     val mde = lit(zAlphaHalf + zPower) * sqrt(lit(2.0) * v / nArm)
+    val ok = na > 1 && nb > 1
     moments.select(
       col("__na").as("n_a"), col("__nb").as("n_b"),
       stab(mean).as("pooled_mean"),
-      when(n > 1, stab(v)).as("pooled_var"),
-      when(n > 1 && nArm > 0, stab(mde)).as("mde_abs"),
-      when(n > 1 && nArm > 0 && mean =!= 0,
+      when(ok, stab(v)).as("pooled_var"),
+      when(ok, stab(mde)).as("mde_abs"),
+      when(ok && mean =!= 0,
         stab(mde / mean)).as("mde_rel"))
   }
 

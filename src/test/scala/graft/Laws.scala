@@ -352,13 +352,16 @@ object Laws extends Properties("graft") {
             .map(x => f"$x%02x").mkString.take(15)
           java.lang.Long.parseLong(hex, 16)
         }
-        val (as, bs, cs) = graft.operators.Bootstrap.mixConstants(b)
+        val (alos, ahis, cs) = graft.operators.Bootstrap.mixConstants(b)
         val thresholds = graft.operators.Bootstrap.poisson1CdfT
         val mask30 = (1L << 30) - 1
         val want = (0 until b).map { rep =>
           val wts = rows.map { case (id, _) =>
             val h = md5Long(s"law:$id")
-            val m = ((h & mask30) * as(rep) + (h >> 30) * bs(rep) +
+            val hLo = h & mask30
+            val hHi = h >> 30
+            val cross = (hLo * ahis(rep) + hHi * alos(rep)) & mask30
+            val m = (hLo * alos(rep) + (cross << 30) +
               cs(rep)) % (1L << 60)
             val k = thresholds.indexWhere(m < _)
             id -> (if (k == -1) thresholds.size.toLong else k.toLong)

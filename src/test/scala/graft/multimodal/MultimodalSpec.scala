@@ -128,6 +128,29 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("resizeBoxStats upscaling replicates pixels — no black stripes") {
+    // 2x2 -> 5x5: the floor map ⌊x·5/2⌋ hits output cols {0, 2} only;
+    // skipped cols/rows must replicate their left/up neighbor (the
+    // nearest-neighbor convention), NEVER zero-fill. Expected grid:
+    // col bucket for output ox: source 0 for ox<2(ish) replicated...
+    // concretely: src col 0 lands at ox=0, src col 1 at ox=2; cols
+    // 1 gets col 0's value, cols 3,4 get col 2's; same for rows.
+    val rgb = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val one = MediaRow(1, "image",
+      pngBytes(2, 2)((x, y) => rgb(y * 2 + x)))
+    val r = Multimodal.resizeBoxStats(Seq(one).toDS(), 5, 5).head()
+    // replication counts: src col 0 -> out cols {0,1} (2), src col 1
+    // -> out cols {2,3,4} (3); same split for rows. Pixel multiplicity:
+    // (0,0):2*2=4, (0,1):2*3=6, (1,0):3*2=6, (1,1):3*3=9 — total 25.
+    // sums: r = 4*255 + 9*255 = 3315; g = 6*255 + 9*255 = 3825;
+    //       b = 6*255 + 9*255 = 3825
+    assert((r.sum_r, r.sum_g, r.sum_b) == ((3315L, 3825L, 3825L)))
+    // 1x1 -> 3x3 is pure replication: every output pixel == the source
+    val solid = MediaRow(2, "image", pngBytes(1, 1)((_, _) => 0x102030))
+    val s = Multimodal.resizeBoxStats(Seq(solid).toDS(), 3, 3).head()
+    assert((s.sum_r, s.sum_g, s.sum_b) == ((9 * 0x10L, 9 * 0x20L, 9 * 0x30L)))
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

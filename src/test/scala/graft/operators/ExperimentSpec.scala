@@ -116,16 +116,31 @@ class ExperimentSpec extends AnyFunSuite {
       rows.toDF("t", "y").withColumn("y", col("y").cast("decimal(18,2)")),
       col("t"), col("y")).head()
     val all = a ++ b
-    val n = all.size
-    val mean = all.sum / n
-    val v = all.map(x => x * x).sum
-    val pooledVar = (v - n * mean * mean) / (n - 1)
+    val mean = all.sum / all.size
+    // standard pooled WITHIN-arm variance: ((na-1)va + (nb-1)vb)/(n-2)
+    def css(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum
+    }
+    val pooledVar = (css(a) + css(b)) / (a.size + b.size - 2)
     val mde = (Experiment.zAlphaHalf + Experiment.zPower) *
       math.sqrt(2 * pooledVar / 2) // n_arm = min(3, 2)
     assert(math.abs(out.getAs[Double]("pooled_mean") - mean) < 1e-6)
     assert(math.abs(out.getAs[Double]("pooled_var") - pooledVar) < 1e-6)
     assert(math.abs(out.getAs[Double]("mde_abs") - mde) < 1e-6)
     assert(math.abs(out.getAs[Double]("mde_rel") - mde / mean) < 1e-6)
+  }
+
+  test("minDetectableEffect ignores the between-arm mean gap") {
+    // Two arms with identical within-arm spread but a large mean gap:
+    // the grand-variance formula would balloon with the gap; the
+    // within-arm pooled variance must not move.
+    val near = Seq((false, 10.0), (false, 12.0), (true, 10.0), (true, 12.0))
+    val far = Seq((false, 10.0), (false, 12.0), (true, 110.0), (true, 112.0))
+    def pv(rows: Seq[(Boolean, Double)]) = Experiment.minDetectableEffect(
+      rows.toDF("t", "y").withColumn("y", col("y").cast("decimal(18,2)")),
+      col("t"), col("y")).head().getAs[Double]("pooled_var")
+    assert(math.abs(pv(near) - 2.0) < 1e-6) // var of {10,12} = 2
+    assert(math.abs(pv(far) - 2.0) < 1e-6)
   }
 
   test("cuped: constant covariate yields null theta") {

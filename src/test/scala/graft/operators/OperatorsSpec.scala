@@ -228,16 +228,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("sum_day_distinct") == 300L)
     assert(rep.getAs[Long]("exact_distinct") == 150L)
     assert(rep.getAs[Boolean]("union_ok"))
-    // incremental append: day 4's sketch unions with the STORED
-    // catalog — day 1-3 data never re-read
-    val day4 = (0 until 100).map(u => (u + 75).toLong).toDF("user_id")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        org.apache.spark.sql.functions.count_distinct(col("user_id"))
-          .as("exact_day"))
-      .withColumn("day", lit(java.sql.Date.valueOf("2024-01-04")))
-      .select("day", "sk", "exact_day")
-    day4.write.mode("append").parquet(dir)
-    val est = spark.read.parquet(dir)
+    // incremental append — THE maintenance contract: call the catalog
+    // builder again with ONLY day 4's rows. Dynamic partition
+    // overwrite rewrites day=2024-01-04 alone; days 1-3's stored
+    // sketches must survive untouched (their data is never re-read).
+    val day4 = (0 until 100).map(u => (f"2024-01-04", (u + 75).toLong))
+      .toDF("ds", "user_id")
+    Profile.distinctSketchCatalog(
+      day4, to_date(col("ds")), "user_id", dir).head()
+    val catalog = spark.read.parquet(dir)
+    assert(catalog.count() == 4L,
+      "prior-day partitions must survive an incremental call")
+    val est = catalog
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
       .head().getLong(0)
     val exact4 = rows.map(_._2).toSet ++ (0 until 100).map(_ + 75L)

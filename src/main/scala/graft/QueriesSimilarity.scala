@@ -54,6 +54,44 @@ object QueriesSimilarity {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Banded-LSH kNN-3 edge list over `embeddings` — the SCALE-PATH
+    * edge builder the `_lsh` graph twins (q_graph_pagerank_lsh,
+    * q_graph_kcore_lsh) run on, assembled from the SAME certified
+    * multi-probe sign-bit machinery as q_sim_embedding_neardup:
+    * adaptive bucket width (expected bucket size ~32 at every corpus
+    * size, so candidate volume stays O(n · probes · 32), linear in n),
+    * probe side explodes bucket + every 1-bit flip, EQUI-join on the
+    * other side's exact bucket (a hash join — hamming ≤ 1 never
+    * becomes an all-pairs predicate), exact cosine ranks candidates,
+    * top-3 per source kept. No cartesian anywhere; each (src, nid)
+    * pair matches at most once (probe values within a vector are
+    * pairwise distinct, the index side joins its ONE exact bucket).
+    * Corpus count read once for the width (parquet row-count, no data
+    * scan — the q_sim_embedding_neardup two-phase convention).
+    */
+  private def lshKnnEdges(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val bits = Similarity.adaptiveSignBits(base.count())
+    val e = base
+      .withColumn("bucket",
+        Similarity.signBitBucket(col("embedding"), bits))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("nrm").as("na"),
+      explode(Similarity.multiProbeBuckets(col("bucket"), bits))
+        .as("bucket"))
+    val b = e.select(col("bucket"), col("vec_id").as("nid"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val cand = a.join(b, Seq("bucket")).filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid"),
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cos"))
+    Windows.topKPerGroup(cand, Seq(col("src")),
+        Seq(col("cos").desc, col("nid")), 3)
+      .select(col("src"), col("nid").as("dst"))
+  }
+
   /** Shared CTE chain of the near-dup CLUSTER oracles (dedup -> shingle
     * -> sign -> band -> capped candidates -> exact Jaccard >= 0.8 ->
     * undirected edges -> recursive reachability). Ends at `reach`; the
@@ -792,46 +830,29 @@ object QueriesSimilarity {
           .select(col("id").as("vec_id"), col("r").as("pagerank"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        import graft.functions.Stabilize.stabSql
-        val iterSql = (1 to 5).map { t =>
-          s"""c$t AS (
-             |  SELECT e.dst, list_sum(list(r.r / o.od ORDER BY e.src)) AS s
-             |  FROM edges e
-             |  JOIN r${t - 1} r ON r.id = e.src
-             |  JOIN outdeg o ON o.src = e.src
-             |  GROUP BY e.dst),
-             |r$t AS (
-             |  SELECT nd.id,
-             |    ${stabSql(s"(1.0e0 - 0.85e0) / st.n " +
-                  s"+ 0.85e0 * coalesce(c$t.s, 0.0e0)", 12)} AS r
-             |  FROM nodes nd
-             |  LEFT JOIN c$t ON c$t.dst = nd.id
-             |  CROSS JOIN st)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (
-           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-           |  FROM embeddings),
-           |pairs AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS nid,
-           |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-           |      AS cos
-           |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
-           |edges AS (
-           |  SELECT src, nid AS dst FROM (
-           |    SELECT src, nid, row_number() OVER (
-           |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
-           |    FROM pairs) WHERE rk <= 3),
-           |nodes AS (SELECT DISTINCT id FROM (
-           |  SELECT src AS id FROM edges
-           |  UNION ALL SELECT dst FROM edges)),
-           |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-           |st AS (SELECT count(*) AS n FROM nodes),
-           |r0 AS (SELECT id, ${stabSql("1.0e0 / st.n", 12)} AS r
-           |       FROM nodes, st),
-           |$iterSql
-           |SELECT id AS vec_id, r AS pagerank FROM r5 ORDER BY vec_id""".stripMargin
-      }),
+      Some(s"""WITH $exactKnnEdgeCtesSql,
+           |$pagerankChainSql""".stripMargin)),
+
+    // ----------------------------- k-NN graph PageRank, BANDED edges
+    // The SCALE-PATH composition the exact query is the recall baseline
+    // for: the SAME 5-iteration damped PageRank, but the kNN-3 edges
+    // come from the certified multi-probe sign-bit LSH candidate index
+    // (the q_sim_embedding_neardup machinery — adaptive bucket width,
+    // bucket EQUI-join) instead of the all-pairs crossJoin. Candidate
+    // volume is O(n · probes · bucketSize), never n²; PlanSpec pins
+    // that the executed plan contains NO CartesianProduct /
+    // BroadcastNestedLoopJoin node. Nodes untouched by any probe
+    // simply don't enter the graph — the oracle builds the identical
+    // banded edge set, so the comparison is exact, not recall-fuzzy.
+    Q("q_graph_pagerank_lsh",
+      (s, d) => {
+        import graft.operators.PageRank
+        PageRank.run(lshKnnEdges(s, d), damping = 0.85, iters = 5)
+          .select(col("id").as("vec_id"), col("r").as("pagerank"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $lshKnnEdgeCtesSql,
+           |$pagerankChainSql""".stripMargin)),
 
     // ------------------------------------------------ LSH hot-bucket report
     // The observability half of candidatePairs' maxBucket cap: every
@@ -2269,27 +2290,30 @@ object QueriesSimilarity {
           .select(col("id").as("vec_id"), col("deg"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        def degCte(src: String, nm: String): String =
-          s"""$nm AS (
-             |  SELECT id, count(*) AS deg FROM (
-             |    SELECT u AS id FROM $src UNION ALL SELECT v FROM $src)
-             |  GROUP BY 1)""".stripMargin
-        def round(src: String, r: Int): String =
-          s"""${degCte(src, s"kd$r")},
-             |kk$r AS (SELECT id FROM kd$r WHERE deg >= 3),
-             |ke$r AS (
-             |  SELECT u, v FROM $src
-             |  JOIN kk$r a ON a.id = u JOIN kk$r b ON b.id = v)"""
-            .stripMargin
-        s"""WITH $knnTriangleCtesSql,
-           |${round("und", 1)},
-           |${round("ke1", 2)},
-           |${round("ke2", 3)},
-           |${degCte("ke3", "kd4")}
-           |SELECT id AS vec_id, CAST(deg AS BIGINT) AS deg
-           |FROM kd4 ORDER BY vec_id""".stripMargin
-      }),
+      Some(s"""WITH $exactKnnEdgeCtesSql,
+           |$kcoreChainSql""".stripMargin)),
+
+    // ------------------------------- bounded k-core peel, BANDED edges
+    // q_graph_kcore's scale-path twin (the q_graph_pagerank_lsh
+    // convention): identical 3-round k=3 peeling, but the undirected
+    // edge set derives from the multi-probe sign-bit LSH candidate
+    // index — bucket equi-joins end to end, no cartesian node in the
+    // executed plan (PlanSpec-pinned). The oracle replays the same
+    // banded edge build, so every surviving (vec_id, deg) row is
+    // compared exactly.
+    Q("q_graph_kcore_lsh",
+      (s, d) => {
+        val edges = lshKnnEdges(s, d)
+        val und = edges
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        graft.operators.KCore.boundedPeel(und, k = 3, rounds = 3)
+          .select(col("id").as("vec_id"), col("deg"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $lshKnnEdgeCtesSql,
+           |$kcoreChainSql""".stripMargin)),
 
     // -------------------------------- sorted-neighborhood near-dup scan
     // The record-linkage classic (Hernández & Stolfo merge/purge)
@@ -2694,13 +2718,13 @@ object QueriesSimilarity {
       })
   )
 
-  /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /
-    * q_graph_clustering_coeff): embeddings → cosine kNN-3 edges →
-    * undirected → degrees → degree-ordered orientation → wedges →
-    * triangles → `nodes` (one id row per triangle corner). One
-    * definition, two consumers, zero drift.
+  /** EXACT kNN-3 edge CTEs (ends with `edges(src, dst)`): all-pairs
+    * cosine + top-3 per source — the labeled recall-BASELINE edge
+    * build shared by the exact graph-family oracles. The `_lsh` twins
+    * swap in [[lshKnnEdgeCtesSql]] and keep every downstream CTE —
+    * one definition per chain, many consumers, zero drift.
     */
-  private lazy val knnTriangleCtesSql: String =
+  private lazy val exactKnnEdgeCtesSql: String =
     s"""e AS (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
        |  FROM embeddings),
@@ -2713,7 +2737,115 @@ object QueriesSimilarity {
        |  SELECT src, nid AS dst FROM (
        |    SELECT src, nid, row_number() OVER (
        |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
-       |    FROM pairs) WHERE rk <= 3),
+       |    FROM pairs) WHERE rk <= 3)""".stripMargin
+
+  /** BANDED-LSH kNN-3 edge CTEs (ends with `edges(src, dst)`): the
+    * SCALE-PATH edge build — multi-probe sign-bit buckets
+    * (adaptive width, the q_sim_embedding_neardup machinery verbatim),
+    * candidates meet only inside a bucket via EQUI-join (never an
+    * all-pairs comparison), exact cosine ranks the candidates, top-3
+    * per source. Mirrors [[lshKnnEdges]] CTE-for-stage.
+    */
+  private lazy val lshKnnEdgeCtesSql: String =
+    s"""p AS (
+       |  SELECT LEAST(24, GREATEST(4,
+       |    length(bin((count(*) + 31) // 32 - 1)))) AS bits
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(p.bits), i ->
+       |      CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+       |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS bk,
+       |    ${normSql("embedding")} AS nrm
+       |  FROM embeddings, p),
+       |probes AS (
+       |  SELECT vec_id AS src, embedding AS ea, nrm AS na,
+       |    unnest(list_prepend(bk, list_transform(range(p.bits),
+       |      i -> xor(bk, 1 << i)))) AS bucket
+       |  FROM b, p),
+       |cand AS (
+       |  SELECT pr.src, c.vec_id AS nid,
+       |    ${dotSql("pr.ea", "c.embedding")} / (pr.na * c.nrm) AS cos
+       |  FROM probes pr JOIN b c ON pr.bucket = c.bk
+       |    AND c.vec_id <> pr.src),
+       |edges AS (
+       |  SELECT src, nid AS dst FROM (
+       |    SELECT src, nid, row_number() OVER (
+       |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
+       |    FROM cand) WHERE rk <= 3)""".stripMargin
+
+  /** PageRank chain over a prior `edges(src, dst)` CTE: nodes/outdeg/
+    * uniform start, 5 damped iterations (source-ordered contribution
+    * folds, 1e-12 stabilized), final (vec_id, pagerank) select. Shared
+    * by q_graph_pagerank (exact edges) and q_graph_pagerank_lsh
+    * (banded edges).
+    */
+  private lazy val pagerankChainSql: String = {
+    import graft.functions.Stabilize.stabSql
+    val iterSql = (1 to 5).map { t =>
+      s"""c$t AS (
+         |  SELECT e.dst, list_sum(list(r.r / o.od ORDER BY e.src)) AS s
+         |  FROM edges e
+         |  JOIN r${t - 1} r ON r.id = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$t AS (
+         |  SELECT nd.id,
+         |    ${stabSql(s"(1.0e0 - 0.85e0) / st.n " +
+              s"+ 0.85e0 * coalesce(c$t.s, 0.0e0)", 12)} AS r
+         |  FROM nodes nd
+         |  LEFT JOIN c$t ON c$t.dst = nd.id
+         |  CROSS JOIN st)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM edges
+       |  UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |st AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT id, ${stabSql("1.0e0 / st.n", 12)} AS r
+       |       FROM nodes, st),
+       |$iterSql
+       |SELECT id AS vec_id, r AS pagerank FROM r5 ORDER BY vec_id"""
+      .stripMargin
+  }
+
+  /** Bounded k-core chain (k=3, 3 peel rounds) over a prior
+    * `edges(src, dst)` CTE, ending in the final (vec_id, deg) select.
+    * Shared by q_graph_kcore (exact edges) and q_graph_kcore_lsh
+    * (banded edges).
+    */
+  private lazy val kcoreChainSql: String = {
+    def degCte(src: String, nm: String): String =
+      s"""$nm AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM $src UNION ALL SELECT v FROM $src)
+         |  GROUP BY 1)""".stripMargin
+    def round(src: String, r: Int): String =
+      s"""${degCte(src, s"kd$r")},
+         |kk$r AS (SELECT id FROM kd$r WHERE deg >= 3),
+         |ke$r AS (
+         |  SELECT u, v FROM $src
+         |  JOIN kk$r a ON a.id = u JOIN kk$r b ON b.id = v)"""
+        .stripMargin
+    s"""und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |${round("und", 1)},
+       |${round("ke1", 2)},
+       |${round("ke2", 3)},
+       |${degCte("ke3", "kd4")}
+       |SELECT id AS vec_id, CAST(deg AS BIGINT) AS deg
+       |FROM kd4 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /
+    * q_graph_clustering_coeff): exact edges → undirected → degrees →
+    * degree-ordered orientation → wedges → triangles → `nodes` (one id
+    * row per triangle corner). One definition, two consumers, zero
+    * drift.
+    */
+  private lazy val knnTriangleCtesSql: String =
+    s"""$exactKnnEdgeCtesSql,
        |und AS (
        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM edges WHERE src <> dst),

@@ -44,10 +44,14 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().cache()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
-    val st = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(st))
-      .select(col("id"),
-        Stabilize.stab(lit(1.0) / col("n"), stabDecimals).as("r"))
+    // Node count via ONE bounded driver action (a single long) instead
+    // of a 1-row count frame crossJoined onto every rank row: same
+    // doubles (IEEE division of the same operands), but the plans below
+    // stay free of BroadcastNestedLoopJoin nodes — the graph-family
+    // PlanSpec pins reject cartesian shapes wholesale.
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("id"),
+      Stabilize.stab(lit(1.0 / n), stabDecimals).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
@@ -60,9 +64,8 @@ object PageRank {
           lit(0.0), (acc, x) => acc + x).as("s"))
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(st))
         .select(col("id"), Stabilize.stab(
-          (lit(1.0) - lit(damping)) / col("n")
+          lit((1.0 - damping) / n)
             + lit(damping) * coalesce(col("s"), lit(0.0)),
           stabDecimals).as("r"))
     }

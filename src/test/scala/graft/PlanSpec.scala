@@ -390,6 +390,28 @@ class PlanSpec extends AnyFunSuite {
       s"served IVF scan lost its cell partition filter:\n$plan")
   }
 
+  test("graph LSH twins carry NO cartesian node anywhere in the plan") {
+    // The whole point of q_graph_pagerank_lsh / q_graph_kcore_lsh: the
+    // kNN edge build is multi-probe sign-bit buckets EQUI-joined — at
+    // no stage (edge build, iteration joins, peeling) may the executed
+    // plan contain a CartesianProduct or BroadcastNestedLoopJoin node.
+    // The exact graph queries are the labeled recall baselines and
+    // legitimately cross-join; these twins are the plans you'd run at
+    // 100 TB, so a cartesian reappearing here is a scale regression.
+    // (Cached frames print their build lineage per reuse — which is
+    // fine: a cartesian would be MORE visible, not less.)
+    for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh")) {
+      val d = df(q)
+      d.collect()
+      val plan = planString(d)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q grew a CartesianProduct:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a BroadcastNestedLoopJoin:\n$plan")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("keepFirstAgg dedup is a partial aggregate, never a window") {
     // The skew-safe dedup's whole point: min_by(struct, struct) runs as
     // an aggregate with map-side combine, so a hot key collapses per

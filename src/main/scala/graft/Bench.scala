@@ -26,10 +26,23 @@ import java.nio.file.{Files, Paths}
   *
   * LOAD GUARD (r7 verdict: committed totals carried 2-5× ambient-load
   * inflation): the artifact records /proc/loadavg at start and end,
-  * and any query whose own min..max spread exceeds 3× is re-measured
-  * once after the full sweep, keeping the lower median (load only adds
-  * time, so lower ≡ closer to the plan's true cost). Re-run names are
-  * listed under "load_reruns" so the correction is visible, not silent.
+  * and any query whose own min..max spread exceeds the guard ratio
+  * (2× when min > 0.5 s — where spread means load, not timer jitter —
+  * else 3×) is re-measured after the full sweep, up to
+  * SPARK_GRAFT_BENCH_GUARD_PASSES times, keeping the lower median
+  * (load only adds time, so lower ≡ closer to the plan's true cost).
+  * Re-run names are listed under "load_reruns" so the correction is
+  * visible, not silent.
+  *
+  * START GATE (r8/r9 verdicts: sweeps started at loadavg 7+, inflating
+  * 15+ queries past the guard): before the warmup query, the bench
+  * WAITS for 1-min loadavg to drop below SPARK_GRAFT_BENCH_LOAD_GATE
+  * (default 2.0), polling every 15 s up to
+  * SPARK_GRAFT_BENCH_MAX_WAIT_SEC (default 600) — then proceeds
+  * regardless (a bounded wait; a busy driver box should delay the
+  * artifact, not block it forever). The waited seconds are recorded in
+  * the JSON ("load_waited_sec") so a gate that had to give up is
+  * visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,8 +51,28 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val rerunMaxSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MAX_SEC", "20").toDouble
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0").toDouble
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600").toInt
+    val guardPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_PASSES", "2").toInt.max(1)
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg1mEarly: Double =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Start gate: wait (bounded) for a quiet machine before measuring.
+    val waitStart = System.nanoTime()
+    var waited = 0L
+    while (loadavg1mEarly >= loadGate &&
+        (System.nanoTime() - waitStart) / 1e9 < maxWaitSec) {
+      System.err.println(
+        f"[bench] loadavg ${loadavg1mEarly}%.2f >= $loadGate%.1f — waiting")
+      Thread.sleep(15000)
+      waited = ((System.nanoTime() - waitStart) / 1e9).toLong
+    }
     // JVM/codegen warmup so the first measured query isn't charged for
     // session spin-up (VERDICT r1: first query carried ~8s of warmup).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -98,10 +131,21 @@ object Bench {
     // median is closer to the noise-free cost, since load only ever
     // adds time.
     val loadReruns = scala.collection.mutable.ListBuffer.empty[String]
-    val results = firstPass.zip(queryFns).map {
-      case ((name, ts), (_, fn)) =>
-        val noisy = ts.size >= 2 && ts.head > 0 && ts.last / ts.head > 3.0
-        if (!noisy) name -> ts
+    // A query is "noisy" when its own spread says the measurement went
+    // through interference: > 2× for queries over 0.5 s (where spread
+    // means load), > 3× below that (where timer/GC jitter dominates
+    // and a 2× bar would re-run half the suite forever).
+    def isNoisy(ts: Seq[Double]): Boolean =
+      ts.size >= 2 && ts.head > 0 &&
+        ts.last / ts.head > (if (ts.head > 0.5) 2.0 else 3.0)
+    def med(s: Seq[Double]) = if (s.isEmpty) Double.MaxValue
+      else s(s.size / 2)
+    val fnByName = queryFns.toMap
+    var results = firstPass
+    var pass = 0
+    while (pass < guardPasses && results.exists(r => isNoisy(r._2))) {
+      results = results.map { case (name, ts) =>
+        if (!isNoisy(ts)) name -> ts
         else {
           loadReruns += name
           // A failed RETRY must not mark a query that already has valid
@@ -109,12 +153,12 @@ object Bench {
           // restore it when the retry is discarded, so the artifact
           // can't list a query under both "queries" and "errors".
           val errorsBefore = errors
-          val retry = measure(name, fn)
-          def med(s: Seq[Double]) = if (s.isEmpty) Double.MaxValue
-            else s(s.size / 2)
+          val retry = measure(name, fnByName(name))
           if (med(retry) < med(ts)) name -> retry
           else { errors = errorsBefore; name -> ts }
         }
+      }
+      pass += 1
     }
     val loadEnd = loadavg1m
     def jq(s: String) = "\"" + s.flatMap {
@@ -141,7 +185,7 @@ object Bench {
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val rerunsJson = loadReruns.map(jq).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"load_reruns":$rerunsJson,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"load_waited_sec":$waited,"load_reruns":$rerunsJson,"sf":${jq(sfDir)}}"""
     // A filtered run must not clobber the committed full-suite numbers
     // (a targeted SPARK_GRAFT_ONLY run once overwrote BENCH_LOCAL.json
     // with a single query's line).

@@ -239,6 +239,43 @@ object QueriesMultimodal {
               |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
               |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
               |WHERE bit_count(xor(a.sig, b.sig)) <= 2
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------- perceptual hash over REAL pixels
+    // The gap q_mm_phash_neardup leaves open (its signature rides the
+    // fake feature vector): Multimodal.phashLuma decodes the three
+    // committed PNGs for real (javax.imageio — the q_mm_image_decode
+    // chain) and computes the 8x8 luma-grid aHash — integer Rec.709
+    // cell sums, bit set iff cell mean > global mean by exact
+    // cross-multiplication. The oracle literals are an INDEPENDENT
+    // pure-Python PNG unfilter + identical integer spec
+    // (tools/phash_truth.py) run once over the same fixtures. The
+    // three images are the SAME picture at 60/120/300 px; their real
+    // phashes land within Hamming 1 of each other (pairwise 1/1/0) —
+    // the cross-resolution near-dup property a thumbnail-dedup
+    // pipeline keys on, now demonstrated on real pixels end to end
+    // (MultimodalSpec pins the pairwise radius).
+    Q("q_mm_phash_real",
+      (s, _) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Multimodal.readBinaryDir(s, fixtures, "img_*.png")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+              .as("media_id"),
+            lit("image").as("kind"), col("bytes"))
+          .as[Multimodal.MediaRow]
+        Multimodal.phashLuma(media, gw = 8, gh = 8).toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH truth(media_id, src_w, src_h, phash) AS (
+             |  VALUES (1, 60, 60, 542614352456580351),
+             |         (2, 120, 120, 542614352455531775),
+             |         (3, 300, 300, 542614352455531775))
+             |SELECT CAST(media_id AS BIGINT) AS media_id,
+             |  CAST(src_w AS BIGINT) AS src_w,
+             |  CAST(src_h AS BIGINT) AS src_h,
+             |  CAST(phash AS BIGINT) AS phash
+             |FROM truth ORDER BY media_id""".stripMargin))
   )
 }

@@ -89,7 +89,7 @@ object QueriesSimilarity {
           .as("cos"))
     Windows.topKPerGroup(cand, Seq(col("src")),
         Seq(col("cos").desc, col("nid")), 3)
-      .select(col("src"), col("nid").as("dst"))
+      .select(col("src"), col("nid").as("dst"), col("cos").as("w"))
   }
 
   /** Shared CTE chain of the near-dup CLUSTER oracles (dedup -> shingle
@@ -847,7 +847,8 @@ object QueriesSimilarity {
     Q("q_graph_pagerank_lsh",
       (s, d) => {
         import graft.operators.PageRank
-        PageRank.run(lshKnnEdges(s, d), damping = 0.85, iters = 5)
+        PageRank.run(lshKnnEdges(s, d).select(col("src"), col("dst")),
+            damping = 0.85, iters = 5)
           .select(col("id").as("vec_id"), col("r").as("pagerank"))
           .orderBy(col("vec_id"))
       },
@@ -1870,9 +1871,9 @@ object QueriesSimilarity {
     // 0 keeps its label — the "human-labeled" subset) propagates to
     // the rest over the cosine kNN-3 graph via clamped weighted
     // majority vote (operators/LabelProp). The brute-force kNN edge
-    // build is the same LABELED-baseline path as q_graph_pagerank (at
-    // corpus scale the edges come from the IVF/LSH candidate index
-    // instead); the vote is a skew-safe max_by aggregate and every
+    // build is the same LABELED-baseline path as q_graph_pagerank
+    // (q_graph_label_prop_lsh is the banded scale-path twin); the vote
+    // is a skew-safe max_by aggregate and every
     // weight sum folds in neighbor order, so the oracle replays the
     // rounds bit-for-bit.
     Q("q_graph_label_prop",
@@ -1896,45 +1897,27 @@ object QueriesSimilarity {
           .select(col("id").as("vec_id"), col("lab").as("label_prop"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        val round = (t: Int) =>
-          s"""s$t AS (
-             |  SELECT e.src, l.lab,
-             |    list_sum(list(e.w ORDER BY e.dst)) AS sc
-             |  FROM edges e
-             |  JOIN lab${t - 1} l ON l.id = e.dst
-             |  WHERE l.lab IS NOT NULL
-             |  GROUP BY e.src, l.lab),
-             |a$t AS (
-             |  SELECT src AS id, lab FROM (
-             |    SELECT src, lab, row_number() OVER (
-             |      PARTITION BY src ORDER BY sc DESC, lab) AS rn
-             |    FROM s$t) WHERE rn = 1),
-             |lab$t AS (
-             |  SELECT l0.id, COALESCE(l0.lab, a$t.lab) AS lab
-             |  FROM lab0 l0 LEFT JOIN a$t USING (id))""".stripMargin
-        s"""WITH e0 AS (
-           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-           |  FROM embeddings),
-           |pairs AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS nid,
-           |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
-           |      AS cos
-           |  FROM e0 a, e0 b WHERE a.vec_id <> b.vec_id),
-           |edges AS (
-           |  SELECT src, nid AS dst, cos AS w FROM (
-           |    SELECT src, nid, cos, row_number() OVER (
-           |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
-           |    FROM pairs) WHERE rk <= 3),
-           |lab0 AS (
-           |  SELECT vec_id AS id,
-           |    CASE WHEN vec_id % 5 = 0 THEN label END AS lab
-           |  FROM embeddings),
-           |${round(1)},
-           |${round(2)}
-           |SELECT id AS vec_id, lab AS label_prop FROM lab2
-           |ORDER BY vec_id""".stripMargin
-      }),
+      Some(s"""WITH $exactKnnEdgeCtesSql,
+           |$labelPropChainSql""".stripMargin)),
+
+    // --------------------- kNN label propagation, BANDED edges
+    // q_graph_label_prop's scale-path twin (the q_graph_pagerank_lsh
+    // convention): the SAME 2-round clamped weighted-majority vote, but
+    // the weighted kNN-3 edges come from the certified multi-probe
+    // sign-bit LSH candidate index — bucket equi-joins end to end, no
+    // cartesian node in the executed plan (PlanSpec-pinned). The oracle
+    // replays the identical banded edge build (weights included), so
+    // every propagated label is compared exactly, not recall-fuzzy.
+    Q("q_graph_label_prop_lsh",
+      (s, d) => {
+        val seeds = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          when(col("vec_id") % 5 === 0, col("label")).as("lab"))
+        graft.operators.LabelProp.run(lshKnnEdges(s, d), seeds, iters = 2)
+          .select(col("id").as("vec_id"), col("lab").as("label_prop"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $lshKnnEdgeCtesSql,
+           |$labelPropChainSql""".stripMargin)),
 
     // ------------------------- dominant principal direction (power iter)
     // Two matrix-free power iterations over the embedding matrix: the
@@ -2090,8 +2073,8 @@ object QueriesSimilarity {
 
     // ------------------------- degree-ordered triangle counting (kNN graph)
     // operators/Triangles over the same cosine kNN-3 edge build as
-    // q_graph_pagerank (labeled baseline; at corpus scale the edges
-    // come from the IVF/LSH candidate index). Per-node triangle
+    // q_graph_pagerank (labeled baseline; q_graph_triangles_lsh is the
+    // banded scale-path twin). Per-node triangle
     // participation — the densification signal under clustering
     // coefficients and near-dup community checks. Degree-ordering
     // bounds wedge work at O(m^1.5) and spreads the hot vertex's
@@ -2116,15 +2099,36 @@ object QueriesSimilarity {
           .select(col("id").as("vec_id"), col("n_tri"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $knnTriangleCtesSql
+      Some(s"""WITH $exactKnnEdgeCtesSql,
+             |$triangleChainSql
+             |SELECT id AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
+             |FROM nodes GROUP BY 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---------------- degree-ordered triangle counting, BANDED edges
+    // q_graph_triangles' scale-path twin (the q_graph_pagerank_lsh
+    // convention): the SAME degree-ordered O(m^1.5) wedge count, but
+    // the kNN-3 edges come from the multi-probe sign-bit LSH candidate
+    // index — bucket equi-joins end to end, no cartesian node in the
+    // executed plan (PlanSpec-pinned). The oracle replays the identical
+    // banded edge build, so every per-node count is exact.
+    Q("q_graph_triangles_lsh",
+      (s, d) => {
+        graft.operators.Triangles.perNode(
+            lshKnnEdges(s, d).select(col("src"), col("dst")))
+          .select(col("id").as("vec_id"), col("n_tri"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $lshKnnEdgeCtesSql,
+             |$triangleChainSql
              |SELECT id AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
              |FROM nodes GROUP BY 1 ORDER BY vec_id""".stripMargin)),
 
     // ------------------------- local clustering coefficient (kNN graph)
     // cc(v) = triangles(v) / C(deg(v), 2) over the same kNN-3 graph —
     // the density signal community detection thresholds on (a near-dup
-    // cluster's members have cc -> 1, bridge nodes -> 0). One extra
-    // broadcast-sized degree join over q_graph_triangles' machinery;
+    // cluster's members have cc -> 1, bridge nodes -> 0;
+    // q_graph_clustering_coeff_lsh is the banded scale-path twin). One
+    // extra broadcast-sized degree join over q_graph_triangles' machinery;
     // cc is an exact integer ratio. Oracle shares the triangle CTE
     // chain via one definition.
     Q("q_graph_clustering_coeff",
@@ -2157,7 +2161,43 @@ object QueriesSimilarity {
               / (col("deg") * (col("deg") - lit(1L)))).as("clustering"))
           .orderBy(col("vec_id"))
       },
-      Some(s"""WITH $knnTriangleCtesSql,
+      Some(s"""WITH $exactKnnEdgeCtesSql,
+             |$triangleChainSql,
+             |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+             |       FROM nodes GROUP BY 1)
+             |SELECT tc.id AS vec_id, tc.n_tri,
+             |  CAST(deg.deg AS BIGINT) AS deg,
+             |  (tc.n_tri * 2) / (deg.deg * (deg.deg - 1)) AS clustering
+             |FROM tc JOIN deg ON deg.id = tc.id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ------------- local clustering coefficient, BANDED edges
+    // q_graph_clustering_coeff's scale-path twin (the
+    // q_graph_pagerank_lsh convention): identical cc(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)) over the multi-probe sign-bit LSH
+    // edge index — bucket equi-joins end to end, no cartesian node in
+    // the executed plan (PlanSpec-pinned). Exact integer ratio; the
+    // oracle replays the same banded edges.
+    Q("q_graph_clustering_coeff_lsh",
+      (s, d) => {
+        val edges = lshKnnEdges(s, d).select(col("src"), col("dst"))
+        val und = edges
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")).distinct().cache()
+        val deg = und.select(col("u").as("id"))
+          .unionAll(und.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        graft.operators.Triangles.perNode(und.select(
+            col("u").as("src"), col("v").as("dst")))
+          .join(deg, Seq("id"))
+          .select(col("id").as("vec_id"), col("n_tri"), col("deg"),
+            ((col("n_tri") * lit(2L))
+              / (col("deg") * (col("deg") - lit(1L)))).as("clustering"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $lshKnnEdgeCtesSql,
+             |$triangleChainSql,
              |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
              |       FROM nodes GROUP BY 1)
              |SELECT tc.id AS vec_id, tc.n_tri,
@@ -2303,7 +2343,7 @@ object QueriesSimilarity {
     // compared exactly.
     Q("q_graph_kcore_lsh",
       (s, d) => {
-        val edges = lshKnnEdges(s, d)
+        val edges = lshKnnEdges(s, d).select(col("src"), col("dst"))
         val und = edges
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
@@ -2718,11 +2758,12 @@ object QueriesSimilarity {
       })
   )
 
-  /** EXACT kNN-3 edge CTEs (ends with `edges(src, dst)`): all-pairs
-    * cosine + top-3 per source — the labeled recall-BASELINE edge
-    * build shared by the exact graph-family oracles. The `_lsh` twins
-    * swap in [[lshKnnEdgeCtesSql]] and keep every downstream CTE —
-    * one definition per chain, many consumers, zero drift.
+  /** EXACT kNN-3 edge CTEs (ends with `edges(src, dst, w)` — w is the
+    * cosine, unused by the unweighted chains): all-pairs cosine + top-3
+    * per source — the labeled recall-BASELINE edge build shared by the
+    * exact graph-family oracles. The `_lsh` twins swap in
+    * [[lshKnnEdgeCtesSql]] and keep every downstream CTE — one
+    * definition per chain, many consumers, zero drift.
     */
   private lazy val exactKnnEdgeCtesSql: String =
     s"""e AS (
@@ -2734,12 +2775,13 @@ object QueriesSimilarity {
        |      AS cos
        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
        |edges AS (
-       |  SELECT src, nid AS dst FROM (
-       |    SELECT src, nid, row_number() OVER (
+       |  SELECT src, nid AS dst, cos AS w FROM (
+       |    SELECT src, nid, cos, row_number() OVER (
        |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
        |    FROM pairs) WHERE rk <= 3)""".stripMargin
 
-  /** BANDED-LSH kNN-3 edge CTEs (ends with `edges(src, dst)`): the
+  /** BANDED-LSH kNN-3 edge CTEs (ends with `edges(src, dst, w)` — w is
+    * the cosine, unused by the unweighted chains): the
     * SCALE-PATH edge build — multi-probe sign-bit buckets
     * (adaptive width, the q_sim_embedding_neardup machinery verbatim),
     * candidates meet only inside a bucket via EQUI-join (never an
@@ -2769,8 +2811,8 @@ object QueriesSimilarity {
        |  FROM probes pr JOIN b c ON pr.bucket = c.bk
        |    AND c.vec_id <> pr.src),
        |edges AS (
-       |  SELECT src, nid AS dst FROM (
-       |    SELECT src, nid, row_number() OVER (
+       |  SELECT src, nid AS dst, cos AS w FROM (
+       |    SELECT src, nid, cos, row_number() OVER (
        |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
        |    FROM cand) WHERE rk <= 3)""".stripMargin
 
@@ -2838,15 +2880,49 @@ object QueriesSimilarity {
        |FROM kd4 ORDER BY vec_id""".stripMargin
   }
 
+  /** Weighted-majority label-propagation chain (2 clamped rounds) over
+    * a prior `edges(src, dst, w)` CTE: 20% seed slice (vec_id % 5 == 0),
+    * per-round dst-ordered weight folds + lowest-label argmax vote +
+    * seed clamp, final (vec_id, label_prop) select. Shared by
+    * q_graph_label_prop (exact edges) and q_graph_label_prop_lsh
+    * (banded edges).
+    */
+  private lazy val labelPropChainSql: String = {
+    val round = (t: Int) =>
+      s"""s$t AS (
+         |  SELECT e.src, l.lab,
+         |    list_sum(list(e.w ORDER BY e.dst)) AS sc
+         |  FROM edges e
+         |  JOIN lab${t - 1} l ON l.id = e.dst
+         |  WHERE l.lab IS NOT NULL
+         |  GROUP BY e.src, l.lab),
+         |a$t AS (
+         |  SELECT src AS id, lab FROM (
+         |    SELECT src, lab, row_number() OVER (
+         |      PARTITION BY src ORDER BY sc DESC, lab) AS rn
+         |    FROM s$t) WHERE rn = 1),
+         |lab$t AS (
+         |  SELECT l0.id, COALESCE(l0.lab, a$t.lab) AS lab
+         |  FROM lab0 l0 LEFT JOIN a$t USING (id))""".stripMargin
+    s"""lab0 AS (
+       |  SELECT vec_id AS id,
+       |    CASE WHEN vec_id % 5 = 0 THEN label END AS lab
+       |  FROM embeddings),
+       |${round(1)},
+       |${round(2)}
+       |SELECT id AS vec_id, lab AS label_prop FROM lab2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared CTE chain of the kNN-3 triangle oracles (q_graph_triangles /
-    * q_graph_clustering_coeff): exact edges → undirected → degrees →
+    * q_graph_clustering_coeff and their `_lsh` twins), over a prior
+    * `edges(src, dst, …)` CTE: undirected → degrees →
     * degree-ordered orientation → wedges → triangles → `nodes` (one id
-    * row per triangle corner). One definition, two consumers, zero
+    * row per triangle corner). One definition, four consumers, zero
     * drift.
     */
-  private lazy val knnTriangleCtesSql: String =
-    s"""$exactKnnEdgeCtesSql,
-       |und AS (
+  private lazy val triangleChainSql: String =
+    s"""und AS (
        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM edges WHERE src <> dst),
        |deg AS (

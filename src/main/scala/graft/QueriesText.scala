@@ -507,6 +507,44 @@ object QueriesText {
               |  FROM tot) WHERE rk <= 5
               |ORDER BY qid, rk""".stripMargin)),
 
+    // ---------------------------- BM25 served from the bucketed lake
+    // The SERVING half of the BM25 story (the q_sim_ann_ivf_lake
+    // convention): Bm25.buildIndex denormalizes every per-term
+    // statistic into one postings row (term, doc_id, tf, dl, df),
+    // persisted BUCKETED BY term (Lake.writeBucketed) with the 1-row
+    // (n_docs, avgdl) stats frame alongside; a query batch then probes
+    // the persisted table with ONE term equi-join — at 100 TB the
+    // index never moves or shuffles, only the (broadcast-tiny) query
+    // terms do, and term-keyed consumers join the postings
+    // exchange-free on the bucket layout. Same arithmetic (shared
+    // partExpr), same ordered fold, same oracle as q_text_bm25_topk —
+    // only the physical serving plan differs; PlanSpec pins its
+    // exchange budget.
+    Q("q_text_bm25_lake",
+      (s, d) => {
+        import graft.operators.Bm25
+        import graft.sources.Lake
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val (postings, stats) = Bm25.buildIndex(
+          toks.filter(col("doc_id") >= 5))
+        Lake.writeBucketed(postings, "bm25_postings", "term", 8)
+        val statsDir = s.conf.get("spark.sql.warehouse.dir") +
+          "/bm25_stats_parquet"
+        stats.coalesce(1).write.mode("overwrite").parquet(statsDir)
+        val queryTerms = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term")).distinct()
+        Bm25.servedTopK(s.table("bm25_postings"),
+          s.read.parquet(statsDir), queryTerms,
+          k1 = 1.2, b = 0.75, k = 5)
+      },
+      Some(s"""WITH $bm25CtesSql
+              |SELECT qid, rk, doc_id, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+              |  FROM tot) WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin)),
+
     // ------------------------------------------ hybrid retrieval (RRF)
     // Reciprocal-rank fusion of the two retrieval modalities this
     // library certifies separately (operators/Fusion, Cormack et al.
@@ -590,9 +628,11 @@ object QueriesText {
     // the top-20, instead of a full-corpus cosine scan. The PQ-refine
     // shape: quantized structure decides what is LOOKED AT, full
     // precision decides the ORDER. PlanSpec pins that no cartesian
-    // node appears anywhere in the executed plan, and FusionSpec
-    // asserts the ANN arm's recall against the exact ranker. The
-    // oracle replays the identical banded candidate build, so the
+    // node appears anywhere in the executed plan beyond BM25's 1-row
+    // corpus-stats broadcast, and FusionSpec asserts the ANN arm's
+    // recall@20 floor against the exact ranker (and that radius-2
+    // dominates radius-1). The oracle replays the identical banded
+    // candidate build — including the radius-2 probe set — so the
     // compare stays hash-exact.
     Q("q_text_rrf_fusion_ann",
       (s, d) => {
@@ -614,8 +654,9 @@ object QueriesText {
         // Hamming-2 probing on the QUERY side only (5 queries →
         // 1 + b + b(b−1)/2 probe rows each; the corpus side joins its
         // one exact bucket) — the recall knob costs nothing where the
-        // frame is tiny. Measured recall@20 vs the exact ranker: 0.75
-        // at sf0.01 (0.42 at radius 1); FusionSpec pins the floor.
+        // frame is tiny. Measured recall@20 vs the exact ranker: 0.77
+        // on the 500-vector test embeddings (0.42 at radius 1);
+        // FusionSpec pins the 0.5 floor and radius-2 >= radius-1.
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qn"),
@@ -656,8 +697,11 @@ object QueriesText {
               |  FROM embeddings, p),
               |qprobe AS (
               |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
-              |    unnest(list_prepend(bk, list_transform(range(p.bits),
-              |      i -> xor(bk, 1 << i)))) AS bucket
+              |    unnest(list_prepend(bk, list_concat(
+              |      list_transform(range(p.bits), i -> xor(bk, 1 << i)),
+              |      flatten(list_transform(range(p.bits), i ->
+              |        list_transform(range(i), j ->
+              |          xor(bk, (1 << i) | (1 << j)))))))) AS bucket
               |  FROM ev, p WHERE vec_id < 5),
               |cand AS (
               |  SELECT qp.qid, c.vec_id AS doc_id,

@@ -259,6 +259,75 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(media_id: Long, src_w: Long, src_h: Long,
+                            phash: Long)
+
+  /** Real-pixel perceptual hash (the aHash shape) over an `gw`×`gh`
+    * luma grid: decode → partition the image into grid cells by the
+    * same `⌊i·W/w⌋` box boundaries as [[resizeBoxStats]] → integer
+    * Rec.709 luma sum per cell (2126·R + 7152·G + 722·B — the ×10⁴
+    * fixed-point weights, exact integers) → bit `gy·gw+gx` set iff the
+    * cell's mean luma exceeds the GLOBAL mean luma. The comparison is
+    * exact integer cross-multiplication (cellSum·totalPx >
+    * totalSum·cellPx via BigInt — no division, no floats, no overflow
+    * at any image size), so the signature is bit-reproducible by any
+    * independent decoder — the q_mm_phash_real oracle pins it against
+    * a pure-Python PNG unfilter of the same committed fixtures.
+    *
+    * Why this survives rescaling: each cell aggregates a constant
+    * FRACTION of the image, so the same picture at 60/120/300 px
+    * yields near-identical bit patterns — the cross-resolution
+    * near-dup property a thumbnail-dedup pipeline keys on
+    * (MultimodalSpec asserts the three fixture scales agree within a
+    * small Hamming radius). Cells the floor map leaves empty (only
+    * when the image is smaller than the grid) contribute a 0 bit.
+    * Same scanline-at-a-time memory discipline and corrupt-payload
+    * quarantine (flatMap) as the other decoders.
+    */
+  def phashLuma(media: Dataset[MediaRow], gw: Int = 8, gh: Int = 8)(
+      implicit spark: SparkSession): Dataset[PHashRow] = {
+    require(gw > 0 && gh > 0 && gw * gh <= 64,
+      s"grid must fit in 64 bits, got $gw x $gh")
+    import spark.implicits._
+    media.flatMap { m =>
+      Option(m.bytes).filter(_.nonEmpty).flatMap { bs =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bs))).map { im =>
+          val pw = im.getWidth; val ph = im.getHeight
+          val sums = new Array[Long](gw * gh)
+          val cnts = new Array[Long](gw * gh)
+          val row = new Array[Int](pw)
+          var y = 0
+          while (y < ph) {
+            im.getRGB(0, y, pw, 1, row, 0, pw)
+            val gyBase = (y.toLong * gh / ph).toInt * gw
+            var x = 0
+            while (x < pw) {
+              val p = row(x)
+              val cell = gyBase + (x.toLong * gw / pw).toInt
+              sums(cell) += 2126L * ((p >> 16) & 0xff) +
+                7152L * ((p >> 8) & 0xff) + 722L * (p & 0xff)
+              cnts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val totalSum = BigInt(sums.sum)
+          val totalPx = BigInt(pw.toLong * ph)
+          var bits = 0L
+          var c = 0
+          while (c < gw * gh) {
+            if (cnts(c) > 0 &&
+                BigInt(sums(c)) * totalPx > totalSum * cnts(c))
+              bits |= 1L << c
+            c += 1
+          }
+          PHashRow(m.media_id, pw.toLong, ph.toLong, bits)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block becomes one frame row — the explode shape (media_id, frame_no,
     * frame_bytes) a real frame extractor would produce.

@@ -390,24 +390,51 @@ class PlanSpec extends AnyFunSuite {
       s"served IVF scan lost its cell partition filter:\n$plan")
   }
 
-  test("graph LSH twins carry NO cartesian node anywhere in the plan") {
-    // The whole point of q_graph_pagerank_lsh / q_graph_kcore_lsh: the
-    // kNN edge build is multi-probe sign-bit buckets EQUI-joined — at
-    // no stage (edge build, iteration joins, peeling) may the executed
-    // plan contain a CartesianProduct or BroadcastNestedLoopJoin node.
-    // The exact graph queries are the labeled recall baselines and
-    // legitimately cross-join; these twins are the plans you'd run at
-    // 100 TB, so a cartesian reappearing here is a scale regression.
-    // (Cached frames print their build lineage per reuse — which is
-    // fine: a cartesian would be MORE visible, not less.)
-    for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh")) {
+  /** Every physical node in the FINAL executed plan, descending through
+    * AQE stages, cached-relation lineages, reused exchanges, and
+    * subqueries — text-grepping the plan can't distinguish WHICH join a
+    * node belongs to; walking the tree can.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val kids: Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+      case o                        => o.children
+    }) ++ p.subqueries
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("LSH scale twins carry NO cartesian node anywhere in the plan") {
+    // The whole point of the `_lsh`/`_ann` twins: the kNN edge build /
+    // ANN candidate pool is multi-probe sign-bit buckets EQUI-joined —
+    // at no stage (edge build, iteration joins, peeling, fusion) may
+    // the executed plan contain a CartesianProduct, nor any
+    // BroadcastNestedLoopJoin except BM25's documented 1-row
+    // corpus-stats broadcast (Bm25.scala: the (n_docs, avgdl) aggregate
+    // rides in on a broadcast cross of exactly one row — O(n) work, the
+    // right 100 TB trade vs re-running the token aggregation for a
+    // driver collect). The exact siblings are the labeled recall
+    // baselines and legitimately cross-join; these twins are the plans
+    // you'd run at 100 TB, so any OTHER cartesian appearing here is a
+    // scale regression.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh",
+        "q_graph_label_prop_lsh", "q_graph_triangles_lsh",
+        "q_graph_clustering_coeff_lsh", "q_text_rrf_fusion_ann")) {
       val d = df(q)
       d.collect()
-      val plan = planString(d)
-      assert(!plan.contains("CartesianProduct"),
-        s"$q grew a CartesianProduct:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"$q grew a BroadcastNestedLoopJoin:\n$plan")
+      val nodes = allNodes(d.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q grew a CartesianProduct:\n${planString(d)}")
+      val rogue = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+        .filterNot(b => b.children.exists(
+          _.output.map(_.name).toSet == Set("n_docs", "avgdl")))
+      assert(rogue.isEmpty,
+        s"$q grew a BroadcastNestedLoopJoin beyond the 1-row BM25 stats " +
+          s"broadcast: ${rogue.map(_.verboseString(3))}\n${planString(d)}")
       spark.sharedState.cacheManager.clearCache()
     }
   }

@@ -151,6 +151,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert((s.sum_r, s.sum_g, s.sum_b) == ((9 * 0x10L, 9 * 0x20L, 9 * 0x30L)))
   }
 
+  test("phashLuma: spec on synthetic images + cross-scale stability") {
+    // Synthetic pin of the aHash spec: a 16x16 image whose left half is
+    // black and right half white. Cell mean > global mean exactly for
+    // the right-half cells (columns 4..7 of the 8x8 grid), so the
+    // signature is the 0xf0 column mask repeated on every row.
+    val half = MediaRow(1, "image",
+      pngBytes(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff))
+    val sig = Multimodal.phashLuma(Seq(half).toDS()).head()
+    val rowMask = 0xf0L
+    val expected = (0 until 8).map(r => rowMask << (8 * r)).reduce(_ | _)
+    assert(sig.phash == expected)
+    // Cross-scale stability on REAL pixels: the three committed PNGs
+    // are the same picture at 60/120/300 px — their real phashes must
+    // agree within Hamming 2 pairwise (measured: 1/1/0). This is the
+    // property that makes the hash a cross-resolution near-dup key.
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.readBinaryDir(spark,
+        "/root/repo/src/test/resources/media", "img_*.png")
+      .select(regexp_extract(col("path"), "img_(\\d+)", 1).cast("long")
+          .as("media_id"),
+        lit("image").as("kind"), col("bytes"))
+      .as[MediaRow]
+    val sigs = Multimodal.phashLuma(media).collect().sortBy(_.media_id)
+    assert(sigs.length == 3)
+    for (Seq(a, b) <- sigs.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(a.phash ^ b.phash) <= 2,
+        s"phash drifted apart across scales: ${a.media_id} vs ${b.media_id}")
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

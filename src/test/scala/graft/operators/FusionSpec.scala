@@ -30,4 +30,57 @@ class FusionSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSeq
     assert(got == Seq(10L, 11L)) // 1/61+1/62 > 1/61
   }
+
+  test("ANN semantic arm recall@20: radius-2 probing holds the floor " +
+      "and dominates radius-1") {
+    // Pins the recall claim in q_text_rrf_fusion_ann's comment: the
+    // multi-probe sign-bit candidate pool, exact-cosine re-ranked to
+    // top-20, must recover most of the EXACT ranker's top-20. Measured
+    // on the sf0.001 embeddings (500 vecs, 4 adaptive bits): deeper
+    // probing strictly widens the pool, so recall(r2) >= recall(r1),
+    // and the r2 floor is pinned below the measured value. If the
+    // bucketing or probe enumeration regresses, this fails before the
+    // hash-oracle does.
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.embeddings(spark, sf)
+    val bits = Similarity.adaptiveSignBits(base.count())
+    val e = base
+      .withColumn("bucket", Similarity.signBitBucket(col("embedding"), bits))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .cache()
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("bucket"), col("vec_id").as("doc_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    def rank20(cand: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      graft.operators.Windows
+        .topKPerGroupRanked(
+          cand.select(col("qid"), col("doc_id"),
+            (Similarity.dot(col("qe"), col("ce"))
+              / (col("qn") * col("cn"))).as("cos")),
+          Seq(col("qid")), Seq(col("cos").desc, col("doc_id")), 20, "rk")
+        .select("qid", "doc_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    val qBase = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val exact = rank20(qBase.drop("bucket").crossJoin(corpus.drop("bucket")))
+    def annRecall(probe: org.apache.spark.sql.Column): Double = {
+      val pool = rank20(
+        qBase.select(col("qid"), col("qe"), col("qn"),
+            explode(probe).as("bucket"))
+          .join(corpus, Seq("bucket")))
+      exact.map { case (q, ex) =>
+        pool.getOrElse(q, Set.empty[Long]).intersect(ex).size / 20.0
+      }.sum / exact.size
+    }
+    val r1 = annRecall(Similarity.multiProbeBuckets(col("bucket"), bits))
+    val r2 = annRecall(Similarity.multiProbeBuckets2(col("bucket"), bits))
+    e.unpersist()
+    info(f"recall@20 radius-1=$r1%.3f radius-2=$r2%.3f (bits=$bits)")
+    assert(r2 >= r1, s"radius-2 recall $r2 below radius-1 $r1")
+    assert(r2 >= 0.5, s"ANN arm recall@20 fell to $r2 (floor 0.5)")
+  }
 }

@@ -14,7 +14,12 @@ object PlanProbe {
       val plan = d.queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).size
       val scans = "FileScan".r.findAllIn(plan).size
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+      // executedPlan.toString marks codegen stages as `*(n)` prefixes
+      // (the "WholeStageCodegen" literal only appears in formatted
+      // explain); count DISTINCT stage ids so repeated prints of a
+      // reused subtree don't inflate the span count
+      val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       println(s"PROBE $q exchanges=$ex scans=$scans codegenSpans=$codegen")
       if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(plan)
       spark.sharedState.cacheManager.clearCache()

@@ -509,33 +509,71 @@ object QueriesText {
 
     // ---------------------------- BM25 served from the bucketed lake
     // The SERVING half of the BM25 story (the q_sim_ann_ivf_lake
-    // convention): Bm25.buildIndex denormalizes every per-term
-    // statistic into one postings row (term, doc_id, tf, dl, df),
-    // persisted BUCKETED BY term (Lake.writeBucketed) with the 1-row
-    // (n_docs, avgdl) stats frame alongside; a query batch then probes
-    // the persisted table with ONE term equi-join — at 100 TB the
-    // index never moves or shuffles, only the (broadcast-tiny) query
-    // terms do, and term-keyed consumers join the postings
-    // exchange-free on the bucket layout. Same arithmetic (shared
-    // partExpr), same ordered fold, same oracle as q_text_bm25_topk —
-    // only the physical serving plan differs; PlanSpec pins its
-    // exchange budget.
+    // convention): Bm25.buildIndex persists the inverted index as
+    // postings (term, doc_id, tf, dl) + dfreq (term, df), both
+    // BUCKETED BY term (Lake.writeBucketed, co-bucketed), with the
+    // 1-row exact-integer (n_docs, sum_dl) stats frame alongside; a
+    // query batch then probes the persisted tables with term
+    // equi-joins — at 100 TB the index never moves or shuffles, only
+    // the (broadcast-tiny) query terms do, and the probe/df joins
+    // match the bucket layout. Same arithmetic (shared partExpr),
+    // same ordered fold, same oracle as q_text_bm25_topk — only the
+    // physical serving plan differs; PlanSpec pins its exchange
+    // budget.
     Q("q_text_bm25_lake",
       (s, d) => {
         import graft.operators.Bm25
         import graft.sources.Lake
         val toks = Tables.documents(s, d).select(col("doc_id"),
           explode(TextFns.tokens(col("text"))).as("term"))
-        val (postings, stats) = Bm25.buildIndex(
+        val (postings, dfreq, stats) = Bm25.buildIndex(
           toks.filter(col("doc_id") >= 5))
         Lake.writeBucketed(postings, "bm25_postings", "term", 8)
+        Lake.writeBucketed(dfreq, "bm25_dfreq", "term", 8)
         val statsDir = s.conf.get("spark.sql.warehouse.dir") +
           "/bm25_stats_parquet"
         stats.coalesce(1).write.mode("overwrite").parquet(statsDir)
         val queryTerms = toks.filter(col("doc_id") < 5)
           .select(col("doc_id").as("qid"), col("term")).distinct()
-        Bm25.servedTopK(s.table("bm25_postings"),
+        Bm25.servedTopK(s.table("bm25_postings"), s.table("bm25_dfreq"),
           s.read.parquet(statsDir), queryTerms,
+          k1 = 1.2, b = 0.75, k = 5)
+      },
+      Some(s"""WITH $bm25CtesSql
+              |SELECT qid, rk, doc_id, score FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+              |  FROM tot) WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin)),
+
+    // ---------------------- BM25 index INCREMENTAL maintenance
+    // The ingest half (the q_sim_lsh_incremental discipline — history
+    // is never rescanned): the corpus docs with doc_id % 10 == 7
+    // arrive as a NEW batch against an index built from the rest.
+    // Bm25.mergeIndex appends the batch's postings, adds its df
+    // counts into the term-keyed dfreq by one full-outer term join
+    // (only the batch's terms shuffle — at 100 TB the history
+    // postings are untouched bytes on the lake), and adds the
+    // exact-integer stats. Because stats carry integer sums (not the
+    // derived avgdl), the merged index is BIT-IDENTICAL to a full
+    // rebuild — so this oracle is simply the full-corpus BM25 replay
+    // shared with q_text_bm25_topk, and a hash match PROVES
+    // incremental == rebuild end-to-end. Bm25Spec additionally pins
+    // the equivalence per index frame.
+    Q("q_text_bm25_incremental",
+      (s, d) => {
+        import graft.operators.Bm25
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val corpus = toks.filter(col("doc_id") >= 5)
+        val (hPost, hDfreq, hStats) = Bm25.buildIndex(
+          corpus.filter(col("doc_id") % 10 =!= 7))
+        val (mPost, mDfreq, mStats) = Bm25.mergeIndex(
+          hPost, hDfreq, hStats,
+          corpus.filter(col("doc_id") % 10 === 7))
+        val queryTerms = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term")).distinct()
+        Bm25.servedTopK(mPost, mDfreq, mStats, queryTerms,
           k1 = 1.2, b = 0.75, k = 5)
       },
       Some(s"""WITH $bm25CtesSql

@@ -58,39 +58,87 @@ object Bm25 {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** The persistable inverted index: a DENORMALIZED postings frame
-    * (term, doc_id, tf, dl, df) — every per-term statistic a serve-time
-    * probe needs rides in the posting row, so serving is ONE equi-join
-    * on `term` with no doc-side or term-side lookaside — plus the
-    * 1-row (n_docs, avgdl) stats frame. Persist the postings with
-    * `Lake.writeBucketed(_, table, "term", n)` and term-keyed probes
-    * read the index without ever shuffling it (the q_text_bm25_lake
-    * serving path).
+  /** The persistable inverted index, shaped for INCREMENTAL
+    * maintenance (the q_sim_lsh_incremental discipline — history is
+    * never rescanned):
+    *
+    *  - `postings` (term, doc_id, tf, dl): APPEND-ONLY — a new batch of
+    *    docs touches only its own rows. dl rides in the posting row
+    *    (it is a property of the doc the row was built from, fixed at
+    *    ingest), but df deliberately does NOT: df(term) changes when
+    *    ANY later batch mentions the term, and denormalizing it would
+    *    turn every ingest into a rewrite of all historical postings of
+    *    the batch's terms.
+    *  - `dfreq` (term, df): term-keyed — a merge updates exactly the
+    *    batch's terms, nothing else.
+    *  - `stats` 1-row (n_docs, sum_dl): EXACT INTEGER sums, so
+    *    incremental addition is bit-lossless; avgdl is derived at
+    *    serve time by the same single long→double division the batch
+    *    rebuild performs — which is why [[mergeIndex]] == full rebuild
+    *    holds hash-exactly, not approximately.
+    *
+    * Persist postings AND dfreq with `Lake.writeBucketed(_, t, "term",
+    * n)` (co-bucketed): the serve-time probe and the df merge are both
+    * term equi-joins, so neither ever shuffles the index.
     */
-  def buildIndex(corpusToks: DataFrame): (DataFrame, DataFrame) = {
+  def buildIndex(corpusToks: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tf = corpusToks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val postings = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
-    (postings, stats)
+      sum(col("dl")).as("sum_dl"))
+    val postings = tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    (postings, dfreq, stats)
+  }
+
+  /** Fold a NEW batch of docs into an existing index without touching
+    * history: batch postings append, batch df counts add into the
+    * term-keyed dfreq by one full-outer term join (only the batch's
+    * terms shuffle — and none of the postings), and the 1-row stats
+    * add exactly. Contract: the batch's doc_ids are DISJOINT from the
+    * indexed corpus (new-document ingest — route updates through the
+    * CDC/SCD2 machinery first, the exact-dedup convention). The result
+    * is bit-identical to [[buildIndex]] over the union corpus —
+    * q_text_bm25_incremental's oracle is the full-corpus replay, and
+    * Bm25Spec pins the equivalence frame-by-frame.
+    */
+  def mergeIndex(postings: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                 batchToks: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (bPost, bDfreq, bStats) = buildIndex(batchToks)
+    val mPost = postings.unionByName(bPost)
+    val mDfreq = dfreq.select(col("term"), col("df").as("__df_old"))
+      .join(bDfreq.select(col("term"), col("df").as("__df_new")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__df_old"), lit(0L))
+          + coalesce(col("__df_new"), lit(0L))).as("df"))
+    val mStats = stats.unionByName(bStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (mPost, mDfreq, mStats)
   }
 
   /** Serve a query batch from a PERSISTED index ([[buildIndex]] layout):
-    * probe = one `term` equi-join of the (small, broadcast) query term
-    * list against the postings — at 100 TB the index never moves; only
-    * query terms do. Same arithmetic, fold, and ranking as [[topK]].
+    * probe = `term` equi-joins of the (small, broadcast) query term
+    * list against dfreq and the postings — at 100 TB the index never
+    * moves; only query terms do, and the postings/dfreq join keys
+    * match the bucket layout. Same arithmetic, fold, and ranking as
+    * [[topK]]; avgdl is derived here by the identical single division
+    * the ad-hoc path performs.
     */
-  def servedTopK(postings: DataFrame, stats: DataFrame,
+  def servedTopK(postings: DataFrame, dfreq: DataFrame, stats: DataFrame,
                  queryTerms: DataFrame,
                  k1: Double, b: Double, k: Int): DataFrame = {
+    val st = stats.select(col("n_docs"),
+      (col("sum_dl") / col("n_docs")).as("avgdl"))
     val parts = queryTerms
+      .join(dfreq, Seq("term"))
       .join(postings, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(st))
       .select(col("qid"), col("doc_id"), col("term"),
         partExpr(k1, b).as("part"))
     rankParts(parts, k)

@@ -255,7 +255,8 @@ class PlanSpec extends AnyFunSuite {
       "q_eval_bootstrap_ci"       -> (10, 5),
       "q_text_bpe_encode"         -> (3, 3),
       "q_sim_minhash_estimate"    -> (90, 45),
-      "q_text_bm25_lake"          -> (15, 8),
+      "q_text_bm25_lake"          -> (18, 10),
+      "q_text_bm25_incremental"   -> (65, 18),
       "q_graph_label_prop_lsh"    -> (41, 28),
       "q_mm_phash_real"           -> (3, 3),
       "q_text_ngram_novelty"      -> (13, 5),

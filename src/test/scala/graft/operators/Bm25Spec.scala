@@ -48,4 +48,30 @@ class Bm25Spec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
     assert(rows == Seq((1, 2L), (2, 1L)))
   }
+
+  test("mergeIndex == buildIndex over the union corpus, frame by frame") {
+    // The incremental-maintenance law q_text_bm25_incremental's oracle
+    // relies on: folding a disjoint batch into an index must yield
+    // bit-identical postings, dfreq, AND stats to a full rebuild —
+    // including the exact-integer stats sums (the reason stats carry
+    // sum_dl, not the derived avgdl). Batch doc 4 re-mentions 'a' and
+    // introduces 'e', so dfreq exercises both merge arms
+    // (existing-term increment and new-term insert).
+    val batchToks = Seq((4L, "a"), (4L, "e"), (4L, "e"))
+      .toDF("doc_id", "term")
+    val (hp, hd, hs) = Bm25.buildIndex(corpusToks)
+    val (mp, md, ms) = Bm25.mergeIndex(hp, hd, hs, batchToks)
+    val (fp, fd, fs) = Bm25.buildIndex(corpusToks.unionByName(batchToks))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(mp) == rows(fp))
+    assert(rows(md) == rows(fd))
+    assert(rows(ms) == rows(fs))
+    // and the SERVED answers agree with the ad-hoc path on the union
+    val q = Seq((100L, "a"), (100L, "e")).toDF("qid", "term")
+    val served = Bm25.servedTopK(mp, md, ms, q, 1.2, 0.75, 5).collect()
+    val adhoc = Bm25.topK(corpusToks.unionByName(batchToks), q,
+      1.2, 0.75, 5).collect()
+    assert(served.map(_.toSeq).toSeq == adhoc.map(_.toSeq).toSeq)
+  }
 }

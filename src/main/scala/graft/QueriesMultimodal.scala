@@ -196,20 +196,10 @@ object QueriesMultimodal {
           .agg(sum(when(col("col") > 0f,
             expr("shiftleft(CAST(1 AS BIGINT), pos)"))
             .otherwise(0L)).as("sig"))
-        val banded = sigs.select(col("media_id"), col("sig"),
-          posexplode(array(col("sig") % 4, shiftright(col("sig"), 2) % 4,
-            shiftright(col("sig"), 4) % 4, shiftright(col("sig"), 6))))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-              && col("x.media_id") < col("y.media_id"))
-          .select(col("x.media_id").as("id_a"), col("x.sig").as("sig_a"),
-            col("y.media_id").as("id_b"), col("y.sig").as("sig_b"))
-          .distinct() // a pair close in BOTH bands arrives twice
-        cand.withColumn("hamming",
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-          .filter(col("hamming") <= 2)
-          .select(col("id_a"), col("id_b"), col("hamming"))
+        // 4 bands of 2 bits over the 8-bit signature — the shared
+        // banded-Hamming join (complete for hamming <= 2: 4 > 2)
+        Multimodal.bandedHammingPairs(sigs, "media_id", "sig",
+            bits = dim, nBands = 4, maxHamming = 2)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH src AS (

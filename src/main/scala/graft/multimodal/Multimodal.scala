@@ -328,6 +328,41 @@ object Multimodal {
     }
   }
 
+  /** Banded-LSH near-dup pairs over fixed-width Hamming signatures
+    * (the scale path for [[phashLuma]] outputs): split the `bits`-wide
+    * signature into `nBands` contiguous bands, equi-join on (band,
+    * value), verify candidates by exact popcount. Banding is COMPLETE
+    * for `maxHamming` as long as `nBands > maxHamming` (h flips touch
+    * at most h bands, so at least one band matches exactly) —
+    * require()d, not assumed. Candidate volume is bucket-local like
+    * every LSH join in this library; no all-pairs stage exists.
+    * Output: (id_a, id_b, hamming), id_a < id_b, each pair once.
+    */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         bits: Int, nBands: Int,
+                         maxHamming: Int): DataFrame = {
+    require(nBands > maxHamming,
+      s"banding is only complete for hamming <= ${nBands - 1} with " +
+        s"$nBands bands (asked for $maxHamming)")
+    require(bits % nBands == 0, s"$bits bits not divisible by $nBands")
+    val w = bits / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val banded = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col(sigCol), b * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("x.__sig").as("sig_a"),
+        col("y.__id").as("id_b"), col("y.__sig").as("sig_b"))
+      .distinct() // a pair close in several bands arrives once per band
+    cand.withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block becomes one frame row — the explode shape (media_id, frame_no,
     * frame_bytes) a real frame extractor would produce.

@@ -287,6 +287,100 @@ object EventStreams {
       .groupBy(col("d"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
+  /** Streaming BM25 index ingest — the streaming face of
+    * Bm25.buildIndex/mergeIndex, in the [[sketchIngest]] idempotency
+    * shape: each micro-batch of NEW documents (id, term token rows)
+    * builds its own postings/dfreq/stats partials and lands them in
+    * batch-keyed partitions, so a crash-replayed batch OVERWRITES its
+    * own partition instead of double-counting, with no ledger. History
+    * partitions are never read or rewritten at ingest time — the
+    * mergeIndex economics, delivered by storage layout.
+    *
+    * Merge-on-read ([[readBm25Index]]) is exact, not approximate:
+    * postings are append-only (batch doc sets are disjoint — the
+    * mergeIndex contract), df adds per term, and stats are integer
+    * sums — the associativity Bm25Spec's merge law pins. StreamingSpec
+    * proves served top-k over the streamed index equals the one-shot
+    * ad-hoc ranking of the full corpus, through a replay.
+    */
+  def bm25Ingest(toks: DataFrame, idCol: String, termCol: String,
+                 indexDir: String): DataStreamWriter[Row] =
+    toks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bm25IngestBatch(batch, batchId, idCol, termCol, indexDir)
+      }
+
+  /** One micro-batch of [[bm25Ingest]], exposed so replay idempotency
+    * is directly testable.
+    */
+  def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                      termCol: String, indexDir: String): Unit =
+    if (!batch.isEmpty) {
+      val (post, dfreq, stats) = graft.operators.Bm25.buildIndex(
+        batch.select(col(idCol).as("doc_id"), col(termCol).as("term")))
+      post.write.mode("overwrite")
+        .parquet(s"$indexDir/postings/batch=$batchId")
+      dfreq.write.mode("overwrite")
+        .parquet(s"$indexDir/dfreq/batch=$batchId")
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/stats/batch=$batchId")
+    }
+
+  /** Merge-on-read of a [[bm25Ingest]] directory into the servable
+    * (postings, dfreq, stats) triple — one term-keyed sum for df, one
+    * global integer sum for stats, postings as-is.
+    */
+  def readBm25Index(spark: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$indexDir/postings")
+       .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+     spark.read.parquet(s"$indexDir/dfreq")
+       .groupBy(col("term")).agg(sum(col("df")).as("df")),
+     spark.read.parquet(s"$indexDir/stats")
+       .agg(sum(col("n_docs")).as("n_docs"),
+         sum(col("sum_dl")).as("sum_dl")))
+
+  /** Streaming media near-dup ingest — the multimodal face of the
+    * dedupIngest/bm25Ingest family: each micro-batch of (media_id,
+    * bytes) decodes for REAL (Multimodal.phashLuma — 8×8 luma-grid
+    * aHash, exact integer thresholds) and lands its per-batch
+    * signature partial in a batch-keyed partition; a crash replay
+    * overwrites itself — the decode is deterministic, so replay
+    * produces byte-identical signatures. History media bytes are
+    * never re-decoded: the signature index IS the history. Near-dup
+    * detection over the accumulated index is the banded-Hamming join
+    * ([[graft.multimodal.Multimodal.bandedHammingPairs]]) — bucket-
+    * local candidates, never all-pairs, the same scale argument as
+    * every LSH join here. StreamingSpec proves stream-then-probe
+    * equals one-shot batch phash + pairs, through a replay.
+    */
+  def phashIngest(media: DataFrame, idCol: String, bytesCol: String,
+                  sigDir: String): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashIngestBatch(batch, batchId, idCol, bytesCol, sigDir)
+      }
+
+  /** One micro-batch of [[phashIngest]], exposed for replay tests. */
+  def phashIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       bytesCol: String, sigDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val typed = batch.select(col(idCol).cast("long").as("media_id"),
+          lit("image").as("kind"), col(bytesCol).as("bytes"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.phashLuma(typed)(spark).toDF()
+        .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    }
+
+  /** The accumulated signature index of a [[phashIngest]] directory. */
+  def readPhashSigs(spark: SparkSession, sigDir: String): DataFrame =
+    spark.read.parquet(sigDir)
+      .select(col("media_id"), col("src_w"), col("src_h"), col("phash"))
+
   /** Streaming materialized-view rollup: each micro-batch's per-(day,
     * type) partial aggregate is ADDED into a JDBC serving table with
     * one additive MERGE (Jdbc.upsertAdditive) — the rolling-aggregate

@@ -180,6 +180,33 @@ class MultimodalSpec extends AnyFunSuite {
         s"phash drifted apart across scales: ${a.media_id} vs ${b.media_id}")
   }
 
+  test("bandedHammingPairs equals brute-force popcount pairs") {
+    // Handcrafted 64-bit signatures: b = a with 2 flipped bits (in the
+    // SAME band), c = a with 2 flips in DIFFERENT bands, d = far from
+    // everything, e == a exactly. Banding with 4 bands must find every
+    // pair with hamming <= 2 — including cross-band flips (two flips
+    // touch at most 2 of 4 bands, so 2 bands still match).
+    val a = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, a), (2L, a ^ 3L), (3L, a ^ (1L << 5) ^ (1L << 40)),
+      (4L, ~a), (5L, a)).toDF("media_id", "phash")
+    val got = Multimodal.bandedHammingPairs(sigs, "media_id", "phash",
+        bits = 64, nBands = 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vals = Map(1L -> a, 2L -> (a ^ 3L),
+      3L -> (a ^ (1L << 5) ^ (1L << 40)), 4L -> ~a, 5L -> a)
+    val brute = (for {
+      x <- vals.keys; y <- vals.keys if x < y
+      h = java.lang.Long.bitCount(vals(x) ^ vals(y)) if h <= 2
+    } yield (x, y, h.toLong)).toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 3L, 2L))) // the cross-band case is live
+    // banding cannot promise completeness when bands <= maxHamming
+    intercept[IllegalArgumentException] {
+      Multimodal.bandedHammingPairs(sigs, "media_id", "phash", 64, 2, 2)
+    }
+  }
+
   test("binaryFile ingestion reads bytes + length") {
     val df = Multimodal.readBinaryDir(spark,
       "/root/repo/src/test/resources/fixtures/zip", "*.zip")

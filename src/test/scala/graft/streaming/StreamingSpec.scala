@@ -182,6 +182,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(cells(EventStreams.readSketch(spark, dir)) == direct)
   }
 
+  test("bm25Ingest serves the same ranking as a one-shot index; replay replaces") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25s")
+    val dir = s"$base/index"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.bm25Ingest(
+      input.toDF().toDF("doc_id", "term"), "doc_id", "term", dir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // two disjoint doc batches of token rows
+    val b0 = Seq((10L, "a"), (10L, "a"), (10L, "b"), (11L, "a"), (11L, "c"))
+    val b1 = Seq((12L, "c"), (12L, "c"), (12L, "d"), (13L, "a"), (13L, "d"))
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((100L, "a"), (100L, "d")).toDF("qid", "term")
+    def served(): Seq[Seq[Any]] = {
+      val (p, d, s) = EventStreams.readBm25Index(spark, dir)
+      graft.operators.Bm25.servedTopK(p, d, s, queries, 1.2, 0.75, 5)
+        .collect().map(_.toSeq).toSeq
+    }
+    val adhoc = graft.operators.Bm25.topK(
+      (b0 ++ b1).toDF("doc_id", "term"), queries, 1.2, 0.75, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(served() == adhoc) // merge-on-read == one-shot ranking
+    // crash-replay of batch 1 overwrites its own partitions: unchanged
+    EventStreams.bm25IngestBatch(
+      b1.toDF("doc_id", "term"), 1L, "doc_id", "term", dir)
+    assert(served() == adhoc, "replayed batch double-counted the index")
+  }
+
+  test("phashIngest accumulates real-decode signatures; banded probe finds the scales") {
+    val base = java.nio.file.Files.createTempDirectory("graft_phash")
+    val dir = s"$base/sigs"
+    def png(n: Int): Array[Byte] = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        f"/root/repo/src/test/resources/media/img_00$n%d.png"))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = EventStreams.phashIngest(
+      input.toDF().toDF("media_id", "bytes"), "media_id", "bytes", dir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      input.addData((1L, png(1)), (2L, png(2))); q.processAllAvailable()
+      input.addData((3L, png(3))); q.processAllAvailable()
+    } finally q.stop()
+    def pairs(): Set[(Long, Long, Long)] =
+      graft.multimodal.Multimodal.bandedHammingPairs(
+          EventStreams.readPhashSigs(spark, dir), "media_id", "phash",
+          bits = 64, nBands = 4, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // the three files are the SAME image at 60/120/300 px: measured
+    // real-pixel phashes sit at hamming 1/1/0 — all three pairs must
+    // surface from the banded probe over the ACCUMULATED index
+    assert(pairs() == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 0L)))
+    // crash-replay of batch 1 overwrites its own partition: unchanged
+    EventStreams.phashIngestBatch(
+      Seq((3L, png(3))).toDF("media_id", "bytes"), 1L,
+      "media_id", "bytes", dir)
+    assert(pairs() == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 0L)))
+  }
+
   test("aggRollupSink accumulates across batches; replay adds nothing") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_rollup")
     val url = s"jdbc:derby:$dbDir/rolldb;create=true"

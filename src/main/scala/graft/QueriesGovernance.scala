@@ -452,7 +452,8 @@ object QueriesGovernance {
         val b = 100
         val reps = graft.operators.Bootstrap.replicateMean(
           Tables.orders(s, d), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)"), b, "boot")
+          col("o_totalprice").cast("decimal(18,2)"), b, "boot",
+          scale = 2)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("mean"), col("replica"))
         val ranked = reps.withColumn("__rn", row_number().over(w))
@@ -472,18 +473,19 @@ object QueriesGovernance {
         import graft.operators.Bootstrap
         val m = Bootstrap.mixedSql("h", "r.rep", 100)
         s"""WITH uh AS (
-           |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) AS vs,
            |    ${Bootstrap.unitHashSql(
                   "CAST(o_orderkey AS VARCHAR)", "boot")} AS h
            |  FROM orders),
            |reps AS (
-           |  SELECT v, r.rep,
+           |  SELECT vs, r.rep,
            |    CAST(${Bootstrap.weightFromMixedSql(m)}
            |      AS BIGINT) AS w
            |  FROM uh, (SELECT unnest(range(0, 100)) AS rep) r),
            |agg AS (
            |  SELECT rep AS replica,
-           |    CAST(sum(v * w) AS DOUBLE) AS w_sum,
+           |    CAST(sum(vs * w) AS DOUBLE) / 100.0 AS w_sum,
            |    CAST(sum(w) AS BIGINT) AS n_eff
            |  FROM reps GROUP BY 1),
            |m AS (

@@ -331,10 +331,11 @@ object Laws extends Properties("graft") {
     }
 
   // Bootstrap.replicateMean == a plain-Scala replay of the same
-  // hash-derived Poisson weights: determinism and the weighted
-  // decimal arithmetic are both pinned (the per-unit md5, the
-  // per-replica affine mix, the integer CDF ladder, and the mean must
-  // all agree with an independent implementation).
+  // hash-derived Poisson weights: determinism and the scaled-long
+  // arithmetic are both pinned (the per-unit md5, the per-replica
+  // affine mix, the integer CDF ladder, the 10^scale long scaling,
+  // and the two-step double mean must all agree with an independent
+  // implementation).
   property("poisson bootstrap replicates == scala replay") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(1, 500))) { xs =>
       xs.isEmpty || {
@@ -367,9 +368,10 @@ object Laws extends Properties("graft") {
             id -> (if (k == -1) thresholds.size.toLong else k.toLong)
           }
           val nEff = wts.map(_._2).sum
-          val wSum = rows.zip(wts).map { case ((_, v), (_, w)) =>
-            v * w }.sum
-          (rep.toLong, nEff, wSum.toDouble / nEff.toDouble)
+          val wsScaled = rows.zip(wts).map { case ((_, v), (_, w)) =>
+            (v * 1000000L).toLongExact * w }.sum
+          val wSum = wsScaled.toDouble / 1000000.0
+          (rep.toLong, nEff, wSum / nEff.toDouble)
         }
         got.toSeq == want
       }

@@ -152,13 +152,18 @@ object QueriesSimilarity {
   }
 
   /** Shared DuckDB replay of the WHOLE IVF pipeline (train ->
-    * assign -> probe -> score -> top-3). Used VERBATIM by both
-    * q_sim_ann_ivf and q_sim_ann_ivf_lake: same answer, different
-    * physical plan (the lake variant serves the index from
+    * assign -> probe -> score -> top-3). Used VERBATIM (trainPred =
+    * TRUE) by both q_sim_ann_ivf and q_sim_ann_ivf_lake: same answer,
+    * different physical plan (the lake variant serves the index from
     * cell-partitioned parquet with partition pruning) — the
     * q_u2_dedup_keep_first_agg shared-oracle precedent.
+    *
+    * `trainPred` restricts the LLOYD TRAINING population only (the
+    * final assignment still covers the whole corpus): with
+    * `vec_id < 250` it replays the frozen-centroid REBUILD that
+    * q_sim_ann_ivf_incremental's append path must hash-match.
     */
-  private lazy val ivfOracleSql: String =
+  private def ivfOracleSql(trainPred: String = "TRUE"): String =
     s"""WITH e AS (
               |  SELECT vec_id, embedding,
               |         ${normSql("embedding")} AS nrm
@@ -170,7 +175,7 @@ object QueriesSimilarity {
               |  SELECT e.vec_id, e.embedding, c.cid,
               |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
               |      AS csim
-              |  FROM e, seeds c),
+              |  FROM (SELECT * FROM e WHERE $trainPred) e, seeds c),
               |a0 AS (
               |  SELECT vec_id, embedding, cid
               |  FROM (SELECT *, row_number() OVER (
@@ -218,6 +223,139 @@ object QueriesSimilarity {
               |  SELECT qid, nid, row_number() OVER (
               |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
               |  FROM hits)
+              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  /** Shared DuckDB replay of the full IVFPQ composition (both index
+    * constructions + the three-stage search). `trainPred` restricts
+    * BOTH training populations — the IVF Lloyd pass and the PQ
+    * codebook pass — while encoding and assignment still cover the
+    * whole corpus: with `vec_id < 250` it replays the frozen-artifact
+    * REBUILD that q_sim_ann_ivfpq_incremental's append path must
+    * hash-match.
+    */
+  private def ivfpqOracleSql(trainPred: String = "TRUE"): String =
+    s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |         ${normSql("embedding")} AS nrm
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+              |  FROM e WHERE vec_id < 8),
+              |s0 AS (
+              |  SELECT e.vec_id, e.embedding, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM (SELECT * FROM e WHERE $trainPred) e, seeds c),
+              |a0 AS (
+              |  SELECT vec_id, embedding, cid
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM s0) WHERE rn = 1),
+              |dims AS (
+              |  SELECT cid, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cid, i),
+              |cents0 AS (
+              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cid),
+              |cents AS (
+              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e, cents c),
+              |assign AS (
+              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
+              |         nrm AS cenrm
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+              |        FROM scored) WHERE rn = 1),
+              |sv AS (
+              |  SELECT vec_id, CAST(j AS INT) AS sub,
+              |    list_transform(
+              |      embedding[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)],
+              |      x -> CAST(x AS DOUBLE)) AS svec
+              |  FROM embeddings, unnest(range(16)) t(j)),
+              |pseeds AS (
+              |  SELECT sub, vec_id AS cid, svec AS cvec
+              |  FROM sv WHERE vec_id < 16),
+              |ps0 AS (
+              |  SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "c.cvec")}
+              |      + ${dotSql("c.cvec", "c.cvec")} AS dd
+              |  FROM (SELECT * FROM sv WHERE $trainPred) sv JOIN pseeds c USING (sub)),
+              |pa0 AS (
+              |  SELECT vec_id, sub, svec, cid FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM ps0) WHERE rn = 1),
+              |pdims AS (
+              |  SELECT sub, cid, CAST(i AS INT) AS i,
+              |    round_even(avg(svec[CAST(i AS INT)]) * 1000000.0, 0)
+              |      / 1000000.0 AS cv
+              |  FROM pa0, unnest(range(1, 5)) t(i)
+              |  GROUP BY sub, cid, i),
+              |books AS (
+              |  SELECT sub, cid, list(cv ORDER BY i) AS cvec
+              |  FROM pdims GROUP BY sub, cid),
+              |enc0 AS (
+              |  SELECT sv.vec_id, sv.sub, b.cid,
+              |    ${dotSql("sv.svec", "sv.svec")}
+              |      - 2 * ${dotSql("sv.svec", "b.cvec")}
+              |      + ${dotSql("b.cvec", "b.cvec")} AS dd
+              |  FROM sv JOIN books b USING (sub)),
+              |codes AS (
+              |  SELECT vec_id, sub, cid AS code FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |queries AS (
+              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
+              |probes AS (
+              |  SELECT qid, cell FROM (
+              |    SELECT q.qid, c.cid AS cell,
+              |      row_number() OVER (PARTITION BY q.qid
+              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
+              |          DESC, c.cid) AS rk
+              |    FROM queries q, cents c) WHERE rk <= 2),
+              |members AS (
+              |  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (cell)
+              |  WHERE p.qid <> a.nid),
+              |qsub AS (
+              |  SELECT vec_id AS qid, sub, svec FROM sv
+              |  WHERE vec_id >= 10 AND vec_id < 20),
+              |tab AS (
+              |  SELECT q.qid, q.sub, b.cid AS code,
+              |    ${dotSql("q.svec", "b.cvec")} AS part
+              |  FROM qsub q JOIN books b USING (sub)),
+              |adc AS (
+              |  SELECT m.qid, m.nid,
+              |    list_sum(list(t.part ORDER BY t.sub)) AS adc
+              |  FROM members m
+              |  JOIN codes c ON c.vec_id = m.nid
+              |  JOIN tab t ON t.qid = m.qid AND t.sub = c.sub
+              |    AND t.code = c.code
+              |  GROUP BY m.qid, m.nid),
+              |cand AS (
+              |  SELECT qid, nid FROM (
+              |    SELECT qid, nid, row_number() OVER (
+              |      PARTITION BY qid ORDER BY adc DESC, nid) AS rk
+              |    FROM adc) WHERE rk <= 20),
+              |ex AS (
+              |  SELECT cand.qid, cand.nid,
+              |    ${dotSql("q.qe", "a.ce")} / (q.qnrm * a.cenrm) AS cos_sim
+              |  FROM cand
+              |  JOIN queries q USING (qid)
+              |  JOIN assign a ON a.nid = cand.nid)
+              |SELECT qid, rk, nid FROM (
+              |  SELECT qid, nid, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+              |  FROM ex)
               |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
   val qs: Seq[Q] = Seq(
@@ -1214,7 +1352,7 @@ object QueriesSimilarity {
             col("nrm").as("qnrm"))
         Ivf.search(queries, cents, assigned, nProbe = 2, k = 3)
       },
-      Some(ivfOracleSql)),
+      Some(ivfOracleSql())),
 
     // --------------------------------- IVF served from partitioned lake
     // The SERVING half of the IVF story: the index (cell, member
@@ -1265,7 +1403,7 @@ object QueriesSimilarity {
           .select(col("qid"), col("rk"), col("nid"))
           .orderBy(col("qid"), col("rk"))
       },
-      Some(ivfOracleSql)),
+      Some(ivfOracleSql())),
 
     // -------------------------------------------- product quantization
     // PQ-ADC ANN with exact refinement (operators/Pq, Jégou et al.
@@ -1393,129 +1531,81 @@ object QueriesSimilarity {
         Pq.searchIvfPq(queries, cents, assigned, books, codes,
           m = 16, dim = 64, nProbe = 2, candN = 20, k = 3)
       },
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding,
-              |         ${normSql("embedding")} AS nrm
-              |  FROM embeddings),
-              |seeds AS (
-              |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-              |  FROM e WHERE vec_id < 8),
-              |s0 AS (
-              |  SELECT e.vec_id, e.embedding, c.cid,
-              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
-              |      AS csim
-              |  FROM e, seeds c),
-              |a0 AS (
-              |  SELECT vec_id, embedding, cid
-              |  FROM (SELECT *, row_number() OVER (
-              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-              |        FROM s0) WHERE rn = 1),
-              |dims AS (
-              |  SELECT cid, CAST(i AS INT) AS i,
-              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
-              |      * 1000000.0, 0) / 1000000.0 AS cv
-              |  FROM a0, unnest(range(1, len(embedding) + 1)) t(i)
-              |  GROUP BY cid, i),
-              |cents0 AS (
-              |  SELECT cid, list(cv ORDER BY i) AS cvec FROM dims
-              |  GROUP BY cid),
-              |cents AS (
-              |  SELECT cid, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
-              |scored AS (
-              |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
-              |      AS csim
-              |  FROM e, cents c),
-              |assign AS (
-              |  SELECT cid AS cell, vec_id AS nid, embedding AS ce,
-              |         nrm AS cenrm
-              |  FROM (SELECT *, row_number() OVER (
-              |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-              |        FROM scored) WHERE rn = 1),
-              |sv AS (
-              |  SELECT vec_id, CAST(j AS INT) AS sub,
-              |    list_transform(
-              |      embedding[CAST(j*4+1 AS INT):CAST(j*4+4 AS INT)],
-              |      x -> CAST(x AS DOUBLE)) AS svec
-              |  FROM embeddings, unnest(range(16)) t(j)),
-              |pseeds AS (
-              |  SELECT sub, vec_id AS cid, svec AS cvec
-              |  FROM sv WHERE vec_id < 16),
-              |ps0 AS (
-              |  SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
-              |    ${dotSql("sv.svec", "sv.svec")}
-              |      - 2 * ${dotSql("sv.svec", "c.cvec")}
-              |      + ${dotSql("c.cvec", "c.cvec")} AS dd
-              |  FROM sv JOIN pseeds c USING (sub)),
-              |pa0 AS (
-              |  SELECT vec_id, sub, svec, cid FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
-              |    FROM ps0) WHERE rn = 1),
-              |pdims AS (
-              |  SELECT sub, cid, CAST(i AS INT) AS i,
-              |    round_even(avg(svec[CAST(i AS INT)]) * 1000000.0, 0)
-              |      / 1000000.0 AS cv
-              |  FROM pa0, unnest(range(1, 5)) t(i)
-              |  GROUP BY sub, cid, i),
-              |books AS (
-              |  SELECT sub, cid, list(cv ORDER BY i) AS cvec
-              |  FROM pdims GROUP BY sub, cid),
-              |enc0 AS (
-              |  SELECT sv.vec_id, sv.sub, b.cid,
-              |    ${dotSql("sv.svec", "sv.svec")}
-              |      - 2 * ${dotSql("sv.svec", "b.cvec")}
-              |      + ${dotSql("b.cvec", "b.cvec")} AS dd
-              |  FROM sv JOIN books b USING (sub)),
-              |codes AS (
-              |  SELECT vec_id, sub, cid AS code FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
-              |    FROM enc0) WHERE rn = 1),
-              |queries AS (
-              |  SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
-              |  FROM e WHERE vec_id >= 10 AND vec_id < 20),
-              |probes AS (
-              |  SELECT qid, cell FROM (
-              |    SELECT q.qid, c.cid AS cell,
-              |      row_number() OVER (PARTITION BY q.qid
-              |        ORDER BY ${dotSql("q.qe", "c.cvec")} / (q.qnrm * c.cnrm)
-              |          DESC, c.cid) AS rk
-              |    FROM queries q, cents c) WHERE rk <= 2),
-              |members AS (
-              |  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (cell)
-              |  WHERE p.qid <> a.nid),
-              |qsub AS (
-              |  SELECT vec_id AS qid, sub, svec FROM sv
-              |  WHERE vec_id >= 10 AND vec_id < 20),
-              |tab AS (
-              |  SELECT q.qid, q.sub, b.cid AS code,
-              |    ${dotSql("q.svec", "b.cvec")} AS part
-              |  FROM qsub q JOIN books b USING (sub)),
-              |adc AS (
-              |  SELECT m.qid, m.nid,
-              |    list_sum(list(t.part ORDER BY t.sub)) AS adc
-              |  FROM members m
-              |  JOIN codes c ON c.vec_id = m.nid
-              |  JOIN tab t ON t.qid = m.qid AND t.sub = c.sub
-              |    AND t.code = c.code
-              |  GROUP BY m.qid, m.nid),
-              |cand AS (
-              |  SELECT qid, nid FROM (
-              |    SELECT qid, nid, row_number() OVER (
-              |      PARTITION BY qid ORDER BY adc DESC, nid) AS rk
-              |    FROM adc) WHERE rk <= 20),
-              |ex AS (
-              |  SELECT cand.qid, cand.nid,
-              |    ${dotSql("q.qe", "a.ce")} / (q.qnrm * a.cenrm) AS cos_sim
-              |  FROM cand
-              |  JOIN queries q USING (qid)
-              |  JOIN assign a ON a.nid = cand.nid)
-              |SELECT qid, rk, nid FROM (
-              |  SELECT qid, nid, row_number() OVER (
-              |    PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
-              |  FROM ex)
-              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+      Some(ivfpqOracleSql())),
+
+    // ----------------------------------- incremental IVF maintenance
+    // The one index lifecycle the ANN family was missing (BM25, bloom,
+    // HLL, count-min, and phash all maintain incrementally): at 100 TB
+    // you append vectors to FROZEN trained centroids daily — re-training
+    // is a rare, drift-gated REBUILD, never part of ingest. Centroids
+    // train on the BASE corpus (vec_id < 250) and freeze; the base
+    // index lands cell-partitioned in the lake; the new batch
+    // (vec_id >= 250) APPENDS via Ivf.appendToLake — history files are
+    // untouched, only the batch's cells gain files, and serve-time
+    // partition pruning is unchanged. The oracle replays the
+    // frozen-centroid FULL REBUILD (train on base, assign the whole
+    // corpus), so hash equality proves append == rebuild bit-exactly —
+    // the q_text_bm25_incremental convention, now for ANN.
+    Q("q_sim_ann_ivf_incremental",
+      (s, d) => {
+        import graft.operators.Ivf
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val base = e.filter(col("vec_id") < 250)
+        val batch = e.filter(col("vec_id") >= 250)
+        val cents = Ivf.lloydCentroids(base, nSeeds = 8)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_incr").toString
+        Ivf.assign(base, cents).write.mode("overwrite")
+          .partitionBy("cell").parquet(dir)
+        Ivf.appendToLake(batch, cents, dir)
+        val merged = s.read.parquet(dir)
+          .select(col("cell").cast("long").as("cell"), col("nid"),
+            col("ce"), col("cenrm"))
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qnrm"))
+        Ivf.search(queries, cents, merged, nProbe = 2, k = 3)
+      },
+      Some(ivfOracleSql("vec_id < 250"))),
+
+    // -------------------------------- incremental IVFPQ maintenance
+    // The composed index under the same frozen-artifact contract: PQ
+    // codebooks ALSO train on the base and freeze, the batch's codes
+    // append next to its cell assignments (codes are per-vector
+    // deterministic given frozen books, so append == re-encode), and
+    // the three-stage search runs over the merged artifacts. The
+    // oracle replays the rebuild with both trainings base-restricted.
+    Q("q_sim_ann_ivfpq_incremental",
+      (s, d) => {
+        import graft.operators.{Ivf, Pq}
+        val e = Tables.embeddings(s, d)
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val base = e.filter(col("vec_id") < 250)
+        val batch = e.filter(col("vec_id") >= 250)
+        val cents = Ivf.lloydCentroids(base, nSeeds = 8)
+        val books = Pq.codebooks(base, "vec_id", "embedding",
+          m = 16, dim = 64, k = 16)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_incr").toString
+        Ivf.assign(base, cents).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$root/cells")
+        Ivf.appendToLake(batch, cents, s"$root/cells")
+        Pq.encode(base, "vec_id", "embedding", books, m = 16, dim = 64)
+          .write.mode("overwrite").parquet(s"$root/codes")
+        Pq.encode(batch, "vec_id", "embedding", books, m = 16, dim = 64)
+          .write.mode("append").parquet(s"$root/codes")
+        val assigned = s.read.parquet(s"$root/cells")
+          .select(col("cell").cast("long").as("cell"), col("nid"),
+            col("ce"), col("cenrm"))
+        val codes = s.read.parquet(s"$root/codes")
+        val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qnrm"))
+        Pq.searchIvfPq(queries, cents, assigned, books, codes,
+          m = 16, dim = 64, nProbe = 2, candN = 20, k = 3)
+      },
+      Some(ivfpqOracleSql("vec_id < 250"))),
 
     // ----------------------------------------------------- simhash dedup
     // 16-bit SimHash from word tokens; near-dup candidates = docs whose

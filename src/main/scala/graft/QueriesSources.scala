@@ -425,6 +425,48 @@ object QueriesSources {
              |WHERE user_id < 100 AND CAST(ts AS DATE) = DATE '2024-01-03'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ------------------------------------------- dynamic partition pruning
+    // The RUNTIME half of the lake's pruning story: q_lake_roundtrip
+    // pins STATIC PartitionFilters (a literal day predicate); here the
+    // day set comes from a FILTERED DIMENSION, unknowable at plan
+    // time, and Catalyst inserts a DynamicPruningExpression into the
+    // fact scan's partition filters — the dim's broadcast result
+    // decides AT RUNTIME which day= directories the fact scan reads
+    // (PlanSpec pins the executed plan; the dim broadcast is reused as
+    // the pruning filter, so DPP costs nothing extra). At 100 TB this
+    // is the difference between scanning 7 days and scanning 3 years
+    // whenever the date gate lives in a dimension instead of a
+    // literal.
+    Q("q_lake_dpp_join",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_lake_dpp").toString
+        val ev = Tables.events(s, d).filter(col("user_id") < 200)
+        Lake.writeByDay(ev, "ts", s"$root/fact")
+        // day dimension with a non-key attribute (weekday) — the
+        // filter below is on the ATTRIBUTE, so the surviving day set
+        // exists only after the dim scan runs
+        ev.select(to_date(col("ts")).as("day")).distinct()
+          .withColumn("wd", dayofweek(col("day")))
+          .write.mode("overwrite").parquet(s"$root/dim")
+        val fact = Lake.read(s, s"$root/fact")
+        val mondays = s.read.parquet(s"$root/dim")
+          .filter(col("wd") === 2).select(col("day"))
+        fact.join(mondays, Seq("day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy(col("event_type"))
+      },
+      // Spark dayofweek: Sunday=1 → Monday=2; DuckDB: Sunday=0 →
+      // Monday=1. Both literals below mean Monday.
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events
+             |WHERE user_id < 200 AND dayofweek(CAST(ts AS DATE)) = 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---------------------------------------------- Z-order layout key
     // Certification of the lake's multi-dimensional clustering key
     // (Lake.zValue — the OPTIMIZE ZORDER BY primitive): every lineitem

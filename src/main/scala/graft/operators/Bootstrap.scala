@@ -186,6 +186,14 @@ object Bootstrap {
     * multiply inside ONE codegen'd explode→partial-agg pipeline; its
     * network cost is the same O(B·partitions).
     */
+  // Contract note on `scale`: `value` is expected to carry at most
+  // `scale` decimal places. A violating input is NOT rejected — the
+  // decimal(38,scale) cast rounds it HALF_UP before the scaled-long
+  // multiply, quietly changing the statistic, and a non-Spark replay
+  // that rounds differently (e.g. banker's rounding) will hash-split.
+  // Callers needing a loud failure should pre-check
+  // `value == round(value, scale)` on their own scan; this hot path
+  // deliberately does not pay a second comparison per row.
   def replicateMean(df: DataFrame, unitKey: Column, value: Column,
                     b: Int, salt: String, scale: Int = 6): DataFrame = {
     require(b >= 2, s"need at least 2 replicas, got $b")

@@ -64,6 +64,46 @@ object Ivf {
         col("embedding").as("ce"), col("nrm").as("cenrm"))
   }
 
+  /** Incremental maintenance — the missing ANN index lifecycle next to
+    * [[Bm25.mergeIndex]]'s: assign a NEW batch of vectors to the FIXED
+    * trained centroids and append its (cell, nid, ce, cenrm) rows;
+    * history rows are never read or rewritten. At 100 TB you append
+    * vectors to frozen centroids daily — re-training is a REBUILD, a
+    * deliberate rare event triggered by drift gates (operators/Drift),
+    * not by ingest. Contract: the batch's vec_ids are disjoint from
+    * the indexed corpus (route updates through CDC/SCD2 first — the
+    * [[Bm25.mergeIndex]] convention), and `cents` is the frozen
+    * artifact the index was built with. Because [[assign]] is
+    * per-vector deterministic (argmax cosine, ties to lowest cid),
+    * append == rebuild-against-the-same-centroids BIT-EXACTLY —
+    * q_sim_ann_ivf_incremental's oracle replays the full-corpus
+    * assignment and hash-matches the appended index's answers.
+    */
+  def appendToIndex(assigned: DataFrame, cents: DataFrame,
+                    newVecs: DataFrame): DataFrame =
+    assigned.unionByName(assign(newVecs, cents))
+
+  /** Lake face of [[appendToIndex]]: the batch's assignments APPEND to
+    * the cell-partitioned parquet index (the q_sim_ann_ivf_lake
+    * layout) — only the batch's cells gain files, history files are
+    * untouched, and serve-time partition pruning is unchanged. Cell
+    * membership counts ([[cellCounts]]) merge by integer sum, so the
+    * balance telemetry stays exact under appends too.
+    */
+  def appendToLake(newVecs: DataFrame, cents: DataFrame,
+                   dir: String): Unit =
+    assign(newVecs, cents).write.mode("append")
+      .partitionBy("cell").parquet(dir)
+
+  /** Per-cell membership counts of an assigned index — the balance
+    * telemetry that decides when drifted appends warrant a re-train
+    * (a cell absorbing a disproportionate share of new vectors is the
+    * IVF analogue of an LSH hot bucket). Mergeable by integer sum:
+    * counts of two disjoint batches add exactly.
+    */
+  def cellCounts(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
   /** Probe each query's `nProbe` nearest cells, score ONLY those cells'
     * members, keep top `k` → (qid, rk, nid).
     */

@@ -455,8 +455,10 @@ object Similarity {
     * knob: when the probe side is a small query batch and the corpus
     * side joins its ONE exact bucket, deeper probing multiplies only
     * the tiny side (measured recall@20 of the sign-bit pool vs the
-    * exact ranker: 0.42 at radius 1 → 0.75 at radius 2 on the sf0.01
-    * embeddings — FusionSpec pins the floor).
+    * exact ranker: 0.42 at radius 1 → 0.77 at radius 2 on the
+    * 500-vector sf0.001 test embeddings — FusionSpec pins a 0.5 floor
+    * and radius-2 ≥ radius-1 dominance; treat that spec, not this
+    * number, as the source of truth).
     */
   def multiProbeBuckets2(bucket: Column, bits: Int): Column = {
     val ones = (0 until bits).map(i => bucket.bitwiseXOR(lit(1L << i)))

@@ -24,6 +24,38 @@ import graft.sinks.Jdbc
   */
 object EventStreams {
 
+  /** Lineage guard for the batch-keyed ingest sinks ([[dedupIngest]],
+    * [[sketchIngest]], [[bm25Ingest]], [[phashIngest]]): an ingest
+    * directory is bound to ONE checkpoint location for its lifetime,
+    * because replay idempotency keys partitions solely on the stream's
+    * batchId. Restarting against an existing dir with a FRESH
+    * checkpoint restarts batchIds at 0 and would silently OVERWRITE
+    * unrelated history partitions (data loss — and for the index
+    * sinks, silently changed served rankings). This probe turns that
+    * misconfiguration into a loud failure: batchId 0 is only legal
+    * while the dir holds nothing beyond its own `batch=0` partition.
+    * A crash-replay of the TRUE first batch overwrites only `batch=0`
+    * itself, so the legitimate replay path can never trip this. Cost:
+    * one directory listing, on batch 0 only.
+    */
+  private[streaming] def requireFreshOrSameLineage(
+      spark: SparkSession, dir: String, batchId: Long): Unit =
+    if (batchId == 0L) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val later = fs.listStatus(p).map(_.getPath.getName)
+          .filter(n => n.startsWith("batch=") && n != "batch=0")
+        require(later.isEmpty,
+          s"ingest dir $dir already holds ${later.length} batch " +
+            s"partition(s) beyond batch=0 (e.g. ${later.sorted.take(3)
+              .mkString(", ")}): it is bound to a different checkpoint " +
+            "lineage, and a fresh checkpoint restarting batchIds at 0 " +
+            "would clobber that history. Point the restarted query at " +
+            "a fresh dir, or restore the original checkpoint location.")
+      }
+    }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -216,6 +248,7 @@ object EventStreams {
                        historyDir: String): Unit =
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
+      requireFreshOrSameLineage(spark, outDir, batchId)
       val hashed = batch.withColumn("__h",
         graft.functions.HashFns.md5Long(col(textCol)))
       val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
@@ -275,9 +308,11 @@ object EventStreams {
     */
   def sketchIngestBatch(batch: DataFrame, batchId: Long, itemCol: String,
                         depth: Int, width: Int, sketchDir: String): Unit =
-    if (!batch.isEmpty)
+    if (!batch.isEmpty) {
+      requireFreshOrSameLineage(batch.sparkSession, sketchDir, batchId)
       graft.operators.CountMin.sketch(batch, itemCol, depth, width)
         .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+    }
 
   /** Merge-on-read of a [[sketchIngest]] directory: cell-wise sum of
     * the per-batch increments = the sketch of the whole stream.
@@ -295,6 +330,11 @@ object EventStreams {
     * own partition instead of double-counting, with no ledger. History
     * partitions are never read or rewritten at ingest time — the
     * mergeIndex economics, delivered by storage layout.
+    *
+    * The batch-keyed idempotency binds the index dir to ONE checkpoint
+    * location for its lifetime ([[requireFreshOrSameLineage]]): a
+    * restart with a fresh checkpoint restarts batchIds at 0 and is
+    * rejected loudly instead of clobbering history.
     *
     * Merge-on-read ([[readBm25Index]]) is exact, not approximate:
     * postings are append-only (batch doc sets are disjoint — the
@@ -317,6 +357,8 @@ object EventStreams {
   def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
                       termCol: String, indexDir: String): Unit =
     if (!batch.isEmpty) {
+      requireFreshOrSameLineage(batch.sparkSession,
+        s"$indexDir/postings", batchId)
       val (post, dfreq, stats) = graft.operators.Bm25.buildIndex(
         batch.select(col(idCol).as("doc_id"), col(termCol).as("term")))
       post.write.mode("overwrite")
@@ -368,6 +410,7 @@ object EventStreams {
                        bytesCol: String, sigDir: String): Unit =
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
+      requireFreshOrSameLineage(spark, sigDir, batchId)
       import spark.implicits._
       val typed = batch.select(col(idCol).cast("long").as("media_id"),
           lit("image").as("kind"), col(bytesCol).as("bytes"))
@@ -380,6 +423,56 @@ object EventStreams {
   def readPhashSigs(spark: SparkSession, sigDir: String): DataFrame =
     spark.read.parquet(sigDir)
       .select(col("media_id"), col("src_w"), col("src_h"), col("phash"))
+
+  /** Streaming IVF index ingest — the ANN face of the batch-keyed
+    * ingest family (the [[bm25Ingest]] idempotency shape): each
+    * micro-batch of NEW vectors is assigned to the FROZEN trained
+    * centroids persisted at `centsDir` (an
+    * [[graft.operators.Ivf.lloydCentroids]] artifact — re-training is
+    * a rare drift-gated rebuild, never part of ingest) and lands its
+    * (nid, ce, cenrm) rows under `batch=<id>/cell=<c>`: a
+    * crash-replayed batch overwrites only its own partition, history
+    * partitions are never read or rewritten, and the cell partition
+    * level keeps serve-time pruning intact. Merge-on-read
+    * ([[readIvfIndex]]) is exact — assignment is per-vector
+    * deterministic against frozen centroids, so the accumulated index
+    * is bit-identical to a one-shot [[graft.operators.Ivf.assign]] of
+    * the whole stream (StreamingSpec proves it through a replay).
+    * Bound to one checkpoint lineage like every sink in this family
+    * ([[requireFreshOrSameLineage]]).
+    */
+  def ivfIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                centsDir: String, indexDir: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestBatch(batch, batchId, idCol, vecCol, centsDir, indexDir)
+      }
+
+  /** One micro-batch of [[ivfIngest]], exposed for replay tests. */
+  def ivfIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                     vecCol: String, centsDir: String,
+                     indexDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      requireFreshOrSameLineage(spark, indexDir, batchId)
+      val cents = spark.read.parquet(centsDir)
+      val e = batch.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding"))
+        .withColumn("nrm",
+          graft.operators.Similarity.norm(col("embedding")))
+      graft.operators.Ivf.assign(e, cents).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$indexDir/batch=$batchId")
+    }
+
+  /** Merge-on-read of an [[ivfIngest]] directory into the servable
+    * assignment frame (cell, nid, ce, cenrm) — partition discovery
+    * surfaces both levels, so a probed-cell filter still prunes.
+    */
+  def readIvfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .select(col("cell").cast("long").as("cell"), col("nid"),
+        col("ce"), col("cenrm"))
 
   /** Streaming materialized-view rollup: each micro-batch's per-(day,
     * type) partial aggregate is ADDED into a JDBC serving table with

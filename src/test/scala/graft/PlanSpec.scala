@@ -402,6 +402,98 @@ class PlanSpec extends AnyFunSuite {
       s"served IVF scan lost its cell partition filter:\n$plan")
   }
 
+  test("q_lake_dpp_join: fact scan prunes at RUNTIME via DynamicPruning") {
+    // q_lake_roundtrip pins STATIC partition pruning (literal day
+    // predicate). This pins the DYNAMIC half the lake claims: the day
+    // set comes from a filtered dimension, so the fact scan's
+    // partition filters must carry a DynamicPruningExpression — the
+    // dim's broadcast deciding at runtime which day= directories are
+    // read. Losing this silently reverts to scanning every day.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    val d = df("q_lake_dpp_join")
+    d.collect() // materializes the lake writes + the AQE final plan
+    val scans = allNodes(d.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    val dppScans = scans.filter(_.partitionFilters.exists(
+      _.find(_.isInstanceOf[DynamicPruningExpression]).isDefined))
+    assert(dppScans.nonEmpty,
+      s"no scan carries a DynamicPruningExpression:\n${planString(d)}")
+    // and it is the day-partitioned FACT scan being pruned
+    assert(dppScans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "day"))),
+      s"DPP landed on the wrong scan:\n${planString(d)}")
+  }
+
+  test("AQE splits a manufactured hot-key sort-merge join (skew=true)") {
+    // q_salted_skew_join covers the REWRITE answer to join skew; this
+    // pins the RUNTIME answer its scaladoc defers to for big × big:
+    // AQE's OptimizeSkewedJoin must split a hot shuffle partition into
+    // advisory-sized chunks (duplicating the matching other side)
+    // instead of letting one reducer absorb the hot key. Thresholds
+    // are lowered to make a local-scale hot key visible; the assertion
+    // is structural (SortMergeJoinExec.isSkewJoin), not a string grep.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // Option(...) guards keys whose getter returns null when unset —
+    // restoring null via conf.set throws; unset them instead.
+    val saved = keys.map(k =>
+      k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        (256 * 1024).toString)
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (128 * 1024).toString)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 60k rows, half on ONE hot key, ~75 B/row → the hot partition is
+      // ~2.2 MB against a ~70 KB median: over threshold AND over factor
+      val pad = "x" * 64
+      val big = spark.range(0, 60000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 7).as("v"))
+      val j = big.join(dim, Seq("k"))
+      // collect j ITSELF (count() would execute a different plan and
+      // leave j's adaptive plan unfinalized); sanity: 30000 hot-key
+      // matches + the 500 odd ids below 1000
+      assert(j.collect().length == 30500)
+      val smjs = allNodes(j.queryExecution.executedPlan)
+        .collect { case s: SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n${planString(j)}")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the hot-key join as skew:\n${planString(j)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
+  test("q_salted_skew_join executes on (key, salt) — the spread is real") {
+    // The salted twin's whole point: the equi-join must carry TWO keys
+    // (business key + salt), so the hot key's rows land on `buckets`
+    // reducers. A refactor that drops the salt from the join keys
+    // silently reverts to the single hot reducer.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val d = df("q_salted_skew_join")
+    d.collect()
+    val joins = allNodes(d.queryExecution.executedPlan).collect {
+      case s: SortMergeJoinExec    => s.leftKeys.length
+      case s: ShuffledHashJoinExec => s.leftKeys.length
+      case s: BroadcastHashJoinExec => s.leftKeys.length
+    }
+    assert(joins.exists(_ >= 2),
+      s"salted join lost its salt key:\n${planString(d)}")
+  }
+
   /** Every physical node in the FINAL executed plan, descending through
     * AQE stages, cached-relation lineages, reused exchanges, and
     * subqueries — text-grepping the plan can't distinguish WHICH join a
@@ -477,9 +569,25 @@ class PlanSpec extends AnyFunSuite {
       val nodes = allNodes(d.queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$q grew a CartesianProduct:\n${planString(d)}")
+      // Whitelist = the BM25 stats broadcast, identified STRUCTURALLY:
+      // the broadcast side must output exactly {n_docs, avgdl} AND be a
+      // global (grouping-less) aggregate subtree — guaranteed 1 row. An
+      // unrelated future cartesian that merely names its columns
+      // n_docs/avgdl would not be a global aggregate and still fails.
+      def isGlobalAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        allNodes(p).exists {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }
       val rogue = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
-        .filterNot(b => b.children.exists(
-          _.output.map(_.name).toSet == Set("n_docs", "avgdl")))
+        .filterNot(b => b.children.exists(c =>
+          c.output.map(_.name).toSet == Set("n_docs", "avgdl")
+            && isGlobalAgg(c)))
       assert(rogue.isEmpty,
         s"$q grew a BroadcastNestedLoopJoin beyond the 1-row BM25 stats " +
           s"broadcast: ${rogue.map(_.verboseString(3))}\n${planString(d)}")

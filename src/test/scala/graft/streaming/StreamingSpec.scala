@@ -182,6 +182,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(cells(EventStreams.readSketch(spark, dir)) == direct)
   }
 
+  test("batch-keyed ingest rejects a fresh-checkpoint restart over history") {
+    // An ingest dir is bound to one checkpoint lineage: a restart with
+    // a FRESH checkpoint restarts batchIds at 0, and writing batch=0
+    // into a dir that already holds later partitions would silently
+    // clobber unrelated history. The guard must fail that loudly —
+    // while still allowing the legitimate crash-replay of the true
+    // first batch (only batch=0 exists).
+    val base = java.nio.file.Files.createTempDirectory("graft_lineage")
+    val dir = s"$base/sketch"
+    EventStreams.sketchIngestBatch(Seq("a").toDF("key"), 0L, "key", 3, 8, dir)
+    // replay of the true batch 0: allowed (only batch=0 present)
+    EventStreams.sketchIngestBatch(Seq("a").toDF("key"), 0L, "key", 3, 8, dir)
+    EventStreams.sketchIngestBatch(Seq("b").toDF("key"), 1L, "key", 3, 8, dir)
+    // fresh-checkpoint restart: batchId 0 against history ⊃ {batch=1}
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.sketchIngestBatch(Seq("c").toDF("key"), 0L, "key", 3, 8, dir)
+    }
+    assert(e.getMessage.contains("checkpoint lineage"))
+    // and the history it would have clobbered is intact
+    val after = EventStreams.readSketch(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val direct2 = graft.operators.CountMin.sketch(
+      Seq("a", "b").toDF("key"), "key", 3, 8).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(after == direct2)
+  }
+
   test("bm25Ingest serves the same ranking as a one-shot index; replay replaces") {
     val base = java.nio.file.Files.createTempDirectory("graft_bm25s")
     val dir = s"$base/index"
@@ -211,6 +238,59 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.bm25IngestBatch(
       b1.toDF("doc_id", "term"), 1L, "doc_id", "term", dir)
     assert(served() == adhoc, "replayed batch double-counted the index")
+  }
+
+  test("ivfIngest assigns to frozen centroids; merge == one-shot; replay replaces") {
+    import graft.operators.{Ivf, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfs")
+    val centsDir = s"$base/cents"; val dir = s"$base/index"
+    // deterministic 4-dim vectors, all-positive so cosine structure is
+    // non-degenerate across the 4 seeded cells
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(4)(j => math.abs(math.sin(i * 7.0 + j * 3.0)) + 0.1)
+    val train = (0 until 10).map(i => (i.toLong, vec(i)))
+    val trainDf = train.toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    // the frozen artifact: centroids train ONCE, persist, and ingest
+    // only ever reads them — the rebuild-vs-append boundary
+    Ivf.lloydCentroids(trainDf, nSeeds = 4)
+      .write.mode("overwrite").parquet(centsDir)
+    val input = MemoryStream[(Long, Array[Double])](spark)
+    val q = EventStreams.ivfIngest(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centsDir, dir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val b1 = (10 until 30).map(i => (i.toLong, vec(i)))
+    try {
+      input.addData(train: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cents = spark.read.parquet(centsDir)
+    val queries = trainDf.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    def searched(assigned: org.apache.spark.sql.DataFrame) =
+      Ivf.search(queries, cents, assigned, nProbe = 2, k = 3)
+        .collect().map(_.toSeq).toSeq
+    val got = searched(EventStreams.readIvfIndex(spark, dir))
+    // one-shot: assign the whole stream against the same frozen
+    // centroids — merge-on-read must be bit-identical
+    val allDf = (train ++ b1).toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val oneShot = searched(Ivf.assign(allDf, cents))
+    assert(got == oneShot)
+    // cell counts stay exact under the merge too (integer-sum law)
+    val streamed = Ivf.cellCounts(EventStreams.readIvfIndex(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Ivf.cellCounts(Ivf.assign(allDf, cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == direct)
+    // crash-replay of batch 1 overwrites its own partition: unchanged
+    EventStreams.ivfIngestBatch(b1.toDF("vec_id", "embedding"), 1L,
+      "vec_id", "embedding", centsDir, dir)
+    assert(searched(EventStreams.readIvfIndex(spark, dir)) == oneShot,
+      "replayed batch changed the served index")
   }
 
   test("phashIngest accumulates real-decode signatures; banded probe finds the scales") {

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""sf1 correctness gate: replay the DuckDB oracle over a Verify dump at
+an arbitrary SF dir and emit a CORRECTNESS_r{N}-shaped JSON artifact.
+
+Same comparison semantics as the driver (and tools/check.py): columns
+sorted by name, rows sorted by all columns, values compared EXACTLY
+(dtype splits like int64-vs-float64 fail, as the driver's stringify-hash
+would). "hash_match" here means that exact value comparison passed.
+
+Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson>
+"""
+import json, sys, glob, os, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import compare
+
+
+def gk_rank_tolerance(con, oracle_sql, spark_files):
+    """Verify q_text_quality_prune_approx's above-accuracy contract:
+    the rank of the sketch's cutoff value is within eps*n = n/10000 of
+    ceil(0.25*n). Returns (ok, message)."""
+    import math
+    idx = oracle_sql.index("\nc AS (")
+    head = oracle_sql[:idx].rstrip().rstrip(",")
+    scores = con.execute(head + "\nSELECT stop_ratio FROM sc") \
+        .fetchdf()["stop_ratio"]
+    spark_cut = con.execute(
+        f"SELECT min(stop_ratio) FROM read_parquet({spark_files!r})"
+    ).fetchone()[0]
+    n = len(scores)
+    target = math.ceil(0.25 * n)
+    rank_lo = int((scores < spark_cut).sum()) + 1
+    rank_hi = int((scores <= spark_cut).sum())
+    err = (0 if rank_lo <= target <= rank_hi
+           else min(abs(rank_lo - target), abs(rank_hi - target)))
+    bound = n / 10000.0
+    msg = (f"cutoff {spark_cut} spans ranks [{rank_lo},{rank_hi}], "
+           f"target {target}, rank_err {err} <= eps*n {bound}")
+    return err <= bound, msg
+
+
+def main(sf_dir, out_dir, out_json):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    report = {}
+    results = sorted(d for d in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, d)))
+    n_fail = 0
+    for name in results:
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "spark_rows": None,
+                 "oracle_rows": None, "err": None, "oracle_sec": None}
+        report[name] = entry
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            entry["err"] = "no spark output"; n_fail += 1
+            print(f"FAIL {name}: no spark output", flush=True); continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        entry["spark_rows"] = len(got)
+        if name not in oracle:
+            entry["err"] = "rows-only (no oracle sql)"
+            print(f"SKIP {name}: rows-only ({len(got)} rows)", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            entry["err"] = f"oracle SQL error: {e}"; n_fail += 1
+            print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
+            continue
+        entry["oracle_sec"] = round(time.time() - t0, 1)
+        entry["oracle_rows"] = len(exp)
+        entry["rows_match"] = len(got) == len(exp)
+        gcols = sorted(got.columns); ecols = sorted(exp.columns)
+        entry["schema_match"] = gcols == ecols
+        ok, msg = compare(got, exp)
+        entry["hash_match"] = ok
+        if ok:
+            print(f"PASS {name} ({len(got)} rows, oracle "
+                  f"{entry['oracle_sec']}s)", flush=True)
+        elif name == "q_text_quality_prune_approx":
+            # Documented tolerance case (see the query's scaladoc): the
+            # GK sketch at accuracy=10000 is EXACT below 10000 rows —
+            # the sf<=0.1 gate — but above that its contract is a
+            # bounded RANK error: |rank(cutoff) - ceil(0.25 n)| <= n/1e4.
+            # Ties at the chosen cutoff VALUE legitimately move the
+            # selected-row count by more than the rank error, so the
+            # row-set bar doesn't apply; the rank bound is the contract
+            # and is verified here instead.
+            tol_ok, tol_msg = gk_rank_tolerance(con, oracle[name], files)
+            entry["tolerance_ok"] = tol_ok
+            entry["err"] = ("GK sketch rank-error case above accuracy "
+                            f"rows: {tol_msg}")
+            if tol_ok:
+                print(f"PASS(tol) {name}: {tol_msg}", flush=True)
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: rank bound violated: {tol_msg}",
+                      flush=True)
+        else:
+            entry["err"] = msg; n_fail += 1
+            print(f"FAIL {name}: {msg}", flush=True)
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\n{len(report) - n_fail} pass, {n_fail} fail, "
+          f"{len(report)} total -> {out_json}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))

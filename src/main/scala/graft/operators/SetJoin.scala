@@ -33,6 +33,25 @@ import org.apache.spark.sql.functions._
   * corpus); and exact verification that carries candidate pairs plus
   * 8-byte element hashes (Similarity.jaccardForPairs), never element
   * strings.
+  *
+  * COST CONTRACT — read before trusting the shape above at scale: the
+  * candidate join's volume is Σ_e p(e)² over prefix-dfs p(e). That is
+  * LINEAR in corpus growth only while the element vocabulary grows
+  * with the corpus (Heaps' law, true of real text), keeping rare
+  * elements rare. On a CLOSED vocabulary the dfs themselves scale with
+  * the corpus and the join goes quadratic — measured on the synthetic
+  * 31-word corpus at the sf1 decade: distinct 3-grams grew only +9%
+  * (27,213 → 29,791) while docs grew 10×, so every prefix-df grew ~10×
+  * (max 10 → 83) and Σ p(e)² grew 98× (731,791 → 71,940,464), with
+  * wall-clock tracking it (SCALING.md round 11). An exact algorithm
+  * cannot dodge this — the information is in the collisions — so the
+  * guards are: [[prefixHotElements]] (the observability report that
+  * says WHICH elements are inflating, the Similarity.hotBuckets
+  * convention), the positional filter below (cuts verification, the
+  * dominant stage, for the pairs the bound disproves), and the
+  * documented fallback that closed-vocab corpora belong on the
+  * probabilistic banded twins (q_sim_lsh_neardup held 4.8× on the same
+  * decade).
   */
 object SetJoin {
 
@@ -57,25 +76,73 @@ object SetJoin {
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("__df"), col(elemCol))))
-    // prefix length |S| − ⌈t·|S|⌉ + 1
+    // prefix length |S| − ⌈t·|S|⌉ + 1; __pos rides along for the
+    // positional filter below
     val prefix = ranked
       .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
-      .select(col(idCol), col(elemCol), col("__sz"))
+      .select(col(idCol), col(elemCol), col("__sz"), col("__pos"))
     val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
-        col("__sz").as("__sa"))
+        col("__sz").as("__sa"), col("__pos").as("__pa"))
       .join(prefix.select(col(elemCol), col(idCol).as("id_b"),
-        col("__sz").as("__sb")), Seq(elemCol))
+        col("__sz").as("__sb"), col("__pos").as("__pb")), Seq(elemCol))
       .filter(col("id_a") < col("id_b"))
       // length filter: |A∩B| <= min and >= ⌈t·max⌉ force min >= ⌈t·max⌉
       .filter(least(col("__sa"), col("__sb")) >=
         ceil(lit(t) * greatest(col("__sa"), col("__sb"))))
-      .select(col("id_a"), col("id_b")).distinct()
+      // POSITIONAL filter (PPJoin's second filter, same paper): a
+      // shared element at ranks (pa, pb) caps the overlap at
+      // 1 + min(|A|−pa, |B|−pb), and Jaccard >= t needs overlap
+      // >= ⌈t/(1+t)·(|A|+|B|)⌉. Keep a pair iff SOME shared occurrence
+      // still allows it — lossless, because for a true pair the FIRST
+      // common element in the global order (provably inside both
+      // prefixes) realizes a bound >= the true overlap. The groupBy
+      // replaces the old distinct() — same shuffle, and every pair
+      // this drops skips the (pair × set-size) verification join,
+      // which dominates when a closed element vocabulary inflates
+      // candidate counts (see scaladoc).
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb"))).as("__m"),
+        first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
+      .filter(lit(1) + col("__m") >=
+        ceil(lit(t) / (1 + t) * (col("__sa") + col("__sb"))))
+      .select(col("id_a"), col("id_b"))
     // verify directly on the element column (jaccardForPairsHashed only
     // needs equality — pre-hash elements to 8-byte longs upstream and
     // every stage here, prefix AND verify, shuffles longs not strings)
     Similarity.jaccardForPairsHashed(cand,
         distinctSets.select(col(idCol), col(elemCol).as("h")), idCol)
       .filter(col("jaccard") >= t)
+  }
+
+  /** Prefix-df report — the early warning for the closed-vocabulary
+    * regime in the cost contract above: elements whose PREFIX df
+    * exceeds `maxDf`, with their prefix and global dfs, heaviest
+    * first. Each row contributes p(e)² candidate pairs; a fattening
+    * tail here is the signal to route the corpus to the banded
+    * probabilistic twins (or raise `t`) BEFORE the join is attempted.
+    * Same shuffle shape (and key) as the candidate join itself, minus
+    * the square.
+    */
+  def prefixHotElements(sets: DataFrame, idCol: String, elemCol: String,
+                        t: Double, maxDf: Long): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val distinctSets = sets.select(col(idCol), col(elemCol)).distinct()
+    val dfreq = distinctSets.groupBy(col(elemCol))
+      .agg(count(lit(1)).as("__df"))
+    val sized = distinctSets
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val ranked = sized.join(dfreq, Seq(elemCol))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__df"), col(elemCol))))
+    ranked
+      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .groupBy(col(elemCol), col("__df"))
+      .agg(count(lit(1)).as("prefix_df"))
+      .filter(col("prefix_df") > maxDf)
+      .select(col(elemCol), col("prefix_df"), col("__df").as("global_df"))
+      .orderBy(col("prefix_df").desc, col(elemCol))
   }
 
   /** Directional containment self-join: all ordered pairs (id_a, id_b),
@@ -107,14 +174,25 @@ object SetJoin {
           .orderBy(col("__df"), col(elemCol))))
     val prefix = ranked
       .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
-      .select(col(idCol), col(elemCol), col("__sz"))
+      .select(col(idCol), col(elemCol), col("__sz"), col("__pos"))
     val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
-        col("__sz").as("__sa"))
-      .join(sized.select(col(elemCol), col(idCol).as("id_b"),
-        col("__sz").as("__sb")), Seq(elemCol))
+        col("__sz").as("__sa"), col("__pos").as("__pa"))
+      .join(ranked.select(col(elemCol), col(idCol).as("id_b"),
+        col("__sz").as("__sb"), col("__pos").as("__pb")), Seq(elemCol))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("__sb") >= ceil(lit(t) * col("__sa")))
-      .select(col("id_a"), col("id_b")).distinct()
+      // positional filter, asymmetric form: overlap needs >= ⌈t·|A|⌉,
+      // and a shared element at ranks (pa, pb) caps it at
+      // 1 + min(|A|−pa, |B|−pb). Keep-if-any is lossless by the same
+      // first-common-element argument as the Jaccard form (the first
+      // common element provably sits inside A's prefix; pb is its rank
+      // in B's FULL df-ranked list, which the join side carries).
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb"))).as("__m"),
+        first(col("__sa")).as("__sa"))
+      .filter(lit(1) + col("__m") >= ceil(lit(t) * col("__sa")))
+      .select(col("id_a"), col("id_b"))
     val shd = distinctSets.select(col(idCol), col(elemCol).as("h"))
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     cand

@@ -93,6 +93,22 @@ class SetJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixHotElements reports closed-vocab inflation, heaviest first") {
+    // six 2-element sets all share "hot": with t=0.5 the prefix keeps
+    // both elements, so hot's prefix df is 6 — each such element
+    // contributes p² candidate pairs, which is what the report warns
+    // about (the sf1 closed-vocab finding, SCALING.md round 11)
+    val sets = (1L to 6L).map(i => i -> Set("hot", s"u$i"))
+    val df = sets.flatMap { case (id, s) => s.map(id -> _) }
+      .toDF("id", "elem")
+    val rep = SetJoin.prefixHotElements(df, "id", "elem", 0.5, maxDf = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("hot", 6L, 6L)))
+    // a cap above every prefix df reports nothing
+    assert(SetJoin.prefixHotElements(df, "id", "elem", 0.5, 10)
+      .collect().isEmpty)
+  }
+
   test("prefix candidates prune: disjoint corpus verifies zero pairs") {
     // every set unique-element — no prefix collision, so the verify
     // stage gets an empty pair frame and the result is empty

@@ -2161,6 +2161,53 @@ object QueriesSimilarity {
              |WHERE n_inter / sa.n >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --------------------------------- prefix hot-element report
+    // The closed-vocabulary early warning for the exact set joins
+    // (SetJoin cost contract, SCALING.md round 11): every reported
+    // element contributes prefix_df² candidate pairs to
+    // q_sim_setjoin_prefix's join, so a fattening tail here is the
+    // routing signal toward the banded probabilistic twins BEFORE the
+    // quadratic join is attempted. Same element hashing and prefix
+    // rule as the join itself; the oracle replays rank, prefix, and
+    // report exactly.
+    Q("q_sim_prefix_hot_report",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val hashed = Similarity.hashedShingles(
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id")
+        graft.operators.SetJoin
+          .prefixHotElements(hashed, "doc_id", "h", 0.6, maxDf = 2)
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split(
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |ng AS (
+             |  SELECT DISTINCT doc_id,
+             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+             |  WHERE len(toks) >= 3),
+             |hng AS (SELECT DISTINCT doc_id,
+             |          ${HashFns.md5LongSql("ngram")} AS h
+             |        FROM ng),
+             |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
+             |dfreq AS (SELECT h, count(*) AS df FROM hng GROUP BY h),
+             |ranked AS (
+             |  SELECT hng.doc_id, hng.h, sz.n, dfreq.df,
+             |    row_number() OVER (PARTITION BY hng.doc_id
+             |      ORDER BY dfreq.df, hng.h) AS pos
+             |  FROM hng JOIN sz USING (doc_id) JOIN dfreq USING (h)),
+             |pref AS (
+             |  SELECT doc_id, h, df FROM ranked
+             |  WHERE pos <= n - ceil(0.6 * n) + 1)
+             |SELECT h, count(*) AS prefix_df, df AS global_df
+             |FROM pref GROUP BY h, df HAVING count(*) > 2
+             |ORDER BY prefix_df DESC, h""".stripMargin)),
+
     // ------------------------- degree-ordered triangle counting (kNN graph)
     // operators/Triangles over the same cosine kNN-3 edge build as
     // q_graph_pagerank (labeled baseline; q_graph_triangles_lsh is the

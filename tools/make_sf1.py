@@ -41,7 +41,14 @@ group/key cardinalities by 10, and keeps skew shape — the properties
 a wall-clock scaling probe needs. It is NOT driver data: sf1 numbers
 feed SCALING.md only, never correctness oracles.
 
-Usage: python3 tools/make_sf1.py [outdir=/root/repo/target/sf1]
+A second decade (sf10) is the same construction with 100 replicas:
+`python3 tools/make_sf1.py /root/repo/target/sf10 100`. Replica seeds
+are keyed by ABSOLUTE replica index, so sf1 is a strict prefix of
+sf10's replica set and the sf1 output stays bit-for-bit unchanged.
+The key-offset steps (powers of 10 well above each sf0.1 cardinality)
+keep replica key ranges disjoint up to 1,000+ replicas.
+
+Usage: python3 tools/make_sf1.py [outdir=/root/repo/target/sf1] [replicas=10]
 """
 import os
 import random
@@ -51,7 +58,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 EMB_DIM = 64
 
 # table -> (key offsets applied per replica r as col + r * step)

@@ -1849,7 +1849,9 @@ object QueriesSimilarity {
     // driver-side count() buys the corpus size before the plan is
     // built, the same pattern q_sim_embedding_neardup uses for its
     // sign-bit width. Output flags every vector so the kept/dropped
-    // decision is fully pinned.
+    // decision is fully pinned. n^1.5 makes this the LABELED FAITHFUL
+    // BASELINE (sf10 measured 29.5× for 10× data, as the exponent
+    // predicts); q_sim_semdedup_lsh below is the linear scale twin.
     Q("q_sim_semdedup",
       (s, d) => {
         val k = Similarity.adaptiveSeedCount(Tables.embeddings(s, d).count())
@@ -1943,6 +1945,108 @@ object QueriesSimilarity {
               |  FROM (SELECT *, row_number() OVER (
               |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
               |        FROM scored) WHERE rn = 1),
+              |dropped AS (
+              |  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.vec_id
+              |                       ELSE b.vec_id END AS vec_id
+              |  FROM assign a JOIN assign b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")}
+              |          / (a.nrm * b.nrm) >= 0.45)
+              |SELECT a.vec_id, a.cell,
+              |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+              |    AS BIGINT) AS is_kept
+              |FROM assign a LEFT JOIN dropped d USING (vec_id)
+              |ORDER BY a.vec_id""".stripMargin)),
+
+    // ------------------------------------ semantic dedup, linear twin
+    // The sf10 sweep measured q_sim_semdedup at 29.5× for 10× data —
+    // exactly the n^1.5 its √n-cell contract predicts (both the n×k
+    // assignment scan and the Σ cellSize² pair stage are n^1.5 when
+    // k = √n). This twin replaces the k-means cells with adaptive
+    // sign-bit LSH cells (Similarity.adaptiveSignBits: expected cell
+    // size ~32 at ANY corpus size), which makes every stage linear:
+    // assignment is a hash of the sign pattern (no centroid scan at
+    // all), the cell centroid is the members' coordinate mean (one
+    // groupBy), and within-cell pairs are Σ cell² ≈ 32n. Same
+    // SemDeDup keep-rule as the baseline (drop the member MORE similar
+    // to its centroid; ties drop the higher id). Random-projection
+    // cells are a coarser partition than k-means cells — near-dups
+    // whose sign patterns straddle a cell boundary are missed, the
+    // recall trade every `_lsh` twin makes — so q_sim_semdedup stays
+    // the labeled faithful baseline and this is the plan you'd run at
+    // 100 TB. Skewed cells (embedding dims far from centered) are
+    // observable via Similarity.hotBuckets, the same routing report
+    // the minhash family uses.
+    Q("q_sim_semdedup_lsh",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val bits = Similarity.adaptiveSignBits(base.count())
+        val e = base
+          .withColumn("cell",
+            Similarity.signBitBucket(col("embedding"), bits))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val cents = e
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((bround(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+            .as("cv"))
+          .groupBy(col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .select(col("cell"), col("cvec"),
+            Similarity.norm(col("cvec")).as("cnrm"))
+        val assign = e.join(cents, Seq("cell"))
+          .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"),
+            (Similarity.dot(col("embedding"), col("cvec"))
+              / (col("nrm") * col("cnrm"))).as("csim"))
+        val a = assign.select(col("cell"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("nrm").as("na"),
+          col("csim").as("ca"))
+        val b = assign.select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"),
+          col("csim").as("cb"))
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter((Similarity.dot(col("ea"), col("eb"))
+            / (col("na") * col("nb"))) >= 0.45)
+          .select(when(col("ca") > col("cb"), col("id_a"))
+            .otherwise(col("id_b")).as("vec_id"))
+          .distinct()
+        assign
+          .join(dropped.withColumn("__dropped", lit(1L)), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"), col("cell"),
+            col("__dropped").isNull.cast("int").cast("long").as("is_kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT LEAST(24, GREATEST(4,
+              |    length(bin((count(*) + 31) // 32 - 1)))) AS bits
+              |  FROM embeddings),
+              |e AS (
+              |  SELECT vec_id, embedding,
+              |    CAST(list_sum(list_transform(range(p.bits), i ->
+              |      CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+              |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS cell,
+              |    ${normSql("embedding")} AS nrm
+              |  FROM embeddings, p),
+              |dims AS (
+              |  SELECT cell, CAST(i AS INT) AS i,
+              |    round_even(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+              |      * 1000000.0, 0) / 1000000.0 AS cv
+              |  FROM e, unnest(range(1, len(embedding) + 1)) t(i)
+              |  GROUP BY cell, i),
+              |cents0 AS (
+              |  SELECT cell, list(cv ORDER BY i) AS cvec FROM dims
+              |  GROUP BY cell),
+              |cents AS (
+              |  SELECT cell, cvec, ${normSql("cvec")} AS cnrm FROM cents0),
+              |assign AS (
+              |  SELECT e.cell, e.vec_id, e.embedding, e.nrm,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)
+              |      AS csim
+              |  FROM e JOIN cents c USING (cell)),
               |dropped AS (
               |  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.vec_id
               |                       ELSE b.vec_id END AS vec_id

@@ -563,7 +563,8 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh",
         "q_graph_label_prop_lsh", "q_graph_triangles_lsh",
-        "q_graph_clustering_coeff_lsh", "q_text_rrf_fusion_ann")) {
+        "q_graph_clustering_coeff_lsh", "q_text_rrf_fusion_ann",
+        "q_sim_semdedup_lsh")) {
       val d = df(q)
       d.collect()
       val nodes = allNodes(d.queryExecution.executedPlan)

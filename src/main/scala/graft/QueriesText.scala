@@ -72,6 +72,14 @@ object QueriesText {
     * folds — ends at `tot(qid, doc_id, score)`. Used verbatim by
     * q_text_bm25_topk and the RRF fusion oracle so the two replays
     * cannot drift.
+    *
+    * `parts` is `AS MATERIALIZED` (a DuckDB-only execution hint; the
+    * result is identical): at sf10 (42M part rows on the closed
+    * vocabulary) DuckDB's pipelined execution of the ordered-list fold
+    * directly over the term join exhausted its 100 GiB budget, while
+    * materializing `parts` first runs the same fold in 0.2 s — the
+    * ordered-aggregate-over-join shape keeps per-group sort state live
+    * across the whole join when fused.
     */
   private lazy val bm25CtesSql =
     s"""toks AS (
@@ -90,7 +98,7 @@ object QueriesText {
        |       FROM dl),
        |qt AS (SELECT DISTINCT doc_id AS qid, term FROM toks
        |       WHERE doc_id < 5),
-       |parts AS (
+       |parts AS MATERIALIZED (
        |  SELECT q.qid, t.doc_id, q.term,
        |    ((st.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
        |      * (t.tf * (1.2e0 + 1.0e0))

@@ -43,16 +43,25 @@ def gk_rank_tolerance(con, oracle_sql, spark_files):
     return err <= bound, msg
 
 
-def main(sf_dir, out_dir, out_json):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir, out_json):
+    # One connection PER QUERY: a DuckDB OutOfMemoryException poisons
+    # the connection's buffer pool — at sf10 a single OOM oracle made
+    # every subsequent (individually fine) oracle fail with tiny
+    # bad-allocation errors. Views are cheap to re-create.
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     report = {}
     results = sorted(d for d in os.listdir(out_dir)
                      if os.path.isdir(os.path.join(out_dir, d)))
     n_fail = 0
     for name in results:
+        con = fresh_con(sf_dir)
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None, "oracle_sec": None}

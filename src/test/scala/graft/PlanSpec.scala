@@ -441,7 +441,8 @@ class PlanSpec extends AnyFunSuite {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     // Option(...) guards keys whose getter returns null when unset —
     // restoring null via conf.set throws; unset them instead.
     val saved = keys.map(k =>
@@ -454,6 +455,15 @@ class PlanSpec extends AnyFunSuite {
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // The fixture's sizes are calibrated to a shuffle width equal to
+      // the session's shuffle.partitions; the session-wide 8x
+      // initialPartitionNum (Sessions.builder) spreads 60k rows so
+      // thin that the skew detector's calculus changes on this
+      // synthetic. Pin the width the fixture was built for —
+      // production skew (partitions past the REAL 256 MB threshold)
+      // is width-independent.
+      conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        conf.get("spark.sql.shuffle.partitions"))
       // 60k rows, half on ONE hot key, ~75 B/row → the hot partition is
       // ~2.2 MB against a ~70 KB median: over threshold AND over factor
       val pad = "x" * 64

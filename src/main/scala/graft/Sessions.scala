@@ -14,17 +14,22 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE plans each shuffle at 8x the target parallelism and
-      // COALESCES down to size (coalescePartitions is on by default),
-      // so partition count scales with data volume instead of being
-      // pinned at the core count: at sf10 (60M-row lineitem) a fixed
-      // 32 meant ~2M-row sort partitions — spill territory — while at
-      // sf0.01 AQE still coalesces to a handful. This is the same knob
-      // a 1000-executor deployment sets (initialPartitionNum high,
-      // advisory size governs), measured at the sf10 decade in
-      // SCALING.md.
+      // Shuffle-width dial: AQE plans each shuffle at FACTOR x the
+      // target parallelism and coalesces down by advisory size, so
+      // partition count can follow data volume instead of the core
+      // count. Factor 8 at the sf10 decade cut the shuffle-bound
+      // heavies 1.7-2.9x (60M-row SMJ sorts stop spilling at ~2M rows
+      // per partition) — but at sf0.1 the same width REGRESSED ~20
+      // mid-size queries with tight spreads (cached/iterative plans
+      // materialize at the wide pre-coalesce width and repay its task
+      // overhead every iteration), so the dial defaults to 1: local
+      // correctness/bench runs keep width = core count, and the scale
+      // sweeps (and a real cluster deployment, where this is the
+      // standard setting) turn it up. Both measurements in SCALING.md.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 8).toString)
+        (shufflePartitions *
+          sys.env.getOrElse("SPARK_GRAFT_AQE_WIDTH_FACTOR", "1").toInt)
+          .toString)
       // keep catalog/warehouse state out of the repo root
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("GRAFT_WAREHOUSE_DIR",

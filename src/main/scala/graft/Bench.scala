@@ -43,6 +43,15 @@ import java.nio.file.{Files, Paths}
   * artifact, not block it forever). The waited seconds are recorded in
   * the JSON ("load_waited_sec") so a gate that had to give up is
   * visible.
+  *
+  * ISOLATED RERUNS (r11 verdict: the exact graph trio's multi-GB
+  * allocations leave GC debt that in-context guard reruns keep
+  * re-paying, so 13 queries' committed spreads still exceeded 2×):
+  * after the guard passes, any query still noisy is re-measured in a
+  * FRESH JVM subprocess (same classpath and JVM flags, one query via
+  * SPARK_GRAFT_ONLY) and kept under the same lower-median /
+  * tighter-spread rule; names land in "isolated_reruns". Capped by
+  * SPARK_GRAFT_BENCH_ISOLATE_MAX (default 16); children never recurse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -144,10 +153,13 @@ object Bench {
     // A query is "noisy" when its own spread says the measurement went
     // through interference: > 2× for queries over 0.5 s (where spread
     // means load), > 3× below that (where timer/GC jitter dominates
-    // and a 2× bar would re-run half the suite forever).
+    // and a 2× bar would re-run half the suite forever). The 0.5 s
+    // split is on the MEDIAN (the committed number), not the min — a
+    // 0.48/0.52/1.4 spread is a >0.5 s query with a 2.9× spread, and
+    // judging it by its min let it skip the rerun (r11 artifact).
     def isNoisy(ts: Seq[Double]): Boolean =
       ts.size >= 2 && ts.head > 0 &&
-        ts.last / ts.head > (if (ts.head > 0.5) 2.0 else 3.0)
+        ts.last / ts.head > (if (ts(ts.size / 2) > 0.5) 2.0 else 3.0)
     def med(s: Seq[Double]) = if (s.isEmpty) Double.MaxValue
       else s(s.size / 2)
     val fnByName = queryFns.toMap
@@ -181,6 +193,75 @@ object Bench {
       }
       pass += 1
     }
+    // ISOLATED RERUN (r11 verdict: 13 queries still carried max > 2×min
+    // in the committed artifact — the exact graph trio's multi-GB
+    // allocations leave GC debt that in-context reruns keep re-paying).
+    // Any query STILL noisy after the in-context guard passes is
+    // re-measured in a FRESH JVM subprocess (the run_isolated.sh
+    // discipline, in-process): same classpath (run/fork gives a real
+    // java.class.path), same JVM flags (--add-opens/-Xmx/-D from the
+    // parent's RuntimeMXBean), SPARK_GRAFT_ONLY=<query>. The child's
+    // times are kept under the SAME lower-median / tighter-spread rule
+    // as load reruns, and the names are listed under
+    // "isolated_reruns" so the correction is visible. Only full-suite
+    // runs isolate (a child never recurses — its `only` is set), and
+    // the count is capped so a pathological day can't double the
+    // bench's wall-clock.
+    val isolateCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_MAX", "16").toInt
+    val isolatedReruns = scala.collection.mutable.ListBuffer.empty[String]
+    def isolatedTimes(name: String): Option[Seq[Double]] = {
+      import scala.jdk.CollectionConverters._
+      val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    // keep module opens, heap sizing, and -D props; drop agent/debug
+      val jvmArgs = rt.getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens=") || a.startsWith("-Xmx") ||
+          a.startsWith("-Xms") || a.startsWith("-D"))
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      // The child runs right after the full sweep, when 1-min loadavg
+      // is still decaying from the sweep itself — give its start gate
+      // a shorter bounded wait than the parent's 600 s so a dozen
+      // isolated reruns can't stall the artifact for an hour.
+      pb.environment().put("SPARK_GRAFT_BENCH_MAX_WAIT_SEC",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_WAIT_SEC", "180"))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File("/dev/null"))
+      Files.deleteIfExists(Paths.get("BENCH_LOCAL_PARTIAL.json"))
+      val p = pb.start()
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      val f = Paths.get("BENCH_LOCAL_PARTIAL.json")
+      if (!Files.exists(f)) return None
+      val txt = Files.readString(f)
+      val re = ("\"spread\":\\{\"" + java.util.regex.Pattern.quote(name) +
+        "\":\\[([^\\]]*)\\]").r
+      re.findFirstMatchIn(txt).map(
+        _.group(1).split(",").toSeq.map(_.trim.toDouble).sorted)
+    }
+    if (only.isEmpty) {
+      results = results.map { case (name, ts) =>
+        if (!isNoisy(ts) || isolatedReruns.size >= isolateCap) name -> ts
+        else {
+          isolatedReruns += name
+          isolatedTimes(name) match {
+            case Some(iso) if iso.nonEmpty =>
+              def ratio(s: Seq[Double]) =
+                if (s.size >= 2 && s.head > 0) s.last / s.head
+                else Double.MaxValue
+              val keepIso =
+                if (med(iso) < med(ts) * 0.9) true
+                else if (med(ts) < med(iso) * 0.9) false
+                else ratio(iso) <= ratio(ts)
+              if (keepIso) name -> iso else name -> ts
+            case _ => name -> ts
+          }
+        }
+      }
+    }
     val loadEnd = loadavg1m
     def jq(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -207,8 +288,18 @@ object Bench {
     // distinct: with guardPasses > 1, a query that stays noisy is
     // appended once per pass — the artifact should list it once.
     val rerunsJson = loadReruns.distinct.map(jq).mkString("[", ",", "]")
+    val isoJson = isolatedReruns.distinct.map(jq).mkString("[", ",", "]")
+    // Per-family subtotals (Queries.family: parity / twin / extension)
+    // so the artifact separates §2-coverage cost from the extension
+    // library's — the suite grows ~5 queries/round and a single total
+    // stops being readable.
+    val famJson = medians.filter(_._2 >= 0)
+      .groupBy { case (n, _) => Queries.family(n) }.toSeq.sortBy(_._1)
+      .map { case (fam, qs2) =>
+        s"${jq(fam)}:{" + s""""n":${qs2.size},"sec":${qs2.map(_._2).sum}}"""
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"load_waited_sec":$waited,"load_reruns":$rerunsJson,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"load_waited_sec":$waited,"load_reruns":$rerunsJson,"isolated_reruns":$isoJson,"families":$famJson,"sf":${jq(sfDir)}}"""
     // A filtered run must not clobber the committed full-suite numbers
     // (a targeted SPARK_GRAFT_ONLY run once overwrote BENCH_LOCAL.json
     // with a single query's line).

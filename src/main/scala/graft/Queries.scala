@@ -39,4 +39,29 @@ object Queries {
 
   lazy val oracles: Map[String, String] =
     groups.flatten.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Coarse family tag for reporting (Bench subtotals, targeted CI
+    * runs). Name-convention based, no per-query annotation:
+    *  - "parity": the SURVEY §2 reference-coverage queries — the
+    *    numbered §2 ids (q_p1.., q_f18.., q_a10.., q_s4.., q_w1..,
+    *    q_j2.., q_u2.., q_n3.., q_o1..), the dataset-pipeline replays
+    *    (q_ds_*), and the §2 spatial/GPX items (q_geo_*, q_gpx_*);
+    *  - "twin": scale-path siblings of a labeled baseline — the
+    *    banded/bucketed/aggregate re-expressions (suffixes _lsh,
+    *    _indexed, _agg, _approx) that exist to survive 100 TB where
+    *    their exact sibling is the recall baseline;
+    *  - "extension": everything else (the LLM-pipeline operator
+    *    library: text/similarity/events/governance/lake/streaming).
+    * Coarse on purpose: subtotals and CI filters need stable buckets,
+    * not a taxonomy — a query's authoritative story stays in its own
+    * registration comment.
+    */
+  def family(name: String): String =
+    if (name.matches("q_[pfawjuons]\\d+.*") || name.startsWith("q_ds_")
+        || name.startsWith("q_geo_") || name.startsWith("q_gpx_"))
+      "parity"
+    else if (name.endsWith("_lsh") || name.endsWith("_indexed")
+        || name.endsWith("_agg") || name.endsWith("_approx"))
+      "twin"
+    else "extension"
 }

@@ -45,6 +45,42 @@ object QueriesSimilarity {
     (0 until K).map(i =>
       s"MIN(${HashFns.hashFamilySql("h", i)}) AS mh$i").mkString(",\n  ")
 
+  /** The EXACT all-pairs containment brute force over hashed word
+    * 3-grams — shared verbatim by q_sim_containment (the exact
+    * operator) and q_sim_containment_indexed (the banded scale twin):
+    * one oracle, two implementations, so the twin's correctness bar is
+    * literally "reproduces the exact answer", not "replays its own
+    * approximation".
+    */
+  private lazy val containmentExactOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |ng AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+       |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+       |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+       |  WHERE len(toks) >= 3),
+       |hng AS (SELECT DISTINCT doc_id,
+       |          ${HashFns.md5LongSql("ngram")} AS h
+       |        FROM ng),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         count(*) AS n_inter
+       |  FROM hng a JOIN hng b ON b.h = a.h
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       |  n_inter / sa.n AS containment
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = id_a
+       |WHERE n_inter / sa.n >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB mirror of the double-accumulated dot product. */
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -799,6 +835,121 @@ object QueriesSimilarity {
            |FROM inter
            |JOIN sz sa ON sa.doc_id = id_a
            |JOIN sz sb ON sb.doc_id = id_b
+           |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+           |ORDER BY id_new, id_hist""".stripMargin
+      }),
+
+    // -------------- incremental LSH probe SERVED from the lake index
+    // The production shape q_sim_lsh_incremental's scaladoc promises
+    // but its replay form cannot measure (it re-hashes history ∪ batch
+    // every run — corpus-linear, 11.4× at the sf1 decade): here the
+    // HISTORY side exists only as persisted lake artifacts — band
+    // buckets, distinct shingle digests, and per-doc set sizes, all
+    // by-products of the one-time index build (the q_text_bm25_lake
+    // convention) — and the registered probe shingles ONLY the 30-doc
+    // batch. candidatePairsAcross equi-joins the batch's bands against
+    // the persisted buckets (history bucket cap 20), and
+    // jaccardForPairsServed verifies with no corpus-wide distinct or
+    // size aggregation: history contributes a digest-lake scan, the
+    // batch broadcasts. History here is ALL of `documents` (not the
+    // <400 split — the index serves the whole corpus); the oracle
+    // replays the same semantics from scratch, so a hash match proves
+    // the served path equals the recompute-everything path.
+    Q("q_sim_lsh_incremental_lake",
+      (s, d) => {
+        import graft.sources.Lake
+        val docs = Tables.documents(s, d)
+        // ---- one-time index build (persisted; at serve time these
+        // are untouched bytes on the lake)
+        val histHs = Similarity.hashedShingles(
+          Similarity.charShingles(docs, "doc_id", "text", 5), "doc_id")
+          .distinct().cache()
+        val histBands = Similarity.lshBands(
+          Similarity.minhashFromHashes(histHs, "doc_id", K), "doc_id", K, R)
+        Lake.writeBucketed(histBands, "lsh_hist_bands", "band_value", 8)
+        Lake.writeBucketed(histHs, "lsh_hist_digests", "doc_id", 8)
+        Lake.writeBucketed(histHs.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh")), "lsh_hist_sizes", "doc_id", 8)
+        histHs.unpersist()
+        // ---- the serve-time probe: only the batch is shingled
+        val batch = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" revised edition")).as("text"))
+        val bHs = Similarity.hashedShingles(
+          Similarity.charShingles(batch, "doc_id", "text", 5), "doc_id")
+          .cache()
+        val cand = Similarity.candidatePairsAcross(
+          Similarity.lshBands(
+            Similarity.minhashFromHashes(bHs, "doc_id", K), "doc_id", K, R),
+          s.table("lsh_hist_bands"), "doc_id", maxBucket = 20)
+        Similarity.jaccardForPairsServed(cand, bHs,
+            s.table("lsh_hist_digests"), s.table("lsh_hist_sizes"),
+            "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a").as("id_new"), col("id_b").as("id_hist"),
+            col("jaccard"))
+          .orderBy(col("id_new"), col("id_hist"))
+      },
+      Some {
+        val bandValSql = (0 until K / R).map { b =>
+          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"WHEN $b THEN $bv"
+        }.mkString(" ")
+        s"""WITH batch AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         text || ' revised edition' AS text
+           |  FROM documents WHERE doc_id < 30),
+           |hsh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM documents,
+           |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |bsh AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+           |  FROM batch,
+           |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+           |hhh AS (SELECT doc_id,
+           |          ${HashFns.md5LongSql("shingle")} AS h FROM hsh),
+           |bhh AS (SELECT doc_id,
+           |          ${HashFns.md5LongSql("shingle")} AS h FROM bsh),
+           |hsig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM hhh GROUP BY doc_id),
+           |bsig AS (
+           |  SELECT doc_id,
+           |  $sigSelectSql
+           |  FROM bhh GROUP BY doc_id),
+           |hb AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM hsig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |pb AS (
+           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+           |  FROM bsig, (SELECT unnest(range(${K / R})) AS band) bb),
+           |ok AS (SELECT band, bv FROM hb GROUP BY band, bv
+           |       HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT p.doc_id AS id_a, h.doc_id AS id_b
+           |  FROM pb p
+           |  JOIN ok USING (band, bv)
+           |  JOIN hb h USING (band, bv)),
+           |shd_h AS (SELECT DISTINCT doc_id, h FROM hhh),
+           |shd_b AS (SELECT DISTINCT doc_id, h FROM bhh),
+           |sz_h AS (SELECT doc_id, count(*) AS n FROM shd_h GROUP BY doc_id),
+           |sz_b AS (SELECT doc_id, count(*) AS n FROM shd_b GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c
+           |  JOIN shd_b a ON a.doc_id = c.id_a
+           |  JOIN shd_h b ON b.doc_id = c.id_b AND b.h = a.h
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT id_a AS id_new, id_b AS id_hist,
+           |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+           |FROM inter
+           |JOIN sz_b sa ON sa.doc_id = id_a
+           |JOIN sz_h sb ON sb.doc_id = id_b
            |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
            |ORDER BY id_new, id_hist""".stripMargin
       }),
@@ -2237,33 +2388,35 @@ object QueriesSimilarity {
           .containmentSelfJoin(hashed, "doc_id", "h", 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, string_split(
-             |    trim(regexp_replace(regexp_replace(lower(text),
-             |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
-             |ng AS (
-             |  SELECT DISTINCT doc_id,
-             |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
-             |      ' ' || toks[CAST(i AS INT)+2] AS ngram
-             |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
-             |  WHERE len(toks) >= 3),
-             |hng AS (SELECT DISTINCT doc_id,
-             |          ${HashFns.md5LongSql("ngram")} AS h
-             |        FROM ng),
-             |sz AS (SELECT doc_id, count(*) AS n FROM hng GROUP BY doc_id),
-             |inter AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         count(*) AS n_inter
-             |  FROM hng a JOIN hng b ON b.h = a.h
-             |    AND a.doc_id <> b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
-             |  n_inter / sa.n AS containment
-             |FROM inter
-             |JOIN sz sa ON sa.doc_id = id_a
-             |WHERE n_inter / sa.n >= 0.9
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some(containmentExactOracleSql)),
+
+    // ----------------- containment scale twin: banded index probe
+    // SetJoin.containmentBanded — the scale path for the quote join on
+    // closed-vocabulary corpora, where the exact join's candidate
+    // GENERATION (Σ_e prefix-df·df) measured 51×/decade at sf1
+    // (SCALING.md round 11). MinHash band buckets are the index;
+    // probing is an equi-join; candidate volume is capped by
+    // construction (b·n·maxBucket) regardless of vocabulary growth;
+    // every emitted pair is verified by the exact integer ratio.
+    // The oracle is THE SAME all-pairs brute force as
+    // q_sim_containment — this twin must reproduce the exact answer,
+    // which it does because contained pairs at t=0.9 carry
+    // J ≥ 0.9/(ρ+0.1) and this corpus's quote pairs are size-similar
+    // (ρ ≤ ~1.1 ⇒ J ≥ 0.81; the per-pair miss probability at 24
+    // r=2 bands is ≤ 4e-12 — see the operator's coverage contract
+    // for the ρ-envelope this exactness rides on).
+    Q("q_sim_containment_indexed",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val hashed = Similarity.hashedShingles(
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id")
+        graft.operators.SetJoin
+          .containmentBanded(hashed, "doc_id", "h", 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(containmentExactOracleSql)),
 
     // --------------------------------- prefix hot-element report
     // The closed-vocabulary early warning for the exact set joins

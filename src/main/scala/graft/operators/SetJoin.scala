@@ -49,11 +49,30 @@ import org.apache.spark.sql.functions._
   * says WHICH elements are inflating, the Similarity.hotBuckets
   * convention), the positional filter below (cuts verification, the
   * dominant stage, for the pairs the bound disproves), and the
-  * documented fallback that closed-vocab corpora belong on the
-  * probabilistic banded twins (q_sim_lsh_neardup held 4.8× on the same
-  * decade).
+  * ROUTING RULE: closed-vocab corpora belong on the probabilistic
+  * banded twins — Jaccard joins on q_sim_lsh_neardup's banding (held
+  * 4.8× on the same decade), and containment/quote joins on
+  * [[containmentBanded]] (the ratio-bounded banded index probe; the
+  * exact [[containmentSelfJoin]] stays the labeled recall baseline,
+  * generation-bound at 51×/decade on this corpus).
   */
 object SetJoin {
+
+  /** ceil() for the LOSSLESS bound computations below, guarded against
+    * float round-up: the exact bounds are rational (t·k, t/(1+t)·k for
+    * integer k), but the doubles computing them can land epsilon ABOVE
+    * a product that is mathematically an exact integer — and then
+    * `ceil` demands one more shared element than the math does, which
+    * OVER-prunes a qualifying pair (lossy, silently). Subtracting an
+    * epsilon far above double rounding error (~1e-16 relative) and far
+    * below any real fractional part makes ceil come out at the exact
+    * value on both sides of the hazard; in the residual case (a true
+    * fractional part under 1e-9, impossible for thresholds with short
+    * decimal expansions) the bound relaxes by one, which only admits
+    * an extra candidate into exact verification — still lossless.
+    */
+  private def ceilSafe(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = ceil(x - 1e-9)
 
   /** All unordered pairs (id_a < id_b) with exact Jaccard >= `t` over a
     * distinct (`idCol`, `elemCol`) frame. Output: (id_a, id_b, jaccard)
@@ -79,7 +98,7 @@ object SetJoin {
     // prefix length |S| − ⌈t·|S|⌉ + 1; __pos rides along for the
     // positional filter below
     val prefix = ranked
-      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .filter(col("__pos") <= col("__sz") - ceilSafe(lit(t) * col("__sz")) + 1)
       .select(col(idCol), col(elemCol), col("__sz"), col("__pos"))
     val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
         col("__sz").as("__sa"), col("__pos").as("__pa"))
@@ -88,7 +107,7 @@ object SetJoin {
       .filter(col("id_a") < col("id_b"))
       // length filter: |A∩B| <= min and >= ⌈t·max⌉ force min >= ⌈t·max⌉
       .filter(least(col("__sa"), col("__sb")) >=
-        ceil(lit(t) * greatest(col("__sa"), col("__sb"))))
+        ceilSafe(lit(t) * greatest(col("__sa"), col("__sb"))))
       // POSITIONAL filter (PPJoin's second filter, same paper): a
       // shared element at ranks (pa, pb) caps the overlap at
       // 1 + min(|A|−pa, |B|−pb), and Jaccard >= t needs overlap
@@ -105,7 +124,7 @@ object SetJoin {
           col("__sb") - col("__pb"))).as("__m"),
         first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
       .filter(lit(1) + col("__m") >=
-        ceil(lit(t) / (1 + t) * (col("__sa") + col("__sb"))))
+        ceilSafe(lit(t) / (1 + t) * (col("__sa") + col("__sb"))))
       .select(col("id_a"), col("id_b"))
     // verify directly on the element column (jaccardForPairsHashed only
     // needs equality — pre-hash elements to 8-byte longs upstream and
@@ -137,7 +156,7 @@ object SetJoin {
         Window.partitionBy(col(idCol))
           .orderBy(col("__df"), col(elemCol))))
     ranked
-      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .filter(col("__pos") <= col("__sz") - ceilSafe(lit(t) * col("__sz")) + 1)
       .groupBy(col(elemCol), col("__df"))
       .agg(count(lit(1)).as("prefix_df"))
       .filter(col("prefix_df") > maxDf)
@@ -173,14 +192,14 @@ object SetJoin {
         Window.partitionBy(col(idCol))
           .orderBy(col("__df"), col(elemCol))))
     val prefix = ranked
-      .filter(col("__pos") <= col("__sz") - ceil(lit(t) * col("__sz")) + 1)
+      .filter(col("__pos") <= col("__sz") - ceilSafe(lit(t) * col("__sz")) + 1)
       .select(col(idCol), col(elemCol), col("__sz"), col("__pos"))
     val cand = prefix.select(col(elemCol), col(idCol).as("id_a"),
         col("__sz").as("__sa"), col("__pos").as("__pa"))
       .join(ranked.select(col(elemCol), col(idCol).as("id_b"),
         col("__sz").as("__sb"), col("__pos").as("__pb")), Seq(elemCol))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(col("__sb") >= ceil(lit(t) * col("__sa")))
+      .filter(col("__sb") >= ceilSafe(lit(t) * col("__sa")))
       // positional filter, asymmetric form: overlap needs >= ⌈t·|A|⌉,
       // and a shared element at ranks (pa, pb) caps it at
       // 1 + min(|A|−pa, |B|−pb). Keep-if-any is lossless by the same
@@ -191,7 +210,7 @@ object SetJoin {
       .agg(max(least(col("__sa") - col("__pa"),
           col("__sb") - col("__pb"))).as("__m"),
         first(col("__sa")).as("__sa"))
-      .filter(lit(1) + col("__m") >= ceil(lit(t) * col("__sa")))
+      .filter(lit(1) + col("__m") >= ceilSafe(lit(t) * col("__sa")))
       .select(col("id_a"), col("id_b"))
     val shd = distinctSets.select(col(idCol), col(elemCol).as("h"))
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
@@ -203,6 +222,87 @@ object SetJoin {
         Seq("id_a"))
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("n_inter") / col("__na")).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
+  /** The SCALE TWIN of [[containmentSelfJoin]] — a banded-signature
+    * INDEX probe whose candidate volume is bounded by construction,
+    * for the closed-vocabulary regime where the exact join's
+    * generation stage (Σ_e prefix-df(e)·df(e)) goes quadratic
+    * (measured 51×/decade at sf1, SCALING.md round 11). The exact
+    * form's probe cost is intrinsic — ANY lossless signature of A must
+    * probe its ⌊(1−t)·|A|⌋+1 rarest elements, and on a closed
+    * vocabulary every element's df grows with the corpus — so the
+    * scale path trades the worst-case guarantee for a banded
+    * probabilistic candidate generator with bucket sizes capped by
+    * construction, exactly the q_sim_lsh_neardup discipline.
+    *
+    * Reduction (the LSH-Ensemble idea — Zhu et al., "LSH Ensemble:
+    * Internet-Scale Domain Search", VLDB 2016; re-derived, not
+    * copied): containment |A∩B|/|A| ≥ t bounds Jaccard from below via
+    * J = |A∩B|/(|A|+|B|−|A∩B|) ≥ t·|A|/(|A|+|B|−t·|A|), so for pairs
+    * whose size ratio |B|/|A| ≤ ρ the MinHash band index has the
+    * classic 1−(1−J^r)^b recall at J ≥ t/(ρ+1−t). With the defaults
+    * (K=48, r=2 → b=24 bands) recall at ρ=2, t=0.9 (J ≥ 0.43) is
+    * ≥ 0.992, and ≥ 1−4·10⁻¹² at the J ≥ 0.8 the corpus's actual
+    * contained pairs carry. r=2 (never 1) matters on closed
+    * vocabularies: single-minhash buckets concentrate on the globally
+    * minimal element (bucket ~ df(e*), corpus-linear), while paired
+    * minhashes keep expected bucket size O(n·J²/vocab²) — small by
+    * construction — and `maxBucket` caps the residue.
+    *
+    * COVERAGE CONTRACT: pairs beyond the size-ratio envelope (a tiny
+    * quote inside a document ρ× larger, J ≈ t/ρ) fall off the recall
+    * curve — extreme-asymmetry quote detection belongs on the exact
+    * [[containmentSelfJoin]] (whose cost contract prices it) or on a
+    * size-stratified index with per-stratum band tuning (the full
+    * LSH-Ensemble construction). Candidate work here is bounded by
+    * b·n·maxBucket pairs REGARDLESS of vocabulary growth — the
+    * property the exact join cannot have.
+    *
+    * `elemCol` should carry pre-hashed 8-byte elements (the
+    * [[Similarity.hashedShingles]] convention — every shuffle moves
+    * longs). Output matches [[containmentSelfJoin]]: ordered pairs
+    * (id_a, id_b, n_inter, containment), containment = |A∩B|/|A| ≥ t
+    * verified EXACTLY — the banding only generates candidates, every
+    * emitted row is exact-integer-ratio true.
+    */
+  def containmentBanded(sets: DataFrame, idCol: String, elemCol: String,
+                        t: Double, numHashes: Int = 48,
+                        rowsPerBand: Int = 2,
+                        maxBucket: Int = 64): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    // cached: consumed by the signature aggregate, both exact-verify
+    // intersection joins, and the size aggregate
+    val hashed = sets.select(col(idCol), col(elemCol).as("h")).distinct()
+      .cache()
+    val sig = Similarity.minhashFromHashes(hashed, idCol, numHashes)
+    val bands = Similarity.lshBands(sig, idCol, numHashes, rowsPerBand)
+    val cand = Similarity.candidatePairs(bands, idCol, maxBucket)
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // ONE unordered candidate pair yields BOTH directed containments
+    // from the same intersection count — the verify joins run once.
+    val inter = cand
+      .join(hashed.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+    // Both orientations from ONE pass over `inter` — a unionAll of two
+    // selects would execute the candidate+verify pipeline twice
+    // (measured 2x wall-clock before this explode form)
+    inter.select(explode(array(
+        struct(col("id_a"), col("id_b"), col("n_inter"),
+          (col("n_inter") / col("__na")).as("containment")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("n_inter"),
+          (col("n_inter") / col("__nb")).as("containment"))))
+        .as("__o"))
+      .select(col("__o.id_a").as("id_a"), col("__o.id_b").as("id_b"),
+        col("__o.n_inter").as("n_inter"),
+        col("__o.containment").as("containment"))
       .filter(col("containment") >= t)
   }
 }

@@ -190,6 +190,43 @@ object Similarity {
           .as("jaccard"))
   }
 
+  /** Exact Jaccard for INCREMENTAL probe candidates against a PERSISTED
+    * index — the serving-shape sibling of [[jaccardForPairsHashed]].
+    * `probeHashed` is the new batch's (id, h) digest frame (the only
+    * thing that was shingled this trigger); `indexDigests` and
+    * `indexSizes` are lake artifacts written at ingest time (digests
+    * already DISTINCT per (id, h), sizes exact counts — both are
+    * by-products the index build already computes, so persisting them
+    * is free). The verify then does NO corpus-wide distinct and NO
+    * corpus-wide size aggregation: the batch side is tiny and
+    * broadcasts through both joins, history contributes only a scan of
+    * its digest lake (bucket/DPP-prunable by id at scale), and the
+    * candidate intersection count + the two size lookups produce the
+    * exact integer-ratio Jaccard. This is what makes the registered
+    * incremental query's cost O(batch + index scan) instead of
+    * O(re-hash history) — the contract [[candidatePairsAcross]]
+    * documents, now measurable.
+    */
+  def jaccardForPairsServed(pairs: DataFrame, probeHashed: DataFrame,
+                            indexDigests: DataFrame, indexSizes: DataFrame,
+                            idCol: String): DataFrame = {
+    val pshd = probeHashed.select(col(idCol), col("h")).distinct()
+    val psizes = pshd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(pshd.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(indexDigests.select(col(idCol).as("id_b"), col("h")),
+        Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(psizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(indexSizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
   /** SimHash over a (id, token) frame: for each of `bits` bit positions,
     * tokens vote +1/-1 by their hash's bit; positive totals set the bit.
     * Near-duplicate documents differ in few tokens, so their simhashes

@@ -36,7 +36,11 @@ object EventStreams {
     * while the dir holds nothing beyond its own `batch=0` partition.
     * A crash-replay of the TRUE first batch overwrites only `batch=0`
     * itself, so the legitimate replay path can never trip this. Cost:
-    * one directory listing, on batch 0 only.
+    * one directory listing, on batch 0 only. Callers MUST invoke this
+    * BEFORE any `batch.isEmpty` short-circuit: the probe is
+    * batch-content-independent, and a fresh-checkpoint restart whose
+    * first micro-batch happens to be empty would otherwise skip it and
+    * let batch 1+ clobber history silently.
     */
   private[streaming] def requireFreshOrSameLineage(
       spark: SparkSession, dir: String, batchId: Long): Unit =
@@ -245,10 +249,14 @@ object EventStreams {
     */
   def dedupIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
                        textCol: String, outDir: String,
-                       historyDir: String): Unit =
+                       historyDir: String): Unit = {
+    // BEFORE the isEmpty short-circuit: the probe is batch-content-
+    // independent, and a fresh-checkpoint restart whose first
+    // micro-batch happens to be empty must still be rejected — batch
+    // 1+ would otherwise silently clobber history partitions.
+    requireFreshOrSameLineage(batch.sparkSession, outDir, batchId)
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      requireFreshOrSameLineage(spark, outDir, batchId)
       val hashed = batch.withColumn("__h",
         graft.functions.HashFns.md5Long(col(textCol)))
       val inBatch = Dedup.keepFirst(hashed, Seq("__h"), Seq(col(idCol)))
@@ -279,6 +287,7 @@ object EventStreams {
           .write.mode("append").parquet(historyDir)
       } finally fresh.unpersist()
     }
+  }
 
   /** Streaming count-min maintenance: each micro-batch's d×w sketch
     * INCREMENT lands in its own `batch=<id>` partition (overwrite —
@@ -307,12 +316,15 @@ object EventStreams {
     * idempotency is directly testable.
     */
   def sketchIngestBatch(batch: DataFrame, batchId: Long, itemCol: String,
-                        depth: Int, width: Int, sketchDir: String): Unit =
+                        depth: Int, width: Int, sketchDir: String): Unit = {
+    // Guard first (see dedupIngestBatch): an empty batch 0 must not
+    // let a fresh-checkpoint restart slip past the lineage probe.
+    requireFreshOrSameLineage(batch.sparkSession, sketchDir, batchId)
     if (!batch.isEmpty) {
-      requireFreshOrSameLineage(batch.sparkSession, sketchDir, batchId)
       graft.operators.CountMin.sketch(batch, itemCol, depth, width)
         .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
     }
+  }
 
   /** Merge-on-read of a [[sketchIngest]] directory: cell-wise sum of
     * the per-batch increments = the sketch of the whole stream.
@@ -355,10 +367,12 @@ object EventStreams {
     * is directly testable.
     */
   def bm25IngestBatch(batch: DataFrame, batchId: Long, idCol: String,
-                      termCol: String, indexDir: String): Unit =
+                      termCol: String, indexDir: String): Unit = {
+    // Guard first (see dedupIngestBatch): an empty batch 0 must not
+    // let a fresh-checkpoint restart slip past the lineage probe.
+    requireFreshOrSameLineage(batch.sparkSession,
+      s"$indexDir/postings", batchId)
     if (!batch.isEmpty) {
-      requireFreshOrSameLineage(batch.sparkSession,
-        s"$indexDir/postings", batchId)
       val (post, dfreq, stats) = graft.operators.Bm25.buildIndex(
         batch.select(col(idCol).as("doc_id"), col(termCol).as("term")))
       post.write.mode("overwrite")
@@ -368,6 +382,7 @@ object EventStreams {
       stats.coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/stats/batch=$batchId")
     }
+  }
 
   /** Merge-on-read of a [[bm25Ingest]] directory into the servable
     * (postings, dfreq, stats) triple — one term-keyed sum for df, one
@@ -407,10 +422,12 @@ object EventStreams {
 
   /** One micro-batch of [[phashIngest]], exposed for replay tests. */
   def phashIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
-                       bytesCol: String, sigDir: String): Unit =
+                       bytesCol: String, sigDir: String): Unit = {
+    // Guard first (see dedupIngestBatch): an empty batch 0 must not
+    // let a fresh-checkpoint restart slip past the lineage probe.
+    requireFreshOrSameLineage(batch.sparkSession, sigDir, batchId)
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      requireFreshOrSameLineage(spark, sigDir, batchId)
       import spark.implicits._
       val typed = batch.select(col(idCol).cast("long").as("media_id"),
           lit("image").as("kind"), col(bytesCol).as("bytes"))
@@ -418,6 +435,7 @@ object EventStreams {
       graft.multimodal.Multimodal.phashLuma(typed)(spark).toDF()
         .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
     }
+  }
 
   /** The accumulated signature index of a [[phashIngest]] directory. */
   def readPhashSigs(spark: SparkSession, sigDir: String): DataFrame =
@@ -452,10 +470,12 @@ object EventStreams {
   /** One micro-batch of [[ivfIngest]], exposed for replay tests. */
   def ivfIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
                      vecCol: String, centsDir: String,
-                     indexDir: String): Unit =
+                     indexDir: String): Unit = {
+    // Guard first (see dedupIngestBatch): an empty batch 0 must not
+    // let a fresh-checkpoint restart slip past the lineage probe.
+    requireFreshOrSameLineage(batch.sparkSession, indexDir, batchId)
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      requireFreshOrSameLineage(spark, indexDir, batchId)
       val cents = spark.read.parquet(centsDir)
       val e = batch.select(col(idCol).as("vec_id"),
           col(vecCol).as("embedding"))
@@ -464,6 +484,7 @@ object EventStreams {
       graft.operators.Ivf.assign(e, cents).write.mode("overwrite")
         .partitionBy("cell").parquet(s"$indexDir/batch=$batchId")
     }
+  }
 
   /** Merge-on-read of an [[ivfIngest]] directory into the servable
     * assignment frame (cell, nid, ce, cenrm) — partition discovery

@@ -257,6 +257,10 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_minhash_estimate"    -> (90, 45),
       "q_text_bm25_lake"          -> (18, 10),
       "q_text_bm25_incremental"   -> (65, 18),
+      // round-12: the lake-served incremental LSH probe (PlanProbe
+      // 22/14 at sf0.001 AND sf0.01 + ~25%): history exists only as
+      // catalog scans (bands/digests/sizes), the batch side is tiny
+      "q_sim_lsh_incremental_lake" -> (28, 18),
       "q_graph_label_prop_lsh"    -> (41, 28),
       "q_mm_phash_real"           -> (3, 3),
       "q_text_ngram_novelty"      -> (13, 5),
@@ -456,12 +460,13 @@ class PlanSpec extends AnyFunSuite {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // The fixture's sizes are calibrated to a shuffle width equal to
-      // the session's shuffle.partitions; the session-wide 8x
-      // initialPartitionNum (Sessions.builder) spreads 60k rows so
-      // thin that the skew detector's calculus changes on this
-      // synthetic. Pin the width the fixture was built for —
-      // production skew (partitions past the REAL 256 MB threshold)
-      // is width-independent.
+      // the session's shuffle.partitions; a wider AQE
+      // initialPartitionNum (Sessions.builder auto-sizes it from the
+      // input dir — 1 under test, but env overrides exist) would
+      // spread 60k rows so thin that the skew detector's calculus
+      // changes on this synthetic. Pin the width the fixture was
+      // built for — production skew (partitions past the REAL 256 MB
+      // threshold) is width-independent.
       conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         conf.get("spark.sql.shuffle.partitions"))
       // 60k rows, half on ONE hot key, ~75 B/row → the hot partition is
@@ -544,7 +549,11 @@ class PlanSpec extends AnyFunSuite {
       "q_emb_power_iteration"        -> (30, 3),
       "q_graph_pagerank"             -> (32, 3),
       "q_graph_triangles_lsh"        -> (29, 3),
-      "q_graph_clustering_coeff_lsh" -> (31, 3))
+      "q_graph_clustering_coeff_lsh" -> (31, 3),
+      // round-12: containment banded twin (PlanProbe distinct 32/1 at
+      // sf0.001 AND sf0.01 + ~25%; printed counts track the cached
+      // hashed frame's lineage reprints, the setjoin waiver)
+      "q_sim_containment_indexed"    -> (42, 2))
     for ((q, (maxEx, maxScan)) <- budgets.toSeq.sortBy(_._1)) {
       val d = df(q)
       d.collect()
@@ -574,7 +583,7 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh",
         "q_graph_label_prop_lsh", "q_graph_triangles_lsh",
         "q_graph_clustering_coeff_lsh", "q_text_rrf_fusion_ann",
-        "q_sim_semdedup_lsh")) {
+        "q_sim_semdedup_lsh", "q_sim_containment_indexed")) {
       val d = df(q)
       d.collect()
       val nodes = allNodes(d.queryExecution.executedPlan)

@@ -93,6 +93,50 @@ class SetJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def viaSparkContBanded(sets: Seq[(Long, Set[String])],
+                                 t: Double) = {
+    // the banded twin's contract wants pre-hashed 8-byte elements (the
+    // hashedShingles convention) — hash here like the queries do;
+    // md5Long is injective in practice on these tiny alphabets, so
+    // set semantics (all the brute force sees) are preserved
+    val df = sets.flatMap { case (id, s) => s.map(id -> _) }
+      .toDF("id", "raw")
+      .select(col("id"),
+        graft.functions.HashFns.md5Long(col("raw")).as("elem"))
+    SetJoin.containmentBanded(df, "id", "elem", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("banded containment twin: sound always, complete inside the ratio envelope") {
+    // The twin's contract (SetJoin.containmentBanded scaladoc): every
+    // emitted pair is exact-verified TRUE (soundness is
+    // unconditional), and recall covers pairs inside the size-ratio
+    // envelope. These near-dup containment pairs all carry J >= 0.82
+    // — the shape the corpus measurements show — and minhash over md5
+    // is deterministic, so the equality below is a pinned result, not
+    // a flaky one.
+    val sets = Seq(
+      1L -> Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "k"),
+      2L -> Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"),
+      3L -> Set("a", "b", "c", "d", "e", "f", "g", "h", "i"),
+      4L -> Set("x", "y", "z"),
+      5L -> Set("p", "q"))
+    val banded = viaSparkContBanded(sets, 0.9)
+    val brute = bruteCont(sets, 0.9)
+    assert(banded.subsetOf(brute), "twin emitted a non-true pair")
+    assert(banded == brute,
+      s"recall gap inside the envelope: missing ${brute -- banded}")
+  }
+
+  test("banded containment twin: exact verify rejects band-collision noise") {
+    // Disjoint sets can only reach the output through a band
+    // collision; the exact integer-ratio verify must filter every one.
+    val sets = (1L to 8L).map(i =>
+      i -> Set(s"u$i", s"v$i", s"w$i", s"x$i"))
+    assert(viaSparkContBanded(sets, 0.5).isEmpty)
+  }
+
   test("prefixHotElements reports closed-vocab inflation, heaviest first") {
     // six 2-element sets all share "hot": with t=0.5 the prefix keeps
     // both elements, so hot's prefix df is 6 — each such element

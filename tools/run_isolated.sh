@@ -8,6 +8,11 @@ OUT=${OUT:-/tmp/isolated_runs.jsonl}
 : > "$OUT"
 run() {
   local sfdir=$1 q=$2
+  # Remove any previous run's partial BEFORE invoking sbt: if this
+  # invocation dies mid-query, a stale file would otherwise be
+  # re-parsed and the previous query's numbers emitted under THIS
+  # (sf, q) label instead of the intended 'no output' error line.
+  rm -f BENCH_LOCAL_PARTIAL.json
   SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
     SPARK_GRAFT_ONLY="$q" sbt -batch "runMain graft.Bench" \
     > /tmp/iso_last.log 2>&1

@@ -242,11 +242,23 @@ object QueriesText {
       (s, d) => {
         def stab6(c: org.apache.spark.sql.Column) =
           graft.functions.Stabilize.stab(c, 6)
+        // SPREAD THE SCAN before the regex-heavy scoring (round-12
+        // profile finding, SCALING.md): documents.parquet is a single
+        // file with few row groups at the local decades, so the
+        // CPU-bound normalize/tokenize leg rode on 1-2 scan tasks and
+        // serialized (quality_prune measured 263 s at sf10 with 30
+        // cores idle). The narrow round-robin exchange of the raw
+        // text (tens of MB) buys full-width scoring; at 100 TB the
+        // scan has thousands of splits and this repartition coalesces
+        // into the same width AQE would pick. `scored` is cached —
+        // its two consumers (histogram + filter) otherwise re-run
+        // the regex leg twice.
         val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
         val toks = TextFns.tokens(col("text"))
         val scored = docs.select(col("doc_id"),
           (TextFns.countIn(toks, TextFns.enStopwords)
-            / size(toks).cast("long")).as("stop_ratio"))
+            / size(toks).cast("long")).as("stop_ratio")).cache()
         val cut = graft.operators.Percentiles
           .exactByHistogram(scored, "stop_ratio", 0.25, "cutoff_raw")
           .select(stab6(col("cutoff_raw")).as("cutoff"))
@@ -287,11 +299,18 @@ object QueriesText {
     // decisions agree bit-exactly.
     Q("q_text_quality_prune_approx",
       (s, d) => {
+        // Scan spread + scored cache: same round-12 profile fix as
+        // q_text_quality_prune (the serial-scan finding). Partition
+        // count does not move the GK sketch outside its contract —
+        // merged summaries keep the eps rank bound, which is the
+        // operator's documented accuracy bar and what check_sf1
+        // verifies above 10k rows.
         val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
         val toks = TextFns.tokens(col("text"))
         val scored = docs.select(col("doc_id"),
           (TextFns.countIn(toks, TextFns.enStopwords)
-            / size(toks).cast("long")).as("stop_ratio"))
+            / size(toks).cast("long")).as("stop_ratio")).cache()
         val cut = scored.agg(
           expr("approx_percentile(stop_ratio, 0.25, 10000)").as("cutoff"))
         scored.crossJoin(broadcast(cut))

@@ -160,11 +160,14 @@ class PlanSpec extends AnyFunSuite {
       // replay lands here as a budget blowout, not on the cluster
       "q_sim_dup_clusters"      -> (3, 0),
       "q_geo_polygon_join"      -> (3, 3),
-      "q_text_quality_prune"    -> (10, 5),
+      // re-pinned round 12: the scan-spread repartition + cached
+      // scored frame (SCALING.md serial-scan finding) print the
+      // InMemoryRelation lineage once per consumer — measured 16/8
+      "q_text_quality_prune"    -> (20, 10),
       // round-8 additions (measured via graft.tools.PlanProbe + ~25%)
       "q_text_span_dup_by_source" -> (23, 10),
       "q_u2_dedup_keep_first_agg" -> (5, 3),
-      "q_text_quality_prune_approx" -> (8, 5),
+      "q_text_quality_prune_approx" -> (18, 10), // round 12: 14/8 measured (same repartition+cache)
       "q_sim_ann_pq"              -> (41, 18),
       "q_scd2_history"            -> (5, 3),
       "q_text_unigram_nll"        -> (19, 7),

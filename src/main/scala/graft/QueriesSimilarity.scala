@@ -3158,6 +3158,14 @@ object QueriesSimilarity {
     * exact graph-family oracles. The `_lsh` twins swap in
     * [[lshKnnEdgeCtesSql]] and keep every downstream CTE — one
     * definition per chain, many consumers, zero drift.
+    *
+    * `edges` carries AS MATERIALIZED (result-identical, the
+    * q_text_bm25_lake precedent): every graph chain references its
+    * derivatives several times, and DuckDB's CTE inlining re-runs the
+    * expensive pair pipeline once per reference — at the 200k-vector
+    * decade the overlapping copies spilled 68 GB of temp before dying
+    * on ENOSPC; the one hint pins the narrow edge list (n·3 rows)
+    * instead and the sf10 replay completes in ~98 s.
     */
   private lazy val exactKnnEdgeCtesSql: String =
     s"""e AS (
@@ -3168,7 +3176,7 @@ object QueriesSimilarity {
        |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
        |      AS cos
        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT src, nid AS dst, cos AS w FROM (
        |    SELECT src, nid, cos, row_number() OVER (
        |      PARTITION BY src ORDER BY cos DESC, nid) AS rk
@@ -3204,7 +3212,7 @@ object QueriesSimilarity {
        |    ${dotSql("pr.ea", "c.embedding")} / (pr.na * c.nrm) AS cos
        |  FROM probes pr JOIN b c ON pr.bucket = c.bk
        |    AND c.vec_id <> pr.src),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT src, nid AS dst, cos AS w FROM (
        |    SELECT src, nid, cos, row_number() OVER (
        |      PARTITION BY src ORDER BY cos DESC, nid) AS rk

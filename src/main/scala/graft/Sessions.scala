@@ -51,6 +51,12 @@ object Sessions {
         dataDir.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
           .getOrElse("/root/testdata/sf0.1"),
         shufflePartitions))
+    // One observable line per session build: the dial must be
+    // auditable from any run's log (the sf10 width A/B was
+    // un-debuggable without it).
+    Console.err.println(
+      s"[graft] AQE width factor $widthFactor " +
+        s"(initialPartitionNum ${shufflePartitions * widthFactor})")
     SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(master)

@@ -45,9 +45,70 @@ def gk_rank_tolerance(con, oracle_sql, spark_files):
 
 def fresh_con(sf_dir):
     con = duckdb.connect()
+    # Cap the spill an oracle may write: the sf10 graph-family replay
+    # once filled the disk with 68 GB of temp storage before dying on
+    # ENOSPC (taking the whole harness run with it). A bounded temp
+    # dir turns a runaway oracle into a clean per-query FAIL.
+    tmp = os.path.join("target", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='32GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
+
+
+def check_one(sf_dir, out_dir, name, oracle, entry):
+    """Check a single query; mutates `entry` and prints its own PASS/
+    SKIP lines. FAIL printing happens in main() off entry['err']."""
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        entry["err"] = "no spark output"
+        return
+    con = fresh_con(sf_dir)
+    got = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    entry["spark_rows"] = len(got)
+    if name not in oracle:
+        entry["err"] = "rows-only (no oracle sql)"
+        print(f"SKIP {name}: rows-only ({len(got)} rows)", flush=True)
+        return
+    t0 = time.time()
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        entry["err"] = f"oracle SQL error: {e}"
+        return
+    entry["oracle_sec"] = round(time.time() - t0, 1)
+    entry["oracle_rows"] = len(exp)
+    entry["rows_match"] = len(got) == len(exp)
+    gcols = sorted(got.columns); ecols = sorted(exp.columns)
+    entry["schema_match"] = gcols == ecols
+    ok, msg = compare(got, exp)
+    entry["hash_match"] = ok
+    if ok:
+        print(f"PASS {name} ({len(got)} rows, oracle "
+              f"{entry['oracle_sec']}s)", flush=True)
+    elif name == "q_text_quality_prune_approx":
+        # Documented tolerance case (see the query's scaladoc): the
+        # GK sketch at accuracy=10000 is EXACT below 10000 rows —
+        # the sf<=0.1 gate — but above that its contract is a
+        # bounded RANK error: |rank(cutoff) - ceil(0.25 n)| <= n/1e4.
+        # Ties at the chosen cutoff VALUE legitimately move the
+        # selected-row count by more than the rank error, so the
+        # row-set bar doesn't apply; the rank bound is the contract
+        # and is verified here instead.
+        tol_ok, tol_msg = gk_rank_tolerance(con, oracle[name], files)
+        entry["tolerance_ok"] = tol_ok
+        entry["err"] = ("GK sketch rank-error case above accuracy "
+                        f"rows: {tol_msg}")
+        if tol_ok:
+            print(f"PASS(tol) {name}: {tol_msg}", flush=True)
+        else:
+            entry["err"] = f"rank bound violated: {tol_msg}"
+            entry["tolerance_ok"] = False
+    else:
+        entry["err"] = msg
 
 
 def main(sf_dir, out_dir, out_json):
@@ -61,61 +122,24 @@ def main(sf_dir, out_dir, out_json):
                      if os.path.isdir(os.path.join(out_dir, d)))
     n_fail = 0
     for name in results:
-        con = fresh_con(sf_dir)
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None, "oracle_sec": None}
         report[name] = entry
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not files:
-            entry["err"] = "no spark output"; n_fail += 1
-            print(f"FAIL {name}: no spark output", flush=True); continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        entry["spark_rows"] = len(got)
-        if name not in oracle:
-            entry["err"] = "rows-only (no oracle sql)"
-            print(f"SKIP {name}: rows-only ({len(got)} rows)", flush=True)
-            continue
-        t0 = time.time()
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            check_one(sf_dir, out_dir, name, oracle, entry)
         except Exception as e:
-            entry["err"] = f"oracle SQL error: {e}"; n_fail += 1
-            print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
-            continue
-        entry["oracle_sec"] = round(time.time() - t0, 1)
-        entry["oracle_rows"] = len(exp)
-        entry["rows_match"] = len(got) == len(exp)
-        gcols = sorted(got.columns); ecols = sorted(exp.columns)
-        entry["schema_match"] = gcols == ecols
-        ok, msg = compare(got, exp)
-        entry["hash_match"] = ok
-        if ok:
-            print(f"PASS {name} ({len(got)} rows, oracle "
-                  f"{entry['oracle_sec']}s)", flush=True)
-        elif name == "q_text_quality_prune_approx":
-            # Documented tolerance case (see the query's scaladoc): the
-            # GK sketch at accuracy=10000 is EXACT below 10000 rows —
-            # the sf<=0.1 gate — but above that its contract is a
-            # bounded RANK error: |rank(cutoff) - ceil(0.25 n)| <= n/1e4.
-            # Ties at the chosen cutoff VALUE legitimately move the
-            # selected-row count by more than the rank error, so the
-            # row-set bar doesn't apply; the rank bound is the contract
-            # and is verified here instead.
-            tol_ok, tol_msg = gk_rank_tolerance(con, oracle[name], files)
-            entry["tolerance_ok"] = tol_ok
-            entry["err"] = ("GK sketch rank-error case above accuracy "
-                            f"rows: {tol_msg}")
-            if tol_ok:
-                print(f"PASS(tol) {name}: {tol_msg}", flush=True)
-            else:
-                n_fail += 1
-                print(f"FAIL {name}: rank bound violated: {tol_msg}",
-                      flush=True)
-        else:
-            entry["err"] = msg; n_fail += 1
-            print(f"FAIL {name}: {msg}", flush=True)
+            # NOTHING a single query does may abort the sweep — the
+            # ENOSPC incident above escaped the oracle try/except via
+            # the next query's unguarded read_parquet.
+            if entry["err"] is None:
+                entry["err"] = f"harness error: {e}"
+        failed = (entry["err"] is not None
+                  and not entry["err"].startswith("rows-only")
+                  and not entry.get("tolerance_ok", False))
+        if failed:
+            n_fail += 1
+            print(f"FAIL {name}: {entry['err']}", flush=True)
     with open(out_json, "w") as f:
         json.dump(report, f, indent=2)
     print(f"\n{len(report) - n_fail} pass, {n_fail} fail, "

@@ -57,11 +57,45 @@ object Queries {
     * registration comment.
     */
   def family(name: String): String =
-    if (name.matches("q_[pfawjuons]\\d+.*") || name.startsWith("q_ds_")
+    // Twin suffixes are tested FIRST (r12 advice): a §2-numbered scale
+    // twin like q_u2_dedup_keep_first_agg is a scale-path sibling, not
+    // parity coverage — its exact §2 base query carries the parity tag.
+    if (name.endsWith("_lsh") || name.endsWith("_indexed")
+        || name.endsWith("_agg") || name.endsWith("_approx")
+        || name.endsWith("_stratified"))
+      "twin"
+    else if (name.matches("q_[pfawjuons]\\d+.*") || name.startsWith("q_ds_")
         || name.startsWith("q_geo_") || name.startsWith("q_gpx_"))
       "parity"
-    else if (name.endsWith("_lsh") || name.endsWith("_indexed")
-        || name.endsWith("_agg") || name.endsWith("_approx"))
-      "twin"
     else "extension"
+
+  /** Shared Verify/Bench query-selection filter.
+    *  - SPARK_GRAFT_ONLY=p1,p2 — prefix filter (the long-standing
+    *    local-iteration contract; the driver never sets it);
+    *  - SPARK_GRAFT_ONLY_EXACT=1 — makes ONLY exact-name: the Bench
+    *    isolated-rerun child sets this, because isolating
+    *    q_graph_pagerank must not also run q_graph_pagerank_lsh (the
+    *    r12 advice: prefix children ran 2-3× the intended work and
+    *    tripped the 20-min kill, silently keeping noisy numbers);
+    *  - SPARK_GRAFT_FAMILY=parity|twin|extension — family filter, so a
+    *    §2-regression check costs the parity family's ~30 s, not the
+    *    full suite (documented in README).
+    */
+  def selected(name: String): Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val exact = sys.env.get("SPARK_GRAFT_ONLY_EXACT").contains("1")
+    val onlyOk = only.forall(_.exists(p =>
+      if (exact) name == p else name.startsWith(p)))
+    val famOk = sys.env.get("SPARK_GRAFT_FAMILY")
+      .forall(f => family(name) == f)
+    onlyOk && famOk
+  }
+
+  /** True when any selection filter is active — a filtered Bench run
+    * must neither clobber BENCH_LOCAL.json nor recurse into isolation.
+    */
+  def filtered: Boolean =
+    sys.env.contains("SPARK_GRAFT_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_FAMILY")
 }

@@ -50,14 +50,18 @@ object QueriesSimilarity {
     * operator) and q_sim_containment_indexed (the banded scale twin):
     * one oracle, two implementations, so the twin's correctness bar is
     * literally "reproduces the exact answer", not "replays its own
-    * approximation".
+    * approximation". Parametrized by the corpus SELECT so
+    * q_sim_containment_stratified can run the SAME brute force over
+    * its quote-augmented fixture.
     */
-  private lazy val containmentExactOracleSql: String =
-    s"""WITH t AS (
+  private def containmentExactOracleSqlOver(corpusSql: String): String =
+    s"""WITH corpus AS (
+       |  $corpusSql),
+       |t AS (
        |  SELECT doc_id, string_split(
        |    trim(regexp_replace(regexp_replace(lower(text),
        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-       |  FROM documents),
+       |  FROM corpus),
        |ng AS (
        |  SELECT DISTINCT doc_id,
        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
@@ -80,6 +84,150 @@ object QueriesSimilarity {
        |JOIN sz sa ON sa.doc_id = id_a
        |WHERE n_inter / sa.n >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val containmentExactOracleSql: String =
+    containmentExactOracleSqlOver("SELECT doc_id, text FROM documents")
+
+  /** The quote-augmented fixture corpus (q_sim_containment_stratified):
+    * documents plus, for every 13th document with ≥ 80 normalized
+    * tokens, a synthetic QUOTE document carrying its first 12 tokens —
+    * a verbatim span whose 3-gram set is contained (containment = 1.0)
+    * in a host ≥ 5× its size (ρ = |B|/|A| ≥ 5, the regime the banded
+    * twin's coverage contract excludes). Deterministic, derived from
+    * the table itself — the same expression at every SF.
+    */
+  private val containmentFixtureCorpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000000 AS doc_id,
+       |         array_to_string(toks[1:12], ' ') AS text
+       |  FROM (SELECT doc_id, string_split($textNormSql, ' ') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 13 = 0 AND len(toks) >= 80""".stripMargin
+
+  /** One-time lake build for the served LSH index (q_sim_lsh_
+    * incremental_lake + its probe-leg sibling): shingles ALL of
+    * `documents`, persists band buckets, distinct shingle digests, and
+    * per-doc set sizes as bucketed lake tables. Idempotent per
+    * (JVM, sfDir) unless `force` — the probe sibling reuses a build
+    * the full query (or a previous probe run) already wrote, so its
+    * timed runs are pure serve-leg.
+    */
+  @volatile private var lshLakeBuiltFor: String = null
+  private def buildLshLake(s: org.apache.spark.sql.SparkSession,
+                           d: String, force: Boolean = false): Unit =
+    this.synchronized {
+      if (force || lshLakeBuiltFor != d) {
+        import graft.sources.Lake
+        val docs = Tables.documents(s, d)
+        val histHs = Similarity.hashedShingles(
+          Similarity.charShingles(docs, "doc_id", "text", 5), "doc_id")
+          .distinct().cache()
+        val histBands = Similarity.lshBands(
+          Similarity.minhashFromHashes(histHs, "doc_id", K), "doc_id", K, R)
+        Lake.writeBucketed(histBands, "lsh_hist_bands", "band_value", 8)
+        Lake.writeBucketed(histHs, "lsh_hist_digests", "doc_id", 8)
+        Lake.writeBucketed(histHs.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh")), "lsh_hist_sizes", "doc_id", 8)
+        histHs.unpersist()
+        lshLakeBuiltFor = d
+      }
+    }
+
+  /** The serve-time leg: only the 30-doc batch is shingled; candidates
+    * come from an equi-join against the persisted band buckets (history
+    * bucket cap 20) and jaccardForPairsServed verifies against the
+    * digest/size lake with no corpus-wide distinct or aggregation.
+    */
+  private def lshLakeProbe(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val batch = Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" revised edition")).as("text"))
+    val bHs = Similarity.hashedShingles(
+      Similarity.charShingles(batch, "doc_id", "text", 5), "doc_id")
+      .cache()
+    val cand = Similarity.candidatePairsAcross(
+      Similarity.lshBands(
+        Similarity.minhashFromHashes(bHs, "doc_id", K), "doc_id", K, R),
+      s.table("lsh_hist_bands"), "doc_id", maxBucket = 20)
+    Similarity.jaccardForPairsServed(cand, bHs,
+        s.table("lsh_hist_digests"), s.table("lsh_hist_sizes"),
+        "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_hist"),
+        col("jaccard"))
+      .orderBy(col("id_new"), col("id_hist"))
+  }
+
+  /** Recompute-everything DuckDB replay shared by
+    * q_sim_lsh_incremental_lake AND its probe-leg sibling — one oracle
+    * string, two physical paths, so the served leg's hash match proves
+    * served == full on its own.
+    */
+  private lazy val lshIncrementalLakeOracleSql: String = {
+    val bandValSql = (0 until K / R).map { b =>
+      val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $b THEN $bv"
+    }.mkString(" ")
+    s"""WITH batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         text || ' revised edition' AS text
+       |  FROM documents WHERE doc_id < 30),
+       |hsh AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+       |  FROM documents,
+       |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+       |bsh AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+       |  FROM batch,
+       |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
+       |hhh AS (SELECT doc_id,
+       |          ${HashFns.md5LongSql("shingle")} AS h FROM hsh),
+       |bhh AS (SELECT doc_id,
+       |          ${HashFns.md5LongSql("shingle")} AS h FROM bsh),
+       |hsig AS (
+       |  SELECT doc_id,
+       |  $sigSelectSql
+       |  FROM hhh GROUP BY doc_id),
+       |bsig AS (
+       |  SELECT doc_id,
+       |  $sigSelectSql
+       |  FROM bhh GROUP BY doc_id),
+       |hb AS (
+       |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+       |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+       |  FROM hsig, (SELECT unnest(range(${K / R})) AS band) bb),
+       |pb AS (
+       |  SELECT doc_id, CAST(bb.band AS INT) AS band,
+       |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
+       |  FROM bsig, (SELECT unnest(range(${K / R})) AS band) bb),
+       |ok AS (SELECT band, bv FROM hb GROUP BY band, bv
+       |       HAVING count(*) <= 20),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS id_a, h.doc_id AS id_b
+       |  FROM pb p
+       |  JOIN ok USING (band, bv)
+       |  JOIN hb h USING (band, bv)),
+       |shd_h AS (SELECT DISTINCT doc_id, h FROM hhh),
+       |shd_b AS (SELECT DISTINCT doc_id, h FROM bhh),
+       |sz_h AS (SELECT doc_id, count(*) AS n FROM shd_h GROUP BY doc_id),
+       |sz_b AS (SELECT doc_id, count(*) AS n FROM shd_b GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd_b a ON a.doc_id = c.id_a
+       |  JOIN shd_h b ON b.doc_id = c.id_b AND b.h = a.h
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a AS id_new, id_b AS id_hist,
+       |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sz_b sa ON sa.doc_id = id_a
+       |JOIN sz_h sb ON sb.doc_id = id_b
+       |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+       |ORDER BY id_new, id_hist""".stripMargin
+  }
 
   /** DuckDB mirror of the double-accumulated dot product. */
   private def dotSql(a: String, b: String): String =
@@ -141,6 +289,13 @@ object QueriesSimilarity {
         .mkString(" || ':' || ")
       s"WHEN $b THEN $bv"
     }.mkString(" ")
+    // sig/shd/e carry AS MATERIALIZED (DuckDB-only execution hints,
+    // result-identical — the bm25 precedent): `bands` is referenced
+    // three times (a side, b side, the ok cap) and `shd` twice (both
+    // verify sides), and DuckDB's default inlining re-derives the
+    // 300M-row shingle+md5 pipeline once PER REFERENCE at sf10 —
+    // measured >60 GiB of spill before dying vs 28 s with the two
+    // materializations (SCALING.md round 13).
     s"""WITH RECURSIVE uniq AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text, row_number() OVER (
@@ -150,7 +305,7 @@ object QueriesSimilarity {
        |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
        |  FROM uniq, unnest(range(1, greatest(length(text)-3, 1))) t(i)),
        |hh AS ($baseHashSql),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |  $sigSelectSql
        |  FROM hh GROUP BY doc_id),
@@ -166,7 +321,7 @@ object QueriesSimilarity {
        |  JOIN ok USING (band, bv)
        |  JOIN bands b USING (band, bv)
        |  WHERE a.doc_id < b.doc_id),
-       |shd AS (SELECT DISTINCT doc_id, h FROM hh),
+       |shd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM hh),
        |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -179,7 +334,7 @@ object QueriesSimilarity {
        |  JOIN sz sa ON sa.doc_id = id_a
        |  JOIN sz sb ON sb.doc_id = id_b
        |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8),
-       |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs
        |      UNION SELECT id_b, id_a FROM prs),
        |reach(id, lbl) AS (
        |  SELECT DISTINCT src, src FROM e
@@ -857,102 +1012,33 @@ object QueriesSimilarity {
     // the served path equals the recompute-everything path.
     Q("q_sim_lsh_incremental_lake",
       (s, d) => {
-        import graft.sources.Lake
-        val docs = Tables.documents(s, d)
-        // ---- one-time index build (persisted; at serve time these
-        // are untouched bytes on the lake)
-        val histHs = Similarity.hashedShingles(
-          Similarity.charShingles(docs, "doc_id", "text", 5), "doc_id")
-          .distinct().cache()
-        val histBands = Similarity.lshBands(
-          Similarity.minhashFromHashes(histHs, "doc_id", K), "doc_id", K, R)
-        Lake.writeBucketed(histBands, "lsh_hist_bands", "band_value", 8)
-        Lake.writeBucketed(histHs, "lsh_hist_digests", "doc_id", 8)
-        Lake.writeBucketed(histHs.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sh")), "lsh_hist_sizes", "doc_id", 8)
-        histHs.unpersist()
-        // ---- the serve-time probe: only the batch is shingled
-        val batch = docs.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(col("text"), lit(" revised edition")).as("text"))
-        val bHs = Similarity.hashedShingles(
-          Similarity.charShingles(batch, "doc_id", "text", 5), "doc_id")
-          .cache()
-        val cand = Similarity.candidatePairsAcross(
-          Similarity.lshBands(
-            Similarity.minhashFromHashes(bHs, "doc_id", K), "doc_id", K, R),
-          s.table("lsh_hist_bands"), "doc_id", maxBucket = 20)
-        Similarity.jaccardForPairsServed(cand, bHs,
-            s.table("lsh_hist_digests"), s.table("lsh_hist_sizes"),
-            "doc_id")
-          .filter(col("jaccard") >= 0.8)
-          .select(col("id_a").as("id_new"), col("id_b").as("id_hist"),
-            col("jaccard"))
-          .orderBy(col("id_new"), col("id_hist"))
+        // force: THIS query's registered cost is build+probe (its
+        // scaladoc contract and the r11-r12 bench history); the probe
+        // sibling below is the build-excluded number
+        buildLshLake(s, d, force = true)
+        lshLakeProbe(s, d)
       },
-      Some {
-        val bandValSql = (0 until K / R).map { b =>
-          val bv = (0 until R).map(r => s"CAST(mh${b * R + r} AS VARCHAR)")
-            .mkString(" || ':' || ")
-          s"WHEN $b THEN $bv"
-        }.mkString(" ")
-        s"""WITH batch AS (
-           |  SELECT doc_id + 1000000 AS doc_id,
-           |         text || ' revised edition' AS text
-           |  FROM documents WHERE doc_id < 30),
-           |hsh AS (
-           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-           |  FROM documents,
-           |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
-           |bsh AS (
-           |  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
-           |  FROM batch,
-           |       unnest(range(1, greatest(length(text)-3, 1))) t(i)),
-           |hhh AS (SELECT doc_id,
-           |          ${HashFns.md5LongSql("shingle")} AS h FROM hsh),
-           |bhh AS (SELECT doc_id,
-           |          ${HashFns.md5LongSql("shingle")} AS h FROM bsh),
-           |hsig AS (
-           |  SELECT doc_id,
-           |  $sigSelectSql
-           |  FROM hhh GROUP BY doc_id),
-           |bsig AS (
-           |  SELECT doc_id,
-           |  $sigSelectSql
-           |  FROM bhh GROUP BY doc_id),
-           |hb AS (
-           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
-           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
-           |  FROM hsig, (SELECT unnest(range(${K / R})) AS band) bb),
-           |pb AS (
-           |  SELECT doc_id, CAST(bb.band AS INT) AS band,
-           |         CASE CAST(bb.band AS INT) $bandValSql END AS bv
-           |  FROM bsig, (SELECT unnest(range(${K / R})) AS band) bb),
-           |ok AS (SELECT band, bv FROM hb GROUP BY band, bv
-           |       HAVING count(*) <= 20),
-           |cand AS (
-           |  SELECT DISTINCT p.doc_id AS id_a, h.doc_id AS id_b
-           |  FROM pb p
-           |  JOIN ok USING (band, bv)
-           |  JOIN hb h USING (band, bv)),
-           |shd_h AS (SELECT DISTINCT doc_id, h FROM hhh),
-           |shd_b AS (SELECT DISTINCT doc_id, h FROM bhh),
-           |sz_h AS (SELECT doc_id, count(*) AS n FROM shd_h GROUP BY doc_id),
-           |sz_b AS (SELECT doc_id, count(*) AS n FROM shd_b GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-           |  FROM cand c
-           |  JOIN shd_b a ON a.doc_id = c.id_a
-           |  JOIN shd_h b ON b.doc_id = c.id_b AND b.h = a.h
-           |  GROUP BY c.id_a, c.id_b)
-           |SELECT id_a AS id_new, id_b AS id_hist,
-           |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
-           |FROM inter
-           |JOIN sz_b sa ON sa.doc_id = id_a
-           |JOIN sz_h sb ON sb.doc_id = id_b
-           |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
-           |ORDER BY id_new, id_hist""".stripMargin
-      }),
+      Some(lshIncrementalLakeOracleSql)),
+
+    // --------------------- lake-served LSH: the PROBE LEG in isolation
+    // q_sim_lsh_incremental_lake necessarily times build+probe together
+    // (its oracle replays the build, so the registered query performs
+    // it). This sibling is the MEASURED serving claim (r12 verdict
+    // task 5): [[buildLshLake]] is idempotent per (JVM, sfDir) and the
+    // bench orders queries by name, so ..._lake has already built the
+    // index by the time this runs — every timed run here is
+    // shingle-the-batch → equi-join the persisted buckets → verify
+    // against the digest lake, the O(batch + index scan) contract.
+    // Standalone runs (a filtered Verify) still self-build, so
+    // correctness is order-independent. SAME oracle string — a hash
+    // match proves the served leg equals the recompute-everything
+    // semantics on its own.
+    Q("q_sim_lsh_incremental_lake_probe",
+      (s, d) => {
+        buildLshLake(s, d)
+        lshLakeProbe(s, d)
+      },
+      Some(lshIncrementalLakeOracleSql)),
 
     // -------------------------------------------- duplicate CLUSTERS
     // Pairwise near-dup pairs upgraded to components: min-label
@@ -2417,6 +2503,44 @@ object QueriesSimilarity {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(containmentExactOracleSql)),
+
+    // -------- containment FULL-RANGE twin: stratified by overlap shape
+    // SetJoin.containmentStratified — closes q_sim_containment_indexed's
+    // documented coverage hole (pairs beyond the ρ ≤ ~2 size-ratio
+    // envelope: a tiny quote inside a much larger document). Two
+    // per-stratum candidate generators union into ONE exact verify:
+    // the banded MinHash probe for size-similar pairs, and winnowed
+    // (df, hash)-minimal fingerprints for the quote stratum — a
+    // DETERMINISTIC guarantee for any verbatim run of ≥ 8 n-grams,
+    // where per-stratum band tuning (LSH-Ensemble proper) provably
+    // cannot reach hash-exactness on this corpus at feasible K (the
+    // operator scaladoc carries the measured noise arithmetic). Runs
+    // on the quote-AUGMENTED fixture: every 13th document with ≥ 80
+    // tokens contributes a 12-token quote doc (ρ ≥ 5, containment
+    // 1.0) — pairs the banded twin misses (SetJoinSpec pins that
+    // miss). The oracle is the SAME exact brute force, over the same
+    // fixture corpus.
+    Q("q_sim_containment_stratified",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val toked0 = base.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val quotes = toked0
+          .filter(col("doc_id") % 13 === 0 && size(col("toks")) >= 80)
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            concat_ws(" ", slice(col("toks"), 1, 12)).as("text"))
+        val corpus = base.unionByName(quotes)
+        val toked = corpus.select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val hashedSeq = Similarity
+          .wordNgramsIndexed(toked, "doc_id", "toks", 3)
+          .select(col("doc_id"), col("pos"),
+            HashFns.md5Long(col("ngram")).as("h"))
+        graft.operators.SetJoin
+          .containmentStratified(hashedSeq, "doc_id", "pos", "h", 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(containmentExactOracleSqlOver(containmentFixtureCorpusSql))),
 
     // --------------------------------- prefix hot-element report
     // The closed-vocabulary early warning for the exact set joins

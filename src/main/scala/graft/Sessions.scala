@@ -19,22 +19,44 @@ object Sessions {
     * sf0.1 — cached lineages materialize at the pre-coalesce width).
     * 8 MB compressed ≈ the 64 MB-uncompressed advisory partition on
     * this data (the closed-vocab synthetic compresses ~8×). So:
-    * factor = clamp(round(bytes / (8 MB × cores)), 1, 16) — 1 for
-    * every local test/correctness SF (bit-for-bit the old default; the
-    * oracle harness is order-deterministic anyway), 8 at the sf10
-    * decade, capped at 16. SPARK_GRAFT_AQE_WIDTH_FACTOR overrides
-    * numerically for experiments; unreadable dirs fall back to 1.
+    * below 1 GB of input the factor is ALWAYS 1 (the measured truth:
+    * sf1's 222 MB wants the plain width regardless of core count —
+    * without this absolute gate a 4-core session at sf1 would compute
+    * factor ~7 and regress exactly the cached/iterative queries the
+    * calibration flagged); at ≥1 GB,
+    * factor = clamp(round(bytes / (8 MB × cores)), 1, 16) — ~9 at the
+    * sf10 decade on 32 cores, capped at 16.
+    * SPARK_GRAFT_AQE_WIDTH_FACTOR overrides numerically for
+    * experiments; unreadable dirs fall back to 1. Bytes are summed
+    * RECURSIVELY (round 13; the r12 top-level-only listing returned 0
+    * for any day-partitioned/bucketed lake directory — the layouts
+    * this repo itself writes — silently disabling the dial there).
     */
   private[graft] def autoWidthFactor(dir: String, cores: Int): Int = {
-    val bytes =
-      try {
-        val d = new java.io.File(dir)
-        if (!d.isDirectory) 0L
-        else d.listFiles().filter(_.isFile).map(_.length).sum
-      } catch { case _: Throwable => 0L }
-    val f = math.round(bytes.toDouble / (8_000_000.0 * cores))
-    math.max(1L, math.min(16L, f)).toInt
+    val bytes = dirBytes(dir)
+    if (bytes < 1_000_000_000L) 1
+    else {
+      val f = math.round(bytes.toDouble / (8_000_000.0 * cores))
+      math.max(1L, math.min(16L, f)).toInt
+    }
   }
+
+  /** Recursive byte count of all regular files under `dir`; 0 on any
+    * error or non-directory. Partitioned lake layouts keep their data
+    * in nested part=... subdirectories, so a top-level listing is not
+    * a volume estimate.
+    */
+  private[graft] def dirBytes(dir: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    } catch { case _: Throwable => 0L }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     builder(master, shufflePartitions, None)
@@ -73,9 +95,10 @@ object Sessions {
       // mid-size queries with tight spreads (cached/iterative plans
       // materialize at the wide pre-coalesce width and repay its task
       // overhead every iteration). The factor now AUTO-SIZES from the
-      // input directory's bytes ([[autoWidthFactor]]): 1 at every
-      // local correctness SF, 8 at the sf10 decade, env-overridable.
-      // Both underlying measurements in SCALING.md.
+      // input directory's recursive bytes ([[autoWidthFactor]]): 1
+      // below 1 GB (every local correctness SF, any core count), ~9 at
+      // the sf10 decade on 32 cores, env-overridable. Both underlying
+      // measurements in SCALING.md.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (shufflePartitions * widthFactor).toString)
       // keep catalog/warehouse state out of the repo root

@@ -11,12 +11,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional local-iteration filter: SPARK_GRAFT_ONLY=prefix1,prefix2
-    // limits the dump to matching query names (driver never sets this).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSeq.filter(_.nonEmpty))
-    def selected(name: String) = only.forall(_.exists(name.startsWith))
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    // Optional local-iteration filters (SPARK_GRAFT_ONLY prefix list,
+    // SPARK_GRAFT_ONLY_EXACT, SPARK_GRAFT_FAMILY) — shared contract in
+    // Queries.selected; the driver never sets any of them.
+    SparkEntry.queries.filter(kv => Queries.selected(kv._1))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

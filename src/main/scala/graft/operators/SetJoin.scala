@@ -305,4 +305,164 @@ object SetJoin {
         col("__o.containment").as("containment"))
       .filter(col("containment") >= t)
   }
+
+  /** Containment twin for the FULL ratio range — a union of TWO
+    * overlap-structure strata, each probed with the candidate
+    * generator that is actually sound for it, then ONE exact verify:
+    *
+    *   1. the size-similar stratum (ρ = |B|/|A| ≲ 2): the
+    *      [[containmentBanded]] MinHash band probe — J ≥ t/(ρ+1−t)
+    *      keeps banding recall near-certain there;
+    *   2. the quote stratum (ρ ≫ 2 — a small document quoted inside a
+    *      much larger one): SPAN FINGERPRINTS — every window of
+    *      `winnowW` consecutive n-gram positions is folded into one
+    *      64-bit order-sensitive fingerprint, and candidates are
+    *      equality on a fingerprint. GUARANTEE (deterministic, not
+    *      probabilistic): any pair sharing a verbatim run of ≥ winnowW
+    *      consecutive n-grams (winnowW+n−1 tokens) shares the window
+    *      lying inside the run, hence its fingerprint. The key's
+    *      selectivity is the FULL span's document frequency — a
+    *      fingerprint is hot only when the entire winnowW+n−1-token
+    *      span is boilerplate shared by > maxBucket documents, which
+    *      is template spam by definition (report-routed, see
+    *      [[spanHotFingerprints]]). A sparsified variant (winnowing —
+    *      Schleimer/Wilkerson/Aiken, SIGMOD 2003 — selecting each
+    *      window's (df,hash)-minimal n-gram) was built first and
+    *      REJECTED by measurement: the selected key is one n-gram,
+    *      whose corpus df on a closed vocabulary exceeds any sane
+    *      bucket cap even when the full span is shared by exactly one
+    *      pair — at sf1 the cap dropped 10 of ~900 true quote pairs.
+    *      Fingerprint collisions (64-bit FNV-style fold) only ADD
+    *      candidates; the exact verify keeps soundness unconditional.
+    *
+    * WHY NOT size-stratified band tuning (LSH-Ensemble proper) for
+    * stratum 2: per-stratum tuning at this corpus's quote regime needs
+    * r=1 bands with K ≈ ln(1/δ)/J ≈ 200+ hashes at J ≈ 0.1 — and
+    * measured background similarity (sf0.01: 9.2% of pairs share ≥ 1
+    * n-gram at E[J|share] ≈ 0.01) makes a non-pair's hit probability
+    * 1−(1−0.01)^200 ≈ 0.87, i.e. ~every n-gram-sharing pair becomes a
+    * candidate (~10⁸ at sf1). r=2 kills the noise (J² = 10⁻⁴) but
+    * needs ln(1/δ)/J² ≈ 2000 bands for certainty at J = 0.1. MinHash
+    * banding cannot hash-match an exact oracle in this regime at any
+    * feasible K; the winnowing guarantee is deterministic AND its
+    * index is SPARSE (≈ 2/(winnowW+1) of n-gram rows — the classic
+    * winnowing density bound).
+    *
+    * COVERAGE CONTRACT: a high-ρ pair whose overlap is entirely
+    * FRAGMENTED (no verbatim run of winnowW n-grams — heavily
+    * interleaved edits rather than quotation) rides stratum 1's
+    * envelope only. That is the honest residue: quote detection is
+    * about verbatim spans, and a t = 0.9 containment built from
+    * sub-winnowW fragments is paraphrase territory, the embedding
+    * family's job (q_sim_embedding_neardup).
+    *
+    * 100 TB shape: fingerprinting is per-document (windows are
+    * single-doc partitions, bounded by doc length; one 8-byte key per
+    * n-gram position, the same row volume the exact verify already
+    * shuffles); the candidate join is an equi-join on the fingerprint
+    * with `maxBucket` capping hot spans (drops are observable via
+    * [[spanHotFingerprints]]); every emitted pair is exact-integer
+    * verified, and both legs share ONE verify pass. Input is ORDERED
+    * hashed n-grams (idCol, posCol, hashCol) —
+    * [[Similarity.wordNgramsIndexed]] + md5 — because the guarantee is
+    * about runs, which the set view cannot express.
+    */
+  def containmentStratified(ngrams: DataFrame, idCol: String,
+                            posCol: String, hashCol: String, t: Double,
+                            winnowW: Int = 8, numHashes: Int = 48,
+                            rowsPerBand: Int = 2,
+                            maxBucket: Int = 64): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    require(winnowW >= 2, s"winnow window must be >= 2, got $winnowW")
+    val hashed = ngrams.select(col(idCol), col(hashCol).as("h")).distinct()
+      .cache()
+    // ---- stratum 1: size-similar pairs via the banded MinHash probe
+    val sig = Similarity.minhashFromHashes(hashed, idCol, numHashes)
+    val bands = Similarity.lshBands(sig, idCol, numHashes, rowsPerBand)
+    val candBanded = Similarity.candidatePairs(bands, idCol, maxBucket)
+    // ---- stratum 2: quote pairs via span fingerprints
+    val fps = spanFingerprints(ngrams, idCol, posCol, hashCol, winnowW)
+    val fpOk = {
+      val sizes = fps.groupBy(col("fp")).agg(count(lit(1)).as("__fn"))
+        .filter(col("__fn") <= maxBucket).drop("__fn")
+      fps.join(sizes, Seq("fp"))
+    }
+    val candWinnow = fpOk.select(col("fp"), col(idCol).as("id_a"))
+      .join(fpOk.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // ---- union of per-stratum probes, ONE exact verify, both
+    // orientations from one intersection pass (the containmentBanded
+    // explode form)
+    val cand = candBanded.unionByName(candWinnow).distinct()
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(hashed.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+    inter.select(explode(array(
+        struct(col("id_a"), col("id_b"), col("n_inter"),
+          (col("n_inter") / col("__na")).as("containment")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("n_inter"),
+          (col("n_inter") / col("__nb")).as("containment"))))
+        .as("__o"))
+      .select(col("__o.id_a").as("id_a"), col("__o.id_b").as("id_b"),
+        col("__o.n_inter").as("n_inter"),
+        col("__o.containment").as("containment"))
+      .filter(col("containment") >= t)
+  }
+
+  /** Hot-fingerprint report — [[containmentStratified]]'s recall guard
+    * (the Similarity.hotBuckets / [[prefixHotElements]] convention):
+    * span fingerprints whose document frequency exceeds `maxBucket`
+    * are DROPPED from quote candidacy by the cap, so a non-empty
+    * report names the verbatim winnowW+n−1-token spans shared by more
+    * than `maxBucket` documents (template spam) whose pairs the cap
+    * excluded — the drop must be read next to any scale run's timing,
+    * not inferred. Heaviest first.
+    */
+  def spanHotFingerprints(ngrams: DataFrame, idCol: String,
+                          posCol: String, hashCol: String,
+                          winnowW: Int, maxBucket: Int): DataFrame =
+    spanFingerprints(ngrams, idCol, posCol, hashCol, winnowW)
+      .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") > maxBucket)
+      .orderBy(col("fp_df").desc, col("fp"))
+
+  /** Span fingerprints (the stratum-2 index of
+    * [[containmentStratified]]): every window of `winnowW` consecutive
+    * n-gram hashes folds into one 64-bit order-sensitive key
+    * (FNV-style multiply-add over the window; Long overflow wraps, so
+    * the fold is deterministic and engine-independent). Documents
+    * shorter than one window fold what they have (their full content
+    * IS the window). Output: distinct (idCol, fp) rows — one candidate
+    * key per n-gram position, carrying the selectivity of the whole
+    * span rather than any single n-gram (the property the winnowed
+    * variant lost, see the operator scaladoc).
+    */
+  private def spanFingerprints(ngrams: DataFrame, idCol: String,
+                               posCol: String, hashCol: String,
+                               winnowW: Int): DataFrame = {
+    val win = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    val span = Window.partitionBy(col(idCol))
+    ngrams
+      .select(col(idCol), col(posCol), col(hashCol).as("h"))
+      .withColumn("__arr", collect_list(col("h")).over(win))
+      .withColumn("__np", max(col(posCol)).over(span))
+      // complete windows only — except short docs, which keep their one
+      // truncated window (pos 1 covers the whole doc)
+      .filter(col(posCol) <= greatest(col("__np") - winnowW + 1, lit(1)))
+      // rotate-xor fold: order-sensitive, pure bit ops (Spark 4's ANSI
+      // mode rejects wrap-around multiply; shifts and xor never throw)
+      .withColumn("fp", aggregate(col("__arr"), lit(0L),
+        (acc, x) => shiftleft(acc, 7)
+          .bitwiseOR(shiftrightunsigned(acc, 57)).bitwiseXOR(x)))
+      .select(col(idCol), col("fp")).distinct()
+  }
 }

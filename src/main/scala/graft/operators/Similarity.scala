@@ -264,6 +264,22 @@ object Similarity {
           (0 until n).map(j => element_at(col(toksCol), i + j)): _*)))
         .as("ngram"))
 
+  /** Word n-grams WITH their 1-based position — the ordered sibling of
+    * [[wordNgrams]] for consumers that need sequence structure (the
+    * winnowed-fingerprint quote stratum in SetJoin.containmentStratified:
+    * its guarantee is about CONTIGUOUS runs, which the set view erases).
+    * One (id, pos, ngram) row per position.
+    */
+  def wordNgramsIndexed(df: DataFrame, idCol: String, toksCol: String,
+                        n: Int): DataFrame =
+    df.filter(size(col(toksCol)) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col(toksCol)) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col(toksCol), i + j)): _*))))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        col("col").as("ngram"))
+
   /** Dot product of two float/double-array columns, accumulated in
     * DOUBLE in index order (bit-identical to DuckDB's
     * list_sum(list_transform(list_zip(a,b), ...)) mirror). Native

@@ -142,6 +142,36 @@ class InfraSpec extends AnyFunSuite {
         .filter(to_date(col("ts")) === "2024-01-03").count())
   }
 
+  test("autoWidthFactor sums bytes recursively and gates on 1 GB") {
+    // r12 defect: a top-level-only listing returned 0 bytes for
+    // partitioned lake dirs (data lives in day=.../part-*.parquet),
+    // silently pinning the width factor to 1 there.
+    val root = Files.createTempDirectory("graft_width").toString
+    def put(rel: String, n: Int): Unit = {
+      val p = java.nio.file.Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, new Array[Byte](n))
+    }
+    put("day=2024-01-01/part-0.parquet", 1 << 20)
+    put("day=2024-01-02/part-0.parquet", 1 << 20)
+    put("top.parquet", 1 << 20)
+    assert(Sessions.dirBytes(root) == 3L * (1 << 20),
+      "nested partition files must count toward input volume")
+    assert(Sessions.dirBytes(root + "/nope") == 0L)
+    // absolute gate: anything under 1 GB is factor 1 at ANY core count
+    assert(Sessions.autoWidthFactor(root, 4) == 1)
+    assert(Sessions.autoWidthFactor(root, 32) == 1)
+    // above the gate the byte/core formula applies (sparse file keeps
+    // this cheap on disk is NOT guaranteed by Files.write, so compute
+    // the formula against the flat testdata instead of writing 1 GB):
+    // 2.2 GB at 32 cores -> round(2.2e9/2.56e8) = 9, capped at 16.
+    val sf10 = "/root/repo/target/sf10"
+    if (new java.io.File(sf10).isDirectory) {
+      val f = Sessions.autoWidthFactor(sf10, 32)
+      assert(f >= 8 && f <= 16, s"sf10 factor out of calibrated range: $f")
+    }
+  }
+
   test("doc query totals cannot drift from the registry") {
     // The r7 verdict caught SURVEY/README totals lagging the registry
     // twice; this pins them. Every oracle-bearing doc number must equal
@@ -164,5 +194,25 @@ class InfraSpec extends AnyFunSuite {
     val unoracled = Queries.all.keySet -- Queries.oracles.keySet
     assert(unoracled.isEmpty,
       s"queries without a DuckDB oracle: $unoracled")
+    // The TEST-count claim drifts too (r12: SURVEY said 308 while sbt
+    // test reported 310). Pin it to the source-level registration
+    // count: one `test("` per ScalaTest case + one `property(` per
+    // ScalaCheck law, which is what `sbt test` runs.
+    def countIn(root: java.io.File, re: scala.util.matching.Regex): Int = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) f.listFiles.iterator.flatMap(walk)
+        else if (f.getName.endsWith(".scala")) Iterator(f)
+        else Iterator.empty
+      walk(root).map { f =>
+        re.findAllMatchIn(new String(
+          Files.readAllBytes(f.toPath), "UTF-8")).size
+      }.sum
+    }
+    val testRoot = new java.io.File("/root/repo/src/test")
+    val nTests = countIn(testRoot, "(?m)^\\s*test\\(\"".r) +
+      countIn(testRoot, "(?m)^\\s*property\\(\"".r)
+    assert(docN("/root/repo/SURVEY.md",
+      "(\\d+) ScalaTest/ScalaCheck tests".r) == nTests,
+      s"SURVEY.md test-count claim != $nTests registered tests")
   }
 }

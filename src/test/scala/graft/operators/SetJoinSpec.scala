@@ -137,6 +137,106 @@ class SetJoinSpec extends AnyFunSuite {
     assert(viaSparkContBanded(sets, 0.5).isEmpty)
   }
 
+  // ---- stratified twin: token-sequence corpora (the quote regime) ----
+
+  /** 3-gram rows WITH position (the containmentStratified input). */
+  private def ngramRows(docs: Seq[(Long, Seq[String])]) =
+    docs.flatMap { case (id, toks) =>
+      if (toks.size < 3) Seq.empty
+      else toks.sliding(3).zipWithIndex
+        .map { case (w, i) => (id, i + 1, w.mkString(" ")) }
+    }
+
+  private def ngramSets(docs: Seq[(Long, Seq[String])]) =
+    docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet }
+
+  private def viaSparkStratified(docs: Seq[(Long, Seq[String])],
+                                 t: Double) = {
+    val df = ngramRows(docs).toDF("id", "pos", "ngram")
+      .select(col("id"), col("pos"),
+        graft.functions.HashFns.md5Long(col("ngram")).as("h"))
+    SetJoin.containmentStratified(df, "id", "pos", "h", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  /** Deterministic pseudo-random token stream (seeded). */
+  private def toks(seed: Int, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(s"w${rnd.nextInt(40)}")
+  }
+
+  test("stratified twin matches brute force INCLUDING rho>=5 quote pairs the banded twin misses") {
+    // The r12 coverage hole: a 12-token quote (10 3-grams) inside an
+    // 80-token host is a rho ~ 7.8 pair with J ~ 0.13 — beyond the
+    // banded twin's ratio envelope (per-pair band-hit probability
+    // ~0.3 at 24 r=2 bands). The stratified twin's winnowing leg
+    // carries a DETERMINISTIC guarantee for the verbatim run, so it
+    // must return the exact brute-force answer; the banded twin's
+    // miss is pinned below (md5 minhash is deterministic — this is a
+    // fixed outcome, not a flaky one).
+    val host1 = toks(1, 80)
+    val host2 = toks(2, 90)
+    val docs = Seq(
+      1L -> host1,
+      2L -> host2,
+      101L -> host1.take(12),                  // quote of host1
+      102L -> host2.take(12),                  // quote of host2
+      3L -> toks(3, 60),                       // noise
+      4L -> toks(4, 40),                       // noise
+      5L -> toks(5, 30),                       // near-dup pair (5,6):
+      6L -> (toks(5, 30).init :+ "w99"))       // one-token edit
+    val sets = ngramSets(docs)
+    val brute = bruteCont(sets, 0.9)
+    // the fixture really is in the quote regime
+    val bySize = sets.toMap.map { case (k, v) => k -> v.size }
+    assert(bySize(1L).toDouble / bySize(101L) >= 5.0 &&
+      bySize(2L).toDouble / bySize(102L) >= 5.0, s"fixture rho: $bySize")
+    assert(brute.exists(p => p._1 == 101L && p._2 == 1L))
+    assert(viaSparkStratified(docs, 0.9) == brute)
+    // the banded twin misses at least one quote pair — the documented
+    // envelope hole this operator exists to close
+    val banded = viaSparkContBanded(sets, 0.9)
+    assert(banded.subsetOf(brute))
+    val quotePairs = brute.filter(p => p._1 >= 100L)
+    assert((quotePairs -- banded).nonEmpty,
+      "banded unexpectedly caught every quote pair — fixture too easy")
+  }
+
+  test("stratified twin: lossless on random token corpora at t=0.9") {
+    for (trial <- 10 to 14) {
+      val base = toks(trial * 7, 50 + trial)
+      val docs = Seq(
+        1L -> base,
+        2L -> base.drop(20),                    // suffix: contained
+        3L -> base.take(12),                    // prefix quote
+        4L -> toks(trial * 7 + 1, 35),
+        5L -> toks(trial * 7 + 2, 8))           // shorter than one window
+      assert(viaSparkStratified(docs, 0.9) == bruteCont(ngramSets(docs), 0.9),
+        s"trial $trial")
+    }
+  }
+
+  test("spanHotFingerprints reports boilerplate spans the cap would drop") {
+    // six docs opening with the SAME 12 tokens: the shared spans'
+    // fingerprints have df 6 — above a cap of 4 they are dropped from
+    // candidacy, and the report must surface them (heaviest first)
+    val shared = toks(99, 12)
+    val docs = (1L to 6L).map(i => i -> (shared ++ toks(i.toInt, 30)))
+    val df = ngramRows(docs).toDF("id", "pos", "ngram")
+      .select(col("id"), col("pos"),
+        graft.functions.HashFns.md5Long(col("ngram")).as("h"))
+    val rep = SetJoin.spanHotFingerprints(df, "id", "pos", "h",
+      winnowW = 8, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.nonEmpty && rep.forall(_._2 == 6L),
+      s"expected shared-span fingerprints at df 6, got ${rep.toSeq}")
+    // a cap at the corpus size reports nothing
+    assert(SetJoin.spanHotFingerprints(df, "id", "pos", "h", 8, 6)
+      .collect().isEmpty)
+  }
+
   test("prefixHotElements reports closed-vocab inflation, heaviest first") {
     // six 2-element sets all share "hot": with t=0.5 the prefix keeps
     // both elements, so hot's prefix df is 6 — each such element

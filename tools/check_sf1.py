@@ -7,9 +7,21 @@ sorted by name, rows sorted by all columns, values compared EXACTLY
 (dtype splits like int64-vs-float64 fail, as the driver's stringify-hash
 would). "hash_match" here means that exact value comparison passed.
 
-Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson>
+Usage:
+  python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson>
+  python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson> --isolate
+  python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson> --one <name>
+
+--isolate runs ONE SUBPROCESS PER QUERY (each invoking --one). This is
+the sf10 mode: DuckDB's allocator is process-global, so a single
+OutOfMemoryException poisons every later oracle in the SAME process
+with tiny bad-alloc failures even across fresh connections (the r12
+incident: 1 genuine OOM -> 11 cascade-poisoned red rows). Process
+isolation turns one heavy oracle's OOM into exactly one red row, and
+gives each query the full temp-directory budget (the dir is wiped
+between queries).
 """
-import json, sys, glob, os, time
+import json, shutil, subprocess, sys, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -48,11 +60,19 @@ def fresh_con(sf_dir):
     # Cap the spill an oracle may write: the sf10 graph-family replay
     # once filled the disk with 68 GB of temp storage before dying on
     # ENOSPC (taking the whole harness run with it). A bounded temp
-    # dir turns a runaway oracle into a clean per-query FAIL.
+    # dir turns a runaway oracle into a clean per-query FAIL. In
+    # --isolate mode the cap is PER QUERY (the dir is wiped between
+    # subprocesses), so a heavy replay gets the whole budget alone.
     tmp = os.path.join("target", "duck_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET max_temp_directory_size='32GiB'")
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("DUCK_TEMP_CAP", "32GiB"))
+    # Explicit ceiling below physical RAM: DuckDB's default (80% of
+    # RAM) plus the pandas fetchdf copies risked the OS OOM-killer at
+    # sf10; a DuckDB-side limit fails the one query cleanly instead.
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("DUCK_MEM_CAP", "80GiB"))
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -147,5 +167,76 @@ def main(sf_dir, out_dir, out_json):
     return 1 if n_fail else 0
 
 
+def blank_entry():
+    return {"rows_match": False, "schema_match": False,
+            "hash_match": False, "spark_rows": None,
+            "oracle_rows": None, "err": None, "oracle_sec": None}
+
+
+def main_one(sf_dir, out_dir, out_json, name):
+    """Worker mode: check exactly one query, write {name: entry}."""
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    entry = blank_entry()
+    try:
+        check_one(sf_dir, out_dir, name, oracle, entry)
+    except Exception as e:
+        if entry["err"] is None:
+            entry["err"] = f"harness error: {e}"
+    with open(out_json, "w") as f:
+        json.dump({name: entry}, f, indent=2)
+    failed = (entry["err"] is not None
+              and not entry["err"].startswith("rows-only")
+              and not entry.get("tolerance_ok", False))
+    if failed:
+        print(f"FAIL {name}: {entry['err']}", flush=True)
+    return 1 if failed else 0
+
+
+def main_isolated(sf_dir, out_dir, out_json):
+    """Driver mode: one subprocess (and one DuckDB process) per query."""
+    timeout = int(os.environ.get("DUCK_QUERY_TIMEOUT", "3600"))
+    results = sorted(d for d in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, d)))
+    report, n_fail = {}, 0
+    for name in results:
+        shutil.rmtree(os.path.join("target", "duck_tmp"),
+                      ignore_errors=True)  # per-query temp budget
+        tmp_json = os.path.join("target", f"duck_one_{name}.json")
+        if os.path.exists(tmp_json):
+            os.remove(tmp_json)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               sf_dir, out_dir, tmp_json, "--one", name]
+        entry = None
+        try:
+            p = subprocess.run(cmd, timeout=timeout)
+            if os.path.exists(tmp_json):
+                entry = json.load(open(tmp_json))[name]
+            else:
+                entry = blank_entry()
+                entry["err"] = (f"oracle subprocess died rc={p.returncode} "
+                                "with no result (likely OS OOM-kill)")
+        except subprocess.TimeoutExpired:
+            entry = blank_entry()
+            entry["err"] = f"oracle timeout after {timeout}s (isolated)"
+        report[name] = entry
+        failed = (entry["err"] is not None
+                  and not entry["err"].startswith("rows-only")
+                  and not entry.get("tolerance_ok", False))
+        if failed:
+            n_fail += 1
+            print(f"FAIL {name}: {entry['err']}", flush=True)
+        with open(out_json, "w") as f:   # checkpoint after every query
+            json.dump(report, f, indent=2)
+    print(f"\n{len(report) - n_fail} pass, {n_fail} fail, "
+          f"{len(report)} total -> {out_json}")
+    return 1 if n_fail else 0
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
+    if len(sys.argv) > 4 and sys.argv[4] == "--isolate":
+        sys.exit(main_isolated(sys.argv[1], sys.argv[2], sys.argv[3]))
+    elif len(sys.argv) > 5 and sys.argv[4] == "--one":
+        sys.exit(main_one(sys.argv[1], sys.argv[2], sys.argv[3],
+                          sys.argv[5]))
+    else:
+        sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))

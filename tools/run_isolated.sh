@@ -20,9 +20,12 @@ run() {
     python3 - "$sfdir" "$q" >> "$OUT" <<'EOF'
 import json, sys
 d = json.load(open("BENCH_LOCAL_PARTIAL.json"))
+# "first" = run 1 of the fresh JVM (the COLD-JIT mode); "queries" =
+# median of the runs (the WARM mode). SCALING.md round 12 measured the
+# two modes 2x apart at sf10 — emit BOTH so tables can name theirs.
 print(json.dumps({"sf": sys.argv[1], "q": sys.argv[2],
-                  "queries": d["queries"], "spread": d["spread"],
-                  "errors": d["errors"]}))
+                  "first": d.get("first", {}), "queries": d["queries"],
+                  "spread": d["spread"], "errors": d["errors"]}))
 EOF
   else
     echo "{\"sf\": \"$sfdir\", \"q\": \"$q\", \"error\": \"no output\"}" >> "$OUT"

@@ -52,9 +52,11 @@ import org.apache.spark.sql.functions._
   * ROUTING RULE: closed-vocab corpora belong on the probabilistic
   * banded twins — Jaccard joins on q_sim_lsh_neardup's banding (held
   * 4.8× on the same decade), and containment/quote joins on
-  * [[containmentBanded]] (the ratio-bounded banded index probe; the
-  * exact [[containmentSelfJoin]] stays the labeled recall baseline,
-  * generation-bound at 51×/decade on this corpus).
+  * [[containmentBanded]] (the ratio-bounded banded index probe) or,
+  * when the quote regime ρ ≫ 2 matters, [[containmentStratified]]
+  * (full ratio range, +14% at the sf10 decade); the exact
+  * [[containmentSelfJoin]] stays the labeled recall baseline,
+  * generation-bound at 51×/decade on this corpus.
   */
 object SetJoin {
 
@@ -253,12 +255,15 @@ object SetJoin {
     *
     * COVERAGE CONTRACT: pairs beyond the size-ratio envelope (a tiny
     * quote inside a document ρ× larger, J ≈ t/ρ) fall off the recall
-    * curve — extreme-asymmetry quote detection belongs on the exact
-    * [[containmentSelfJoin]] (whose cost contract prices it) or on a
-    * size-stratified index with per-stratum band tuning (the full
-    * LSH-Ensemble construction). Candidate work here is bounded by
-    * b·n·maxBucket pairs REGARDLESS of vocabulary growth — the
-    * property the exact join cannot have.
+    * curve — extreme-asymmetry quote detection belongs on
+    * [[containmentStratified]] (round 13: the span-fingerprint quote
+    * stratum carries a DETERMINISTIC verbatim-run guarantee there;
+    * per-stratum band tuning — the full LSH-Ensemble construction —
+    * was analyzed and rejected on measured background-similarity
+    * grounds, see its scaladoc) or on the exact
+    * [[containmentSelfJoin]] (whose cost contract prices it).
+    * Candidate work here is bounded by b·n·maxBucket pairs REGARDLESS
+    * of vocabulary growth — the property the exact join cannot have.
     *
     * `elemCol` should carry pre-hashed 8-byte elements (the
     * [[Similarity.hashedShingles]] convention — every shuffle moves
@@ -374,14 +379,22 @@ object SetJoin {
                             maxBucket: Int = 64): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
     require(winnowW >= 2, s"winnow window must be >= 2, got $winnowW")
-    val hashed = ngrams.select(col(idCol), col(hashCol).as("h")).distinct()
-      .cache()
+    // The ordered frame is consumed by BOTH strata (the set view's
+    // distinct AND the span-fingerprint windows) — deliberately NOT
+    // cached: materializing the full (id, pos, h) frame was MEASURED
+    // 1.5× WORSE at the sf10 decade (440 s vs 289 s — 300M cached rows
+    // cost more in storage pressure than re-running the columnar
+    // tokenize+hash scan), the classic recompute-over-materialize
+    // call. Only the much smaller DISTINCT set view is cached (four
+    // consumers: signatures, both verify sides, sizes).
+    val seq = ngrams.select(col(idCol), col(posCol), col(hashCol).as("h"))
+    val hashed = seq.select(col(idCol), col("h")).distinct().cache()
     // ---- stratum 1: size-similar pairs via the banded MinHash probe
     val sig = Similarity.minhashFromHashes(hashed, idCol, numHashes)
     val bands = Similarity.lshBands(sig, idCol, numHashes, rowsPerBand)
     val candBanded = Similarity.candidatePairs(bands, idCol, maxBucket)
     // ---- stratum 2: quote pairs via span fingerprints
-    val fps = spanFingerprints(ngrams, idCol, posCol, hashCol, winnowW)
+    val fps = spanFingerprints(seq, idCol, posCol, "h", winnowW)
     val fpOk = {
       val sizes = fps.groupBy(col("fp")).agg(count(lit(1)).as("__fn"))
         .filter(col("__fn") <= maxBucket).drop("__fn")

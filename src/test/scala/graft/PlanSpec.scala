@@ -556,7 +556,14 @@ class PlanSpec extends AnyFunSuite {
       // round-12: containment banded twin (PlanProbe distinct 32/1 at
       // sf0.001 AND sf0.01 + ~25%; printed counts track the cached
       // hashed frame's lineage reprints, the setjoin waiver)
-      "q_sim_containment_indexed"    -> (42, 2))
+      "q_sim_containment_indexed"    -> (42, 2),
+      // round-13: stratified containment (PlanWalk distinct 24/6 at
+      // sf0.001 + ~25%). The 6 scans are DELIBERATE: caching the
+      // ordered (id, pos, h) frame to serve both strata measured 1.5×
+      // WORSE at sf10 (440 vs 289 s — storage pressure beats columnar
+      // re-scan), so the plan recomputes lineage instead — the pin
+      // allows the re-scans while still catching a runaway.
+      "q_sim_containment_stratified" -> (30, 7))
     for ((q, (maxEx, maxScan)) <- budgets.toSeq.sortBy(_._1)) {
       val d = df(q)
       d.collect()
@@ -586,7 +593,8 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q_graph_pagerank_lsh", "q_graph_kcore_lsh",
         "q_graph_label_prop_lsh", "q_graph_triangles_lsh",
         "q_graph_clustering_coeff_lsh", "q_text_rrf_fusion_ann",
-        "q_sim_semdedup_lsh", "q_sim_containment_indexed")) {
+        "q_sim_semdedup_lsh", "q_sim_containment_indexed",
+        "q_sim_containment_stratified")) {
       val d = df(q)
       d.collect()
       val nodes = allNodes(d.queryExecution.executedPlan)

@@ -142,6 +142,20 @@ class InfraSpec extends AnyFunSuite {
         .filter(to_date(col("ts")) === "2024-01-03").count())
   }
 
+  test("family() classifies twin suffixes before the parity id regex") {
+    // r12 advice: §2-numbered scale twins were tagged "parity", so the
+    // per-family bench subtotals charged twin cost to parity coverage.
+    assert(Queries.family("q_u2_dedup_keep_first") == "parity")
+    assert(Queries.family("q_u2_dedup_keep_first_agg") == "twin")
+    assert(Queries.family("q_a10_keep_latest_agg") == "twin")
+    assert(Queries.family("q_sim_containment_stratified") == "twin")
+    assert(Queries.family("q_graph_pagerank_lsh") == "twin")
+    assert(Queries.family("q_ds_master_table") == "parity")
+    assert(Queries.family("q_geo_bbox_join") == "parity")
+    assert(Queries.family("q_text_bm25_topk") == "extension")
+    assert(Queries.family("q_sim_lsh_incremental_lake_probe") == "extension")
+  }
+
   test("autoWidthFactor sums bytes recursively and gates on 1 GB") {
     // r12 defect: a top-level-only listing returned 0 bytes for
     // partitioned lake dirs (data lives in day=.../part-*.parquet),

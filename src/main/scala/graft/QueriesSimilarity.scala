@@ -229,6 +229,80 @@ object QueriesSimilarity {
        |ORDER BY id_new, id_hist""".stripMargin
   }
 
+  /** One-time lake build for the served CONTAINMENT index
+    * (q_sim_containment_lake): span fingerprints (winnowW = 8) and
+    * distinct 3-gram digests of ALL documents, persisted bucketed.
+    * Idempotent per (JVM, sfDir) — under the warm-mode bench
+    * convention the registered query's "first" number carries the
+    * build and its warm median is the pure serve leg.
+    */
+  @volatile private var spanLakeBuiltFor: String = null
+  private def buildSpanLake(s: org.apache.spark.sql.SparkSession,
+                            d: String): Unit = this.synchronized {
+    if (spanLakeBuiltFor != d) {
+      import graft.sources.Lake
+      val toked = Tables.documents(s, d).select(col("doc_id"),
+        TextFns.tokens(col("text")).as("toks"))
+      val seq = Similarity.wordNgramsIndexed(toked, "doc_id", "toks", 3)
+        .select(col("doc_id"), col("pos"),
+          HashFns.md5Long(col("ngram")).as("h"))
+      Lake.writeBucketed(graft.operators.SetJoin
+          .spanFingerprints(seq, "doc_id", "pos", "h", winnowW = 8),
+        "span_fp_index", "fp", 8)
+      Lake.writeBucketed(seq.select(col("doc_id"), col("h")).distinct(),
+        "span_digests", "doc_id", 8)
+      spanLakeBuiltFor = d
+    }
+  }
+
+  /** Recompute-everything DuckDB replay of the served containment
+    * probe: the batch (12-token openers of every 7th document with
+    * ≥ 40 tokens) brute-forced against the whole corpus at
+    * containment ≥ 0.9 on hashed 3-gram sets — no fingerprint or
+    * index structure replayed, so the hash match proves the served
+    * path equals exact recomputation. Recall rides on the span
+    * guarantee: every true pair here is a verbatim run ≥ 10 tokens
+    * (pre-flight measured 63/63 at sf0.01 and 5215/5215 at sf1 are
+    * substring-verbatim).
+    */
+  private lazy val containmentLakeOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split($textNormSql, ' ') AS toks
+       |  FROM documents),
+       |batch AS (
+       |  SELECT doc_id + 200000000 AS doc_id,
+       |         array_to_string(toks[1:12], ' ') AS text
+       |  FROM tok WHERE doc_id % 7 = 0 AND len(toks) >= 40),
+       |bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+       |bng AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+       |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+       |  FROM bt, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+       |  WHERE len(toks) >= 3),
+       |hng AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
+       |      ' ' || toks[CAST(i AS INT)+2] AS ngram
+       |  FROM tok, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+       |  WHERE len(toks) >= 3),
+       |bh AS (SELECT DISTINCT doc_id,
+       |         ${HashFns.md5LongSql("ngram")} AS h FROM bng),
+       |hh AS (SELECT DISTINCT doc_id,
+       |         ${HashFns.md5LongSql("ngram")} AS h FROM hng),
+       |bsz AS (SELECT doc_id, count(*) AS n FROM bh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS id_new, h.doc_id AS id_hist,
+       |         count(*) AS n_inter
+       |  FROM bh b JOIN hh h ON h.h = b.h
+       |  GROUP BY 1, 2)
+       |SELECT id_new, id_hist, CAST(n_inter AS BIGINT) AS n_inter,
+       |  n_inter / bsz.n AS containment
+       |FROM inter
+       |JOIN bsz ON bsz.doc_id = id_new
+       |WHERE n_inter / bsz.n >= 0.9
+       |ORDER BY id_new, id_hist""".stripMargin
+
   /** DuckDB mirror of the double-accumulated dot product. */
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -2541,6 +2615,72 @@ object QueriesSimilarity {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(containmentExactOracleSqlOver(containmentFixtureCorpusSql))),
+
+    // --------------- containment SERVED from a persisted span index
+    // The production contamination-check shape: "is any document in
+    // this new batch a verbatim quote of the training corpus?" served
+    // at O(batch + index probe). History exists only as lake
+    // artifacts — span fingerprints (every 8-n-gram window folded to
+    // one 64-bit key, [[SetJoin.spanFingerprints]]) and distinct
+    // 3-gram digests, both by-products of one ingest-time build
+    // ([[buildSpanLake]], idempotent per JVM+dir — the warm bench
+    // median is the pure serve leg, the build rides in "first").
+    // Serve time: ONLY the batch (12-token openers of every 7th
+    // document ≥ 40 tokens, the quote workload) is tokenized and
+    // fingerprinted; candidates are an equi-join of batch span keys
+    // against the persisted index (bucket cap 64); containment
+    // |A∩B|/|A| is verified EXACTLY against the digest lake with the
+    // denominator from the tiny batch side — no corpus-wide distinct
+    // or size aggregation exists at serve time. The span guarantee
+    // makes recall DETERMINISTIC for the quote workload (runs ≥ 10
+    // tokens); the oracle replays exact recompute-everything brute
+    // force, so the hash match proves served == exact.
+    Q("q_sim_containment_lake",
+      (s, d) => {
+        buildSpanLake(s, d)
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val batch = toked
+          .filter(col("doc_id") % 7 === 0 && size(col("toks")) >= 40)
+          .select((col("doc_id") + lit(200000000L)).as("doc_id"),
+            concat_ws(" ", slice(col("toks"), 1, 12)).as("text"))
+        val bSeq = Similarity.wordNgramsIndexed(
+            batch.select(col("doc_id"),
+              TextFns.tokens(col("text")).as("toks")),
+            "doc_id", "toks", 3)
+          .select(col("doc_id"), col("pos"),
+            HashFns.md5Long(col("ngram")).as("h"))
+          .cache()
+        val bFps = graft.operators.SetJoin
+          .spanFingerprints(bSeq, "doc_id", "pos", "h", winnowW = 8)
+        val idx = s.table("span_fp_index")
+        val idxOk = {
+          val sizes = idx.groupBy(col("fp")).agg(count(lit(1)).as("__fn"))
+            .filter(col("__fn") <= 64).drop("__fn")
+          idx.join(sizes, Seq("fp"))
+        }
+        val cand = bFps.select(col("fp"), col("doc_id").as("id_new"))
+          .join(idxOk.select(col("fp"), col("doc_id").as("id_hist")),
+            Seq("fp"))
+          .select(col("id_new"), col("id_hist")).distinct()
+        val bh = bSeq.select(col("doc_id"), col("h")).distinct()
+        val bsz = bh.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+        cand
+          .join(bh.select(col("doc_id").as("id_new"), col("h")),
+            Seq("id_new"))
+          .join(s.table("span_digests")
+            .select(col("doc_id").as("id_hist"), col("h")),
+            Seq("id_hist", "h"))
+          .groupBy(col("id_new"), col("id_hist"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(bsz.select(col("doc_id").as("id_new"), col("__n")),
+            Seq("id_new"))
+          .select(col("id_new"), col("id_hist"), col("n_inter"),
+            (col("n_inter") / col("__n")).as("containment"))
+          .filter(col("containment") >= 0.9)
+          .orderBy(col("id_new"), col("id_hist"))
+      },
+      Some(containmentLakeOracleSql)),
 
     // --------------------------------- prefix hot-element report
     // The closed-vocabulary early warning for the exact set joins

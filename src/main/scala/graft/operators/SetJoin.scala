@@ -456,11 +456,13 @@ object SetJoin {
     * IS the window). Output: distinct (idCol, fp) rows — one candidate
     * key per n-gram position, carrying the selectivity of the whole
     * span rather than any single n-gram (the property the winnowed
-    * variant lost, see the operator scaladoc).
+    * variant lost, see the operator scaladoc). Public: the lake-served
+    * containment probe (q_sim_containment_lake) fingerprints its batch
+    * with the SAME selection so batch keys match the persisted index.
     */
-  private def spanFingerprints(ngrams: DataFrame, idCol: String,
-                               posCol: String, hashCol: String,
-                               winnowW: Int): DataFrame = {
+  def spanFingerprints(ngrams: DataFrame, idCol: String,
+                       posCol: String, hashCol: String,
+                       winnowW: Int): DataFrame = {
     val win = Window.partitionBy(col(idCol)).orderBy(col(posCol))
       .rowsBetween(Window.currentRow, winnowW - 1)
     val span = Window.partitionBy(col(idCol))

@@ -888,7 +888,12 @@ object QueriesSimilarity {
         val hs = Similarity.hashedShingles(
           Similarity.charShingles(uniq, "doc_id", "text", 5), "doc_id")
         val sig = Similarity.minhashFromHashes(hs, "doc_id", K)
-        val bands = Similarity.lshBands(sig, "doc_id", K, R)
+        // bands is consumed THREE times inside candidatePairs (bucket
+        // sizing + both join sides), and its lineage here is the whole
+        // shingle→md5→minhash pipeline — cached, the signature work
+        // runs once (the persisted band-index artifact the lake-served
+        // variants materialize; n_docs × nBands small rows)
+        val bands = Similarity.lshBands(sig, "doc_id", K, R).cache()
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
         val t = uniq.select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("len"))
@@ -1930,7 +1935,10 @@ object QueriesSimilarity {
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
         val toks = uniq.select(col("doc_id"),
           explode(TextFns.tokens(col("text"))).as("token"))
-        val shash = Similarity.simHash(toks, "doc_id", "token", 16)
+        // one small row per doc, five consumers (banding explode + both
+        // hamming-verify sides via candidatePairs' three band reads) —
+        // cached so the token-vote aggregate runs once
+        val shash = Similarity.simHash(toks, "doc_id", "token", 16).cache()
         val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("band_value")))
         val bands = shash

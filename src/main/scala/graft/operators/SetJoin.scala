@@ -282,7 +282,11 @@ object SetJoin {
     val hashed = sets.select(col(idCol), col(elemCol).as("h")).distinct()
       .cache()
     val sig = Similarity.minhashFromHashes(hashed, idCol, numHashes)
+    // bands cached: candidatePairs reads it three times (bucket sizing
+    // + both join sides) — uncached, the 48-hash signature aggregate
+    // re-runs per read even with `hashed` cached
     val bands = Similarity.lshBands(sig, idCol, numHashes, rowsPerBand)
+      .cache()
     val cand = Similarity.candidatePairs(bands, idCol, maxBucket)
     val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // ONE unordered candidate pair yields BOTH directed containments

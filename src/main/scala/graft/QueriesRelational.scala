@@ -439,6 +439,153 @@ object QueriesRelational {
            |FROM est ORDER BY exact_n DESC, key""".stripMargin
       }),
 
+    // ------------------------------------- KMV set-operation sketches
+    // The third member of the sketch-certification family (HLL:
+    // q_profile_approx_distinct, count-min: q_profile_heavy_hitters).
+    // KMV closes the set-OPERATION gap: HLL unions, but cannot
+    // estimate intersections without inclusion-exclusion error blowup;
+    // a KMV sketch is a uniform sample of the distinct-value domain,
+    // so one k-long array per source answers |A|, |A∪B|, |A∩B| and
+    // Jaccard for every source pair — the mergeable cross-corpus
+    // overlap report (the sketch twin of q_text_source_overlap's exact
+    // rare-ngram matrix). At 100 TB the per-source sketches are
+    // write-once artifacts merged as k-long arrays; here the exact
+    // sides ride along as the certification baseline (the heavy-hitter
+    // convention) — even the exact intersection join is bounded:
+    // each distinct hash joins at most n_sources² pairs, never
+    // corpus-quadratic. All hashes are md5Long, so sketch, estimates,
+    // and set algebra replay bit-exactly in DuckDB.
+    Q("q_profile_kmv_setops",
+      (s, d) => {
+        val k = 256
+        val docs = Tables.documents(s, d)
+        val hh = graft.operators.Similarity.hashedShingles(
+          graft.operators.Similarity.charShingles(
+            docs, "source", "text", 5), "source")
+        // The distinct (source, h) frame feeds FOUR consumers (sketch
+        // build, exact per-source counts, both exact-intersection join
+        // sides) — cached, the shingle+md5 scan runs once. Sketch-only
+        // production at scale skips this distinct entirely (the
+        // aggregator dedups, KMV.scala); it exists here because the
+        // certification baseline needs the exact frame anyway.
+        val hd = hh.distinct().cache()
+        val sk = graft.operators.KMV.sketch(hd, "source", "h", k)
+        val est = sk.select(col("source"), col("kmins"),
+          graft.operators.KMV.estimateDistinct(col("kmins"), k)
+            .as("est_d"))
+        val ex = hd.groupBy(col("source"))
+          .agg(count(lit(1)).as("exact_d"))
+        val inter = hd.select(col("h"), col("source").as("src_a"))
+          .join(hd.select(col("h"), col("source").as("src_b")), Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("exact_inter_n"))
+        val a = est.select(col("source").as("src_a"),
+          col("kmins").as("__ka"), col("est_d").as("est_a"))
+        val b = est.select(col("source").as("src_b"),
+          col("kmins").as("__kb"), col("est_d").as("est_b"))
+        // n_sources² pair frame from two sketch-row sides — a
+        // broadcast nested loop over tiny inputs by construction
+        val pairs = a.join(b, col("src_a") < col("src_b"))
+        val exa = ex.select(col("source").as("src_a"),
+          col("exact_d").as("exact_a"))
+        val exb = ex.select(col("source").as("src_b"),
+          col("exact_d").as("exact_b"))
+        val num = lit((k - 1).toDouble * math.pow(2.0, 60))
+        pairs
+          .join(broadcast(exa), Seq("src_a"))
+          .join(broadcast(exb), Seq("src_b"))
+          .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter",
+            coalesce(col("exact_inter_n"), lit(0L)))
+          // K(A∪B) = the k smallest of K(A) ∪ K(B): KMV is closed
+          // under union, so the merged array IS the union's sketch
+          .withColumn("__L",
+            slice(array_sort(array_union(col("__ka"), col("__kb"))),
+              1, k))
+          .withColumn("__m", size(col("__L")))
+          .withColumn("__rho", size(filter(col("__L"),
+            h => array_contains(col("__ka"), h) &&
+              array_contains(col("__kb"), h))))
+          .withColumn("est_union",
+            when(col("__m") < k, col("__m").cast("double"))
+              .otherwise(num / element_at(col("__L"), k).cast("double")))
+          .withColumn("est_jaccard",
+            col("__rho").cast("double") / col("__m").cast("double"))
+          .select(col("src_a"), col("src_b"),
+            col("exact_a"), col("exact_b"), col("exact_inter"),
+            (col("exact_a") + col("exact_b") - col("exact_inter"))
+              .as("exact_union"),
+            col("est_a"), col("est_b"),
+            (col("est_jaccard") * col("est_union")).as("est_inter"),
+            col("est_union"), col("est_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        import graft.functions.HashFns
+        def estCase(m: String, hk: String) =
+          s"CASE WHEN $m < 256 THEN CAST($m AS DOUBLE) " +
+            "ELSE (CAST(255 AS DOUBLE) * POWER(CAST(2 AS DOUBLE), 60)) " +
+            s"/ CAST($hk AS DOUBLE) END"
+        val estCaseS = estCase("m", "hk")
+        val estCaseU = estCase("ua.m", "ua.hk")
+        s"""WITH sh AS (
+           |  SELECT d.source, substr(d.text, CAST(i AS INT), 5) AS shingle
+           |  FROM documents d,
+           |       unnest(range(1, greatest(length(d.text)-3, 1))) t(i)),
+           |hh AS (SELECT DISTINCT source,
+           |         ${HashFns.md5LongSql("shingle")} AS h FROM sh),
+           |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_d
+           |       FROM hh GROUP BY source),
+           |km AS (SELECT source, h, row_number() OVER (
+           |         PARTITION BY source ORDER BY h) AS rn FROM hh),
+           |sk AS (SELECT source, h FROM km WHERE rn <= 256),
+           |sz AS (SELECT source, count(*) AS m, max(h) AS hk
+           |       FROM sk GROUP BY source),
+           |est AS (SELECT source, $estCaseS AS est_d FROM sz),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b
+           |       FROM ex a JOIN ex b ON a.source < b.source),
+           |uh AS (SELECT p.src_a, p.src_b, s.h
+           |       FROM pr p JOIN sk s ON s.source = p.src_a
+           |       UNION
+           |       SELECT p.src_a, p.src_b, s.h
+           |       FROM pr p JOIN sk s ON s.source = p.src_b),
+           |ur AS (SELECT src_a, src_b, h, row_number() OVER (
+           |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
+           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= 256),
+           |mf AS (SELECT u.src_a, u.src_b, u.h,
+           |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+           |           THEN 1 ELSE 0 END AS in_both
+           |       FROM us u
+           |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
+           |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
+           |ua AS (SELECT src_a, src_b, count(*) AS m, max(h) AS hk,
+           |         sum(in_both) AS rho
+           |       FROM mf GROUP BY 1, 2),
+           |ei AS (SELECT a.source AS src_a, b.source AS src_b,
+           |         CAST(count(*) AS BIGINT) AS exact_inter
+           |       FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+           |       GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b,
+           |  ea.exact_d AS exact_a, eb.exact_d AS exact_b,
+           |  COALESCE(ei.exact_inter, 0) AS exact_inter,
+           |  ea.exact_d + eb.exact_d - COALESCE(ei.exact_inter, 0)
+           |    AS exact_union,
+           |  sa.est_d AS est_a, sb.est_d AS est_b,
+           |  (CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE))
+           |    * ($estCaseU) AS est_inter,
+           |  $estCaseU AS est_union,
+           |  CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE) AS est_jaccard
+           |FROM pr p
+           |JOIN ex ea ON ea.source = p.src_a
+           |JOIN ex eb ON eb.source = p.src_b
+           |JOIN est sa ON sa.source = p.src_a
+           |JOIN est sb ON sb.source = p.src_b
+           |JOIN ua ON ua.src_a = p.src_a AND ua.src_b = p.src_b
+           |LEFT JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b
+           |ORDER BY p.src_a, p.src_b""".stripMargin
+      }),
+
     // -------------------------------------- group-wise normalization
     // Feature engineering's z-score per group: ONE aggregate computes
     // exact decimal moments (Σv, Σv² — order-independent, so partial

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.HashFns
+
+class KMVSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two groups over a shared value domain, hashed with the portable
+  // md5Long family — values engineered so the groups overlap.
+  private def hashed(rows: Seq[(String, Int)]) =
+    rows.toDF("g", "v")
+      .select(col("g"), HashFns.md5Long(col("v").cast("string")).as("h"))
+
+  private val aVals = (0 until 400).map(i => ("A", i))
+  private val bVals = (200 until 600).map(i => ("B", i))
+
+  test("sketch is the k smallest distinct hashes, ascending") {
+    val k = 16
+    val sk = KMV.sketch(hashed(aVals), "g", "h", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expected = hashed(aVals).select("h").as[Long].collect()
+      .distinct.sorted.take(k).toSeq
+    assert(sk("A") == expected)
+  }
+
+  test("below k the sketch is the whole domain and the estimate exact") {
+    val k = 1024
+    val sk = KMV.sketch(hashed(aVals), "g", "h", k)
+    val est = sk.select(KMV.estimateDistinct(col("kmins"), k))
+      .as[Double].head()
+    assert(est == 400.0)
+    assert(sk.select(size(col("kmins"))).as[Int].head() == 400)
+  }
+
+  test("duplicate input rows cannot move the sketch (distinct law)") {
+    val k = 16
+    val dup = aVals ++ aVals ++ aVals.take(50)
+    val s1 = KMV.sketch(hashed(aVals), "g", "h", k)
+      .collect().map(_.getSeq[Long](1)).head
+    val s2 = KMV.sketch(hashed(dup), "g", "h", k)
+      .collect().map(_.getSeq[Long](1)).head
+    assert(s1 == s2)
+  }
+
+  test("closed under union: merged k-mins ARE the union's sketch") {
+    // The property the pairwise set-operation query rests on: taking
+    // the k smallest of K(A) ∪ K(B) gives exactly the sketch that
+    // would have been built over A ∪ B directly.
+    val k = 32
+    val both = KMV.sketch(hashed(aVals ++ bVals), "g", "h", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val unionDirect = KMV.sketch(
+      hashed((aVals ++ bVals).map { case (_, v) => ("U", v) }),
+      "g", "h", k).collect().map(_.getSeq[Long](1)).head
+    val merged = (both("A") ++ both("B")).distinct.sorted.take(k)
+    assert(merged == unionDirect)
+  }
+
+  test("estimates land within the KMV error envelope") {
+    // 400 distinct values, k=64: σ ≈ D/√(k−2) ≈ 51. Assert a loose
+    // 4σ band — deterministic data, so this pins the estimator math
+    // (a formula bug lands far outside, not marginally).
+    val k = 64
+    val est = KMV.sketch(hashed(aVals), "g", "h", k)
+      .select(KMV.estimateDistinct(col("kmins"), k)).as[Double].head()
+    assert(math.abs(est - 400.0) < 4 * 400.0 / math.sqrt(k - 2.0),
+      s"estimate $est outside the 4σ envelope around 400")
+  }
+}

@@ -1769,11 +1769,17 @@ object QueriesEvents {
     // daily value series per event type: naive (yesterday) and the
     // 3-day moving average, scored with MAE / MAPE / sMAPE and MASE
     // (MAE relative to naive — the scale-free standard). Series live
-    // in day-count-bounded windows per type; error terms are exact
-    // decimals (naive) or single-IEEE-op doubles stabilized to 1e-9
-    // then DECIMAL-summed (ma3), so the fold order cannot move the
-    // result. One shuffle for the daily rollup; the scoring windows
-    // ride the same partitioning.
+    // in day-count-bounded windows per type. Error terms live in
+    // 3-SCALED exact-decimal space: |3y − Σ₃y| is pure DECIMAL
+    // arithmetic (no division until after the sum), so mae_ma3
+    // = Σ|3y−ms| / (3n) needs NO stabilizer — the r13 sf10 sweep
+    // caught the previous stab9 form losing one representation-tie
+    // rounding (bround vs round_even disagreed on a single row's
+    // ae·1e9, a 1e-9 shift in the sum → 4.5e-13 in the mean). The
+    // ratio metrics (mape/smape) keep the stab9+DECIMAL-sum treatment:
+    // their per-row terms are single-IEEE-op doubles over exact-decimal
+    // inputs, bit-identical across engines. One shuffle for the daily
+    // rollup; the scoring windows ride the same partitioning.
     Q("q_ts_forecast_error",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1792,13 +1798,15 @@ object QueriesEvents {
           .withColumn("ma3", col("__ms").cast("double") / 3)
           .withColumn("yd", col("y").cast("double"))
           .withColumn("ae_naive", abs(col("y") - col("naive")))
+          // |3y − ms| in DECIMAL: exact, order-independent under sum
+          .withColumn("ae3", abs(col("y") * 3 - col("__ms")))
           .withColumn("ae_ma3", abs(col("yd") - col("ma3")))
         scored.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_days"),
             (sum(col("ae_naive")).cast("double") /
               count(lit(1)).cast("double")).as("mae_naive"),
-            (sum(stab9(col("ae_ma3"))).cast("double") /
-              count(lit(1)).cast("double")).as("mae_ma3"),
+            (sum(col("ae3")).cast("double") /
+              (count(lit(1)) * 3).cast("double")).as("mae_ma3"),
             (sum(stab9(col("ae_ma3") / col("yd"))).cast("double") /
               count(lit(1)).cast("double")).as("mape_ma3"),
             (sum(stab9(col("ae_ma3") /
@@ -1826,20 +1834,21 @@ object QueriesEvents {
            |  FROM daily
            |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
            |f AS (
-           |  SELECT event_type, y, naive,
+           |  SELECT event_type, y, naive, ms,
            |    CAST(ms AS DOUBLE) / 3 AS ma3,
            |    CAST(y AS DOUBLE) AS yd
            |  FROM sc WHERE naive IS NOT NULL AND mn = 3),
            |t AS (
            |  SELECT event_type, abs(y - naive) AS ae_naive,
+           |    abs(y * 3 - ms) AS ae3,
            |    abs(yd - ma3) AS ae_ma3, yd, ma3
            |  FROM f),
            |g AS (
            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            |    CAST(sum(ae_naive) AS DOUBLE) / CAST(count(*) AS DOUBLE)
            |      AS mae_naive,
-           |    CAST(sum(${stab9("ae_ma3")}) AS DOUBLE)
-           |      / CAST(count(*) AS DOUBLE) AS mae_ma3,
+           |    CAST(sum(ae3) AS DOUBLE)
+           |      / CAST(count(*) * 3 AS DOUBLE) AS mae_ma3,
            |    CAST(sum(${stab9("ae_ma3 / yd")}) AS DOUBLE)
            |      / CAST(count(*) AS DOUBLE) AS mape_ma3,
            |    CAST(sum(${stab9("ae_ma3 / ((abs(yd) + abs(ma3)) / 2)")})

@@ -1418,19 +1418,31 @@ object QueriesText {
     ,
     // -------------------------- negative sampling for contrastive pairs
     // Training-pair construction for contrastive/embedding training:
-    // each anchor document draws 3 negatives from a SHARED ~2% hash-
+    // each anchor document draws 3 negatives from a SHARED hash-
     // selected pool (the distributed analogue of in-batch negatives —
-    // the pool broadcasts, so no anchor x corpus cross join exists),
+    // the pool broadcasts, so the anchor side streams map-only),
     // ranked by a pair-seeded portable hash so the draw is
     // reproducible across runs, engines, and partitionings. Exact
     // duplicates of the anchor (same content digest) are excluded —
     // a copy of the anchor is a FALSE negative.
+    //
+    // Pool sizing (r13 sf10 finding): a fixed 2% modulus made the pool
+    // grow WITH the corpus, so anchor × pool was n²/50 — 5e9 rows at
+    // 500k docs, a quadratic hiding behind a "broadcast" word (the
+    // sweep's 400-s straggler). The modulus now scales as
+    // max(50, ⌊n/1000⌋): identical below 50k docs (every committed
+    // hash at sf0.001–sf1 is unchanged), and from there the pool is a
+    // CAPPED ~1000 docs — anchor × pool is O(n·1000), the actual
+    // in-batch-negatives contract.
     Q("q_text_negative_sampling",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pool = docs.filter(
+        val nF = docs.agg(count(lit(1)).as("__n"))
+        val pool = docs.crossJoin(broadcast(nF))
+          .filter(
             HashFns.md5Long(col("doc_id").cast("string"), seed = 41)
-              % 50 === 0)
+              % greatest(lit(50L),
+                floor(col("__n") / lit(1000.0)).cast("long")) === 0)
           .select(col("doc_id").as("neg_id"), md5(col("text")).as("__nh"))
         val anchors = docs.select(col("doc_id"), md5(col("text")).as("__ah"))
         val scored = anchors.crossJoin(broadcast(pool))
@@ -1439,16 +1451,24 @@ object QueriesText {
           .withColumn("__hk", HashFns.md5Long(
             concat(col("doc_id").cast("string"), lit(":"),
               col("neg_id").cast("string")), seed = 43))
-        graft.operators.Windows.topKPerGroupRanked(scored,
-            Seq(col("doc_id")), Seq(col("__hk"), col("neg_id")), 3, "rk")
-          .select(col("doc_id"), col("rk").cast("long").as("rk"),
-            col("neg_id"))
+        // bounded-buffer min-3 aggregate, NOT a ranked window: the
+        // broadcast join fans each anchor's full candidate set out
+        // inside ONE map task, so map-side combine shrinks the shuffle
+        // to 3 rows per anchor (the window form shuffled candidates ×
+        // anchors — a 12 GB spill leg at sf10)
+        graft.operators.TopK.kMinPairsPerGroup(scored,
+            Seq("doc_id"), "__hk", "neg_id", 3, "rk")
+          .select(col("doc_id"), col("rk"), col("neg_id"))
           .orderBy(col("doc_id"), col("rk"))
       },
-      Some(s"""WITH pool AS (
-              |  SELECT doc_id AS neg_id, md5(text) AS nh FROM documents
+      Some(s"""WITH nn AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |pool AS (
+              |  SELECT doc_id AS neg_id, md5(text) AS nh
+              |  FROM documents, nn
               |  WHERE ${HashFns.md5LongSql("CAST(doc_id AS VARCHAR)", 41)}
-              |    % 50 = 0),
+              |    % GREATEST(50, CAST(floor(nn.n / 1000.0) AS BIGINT))
+              |    = 0),
               |a AS (SELECT doc_id, md5(text) AS ah FROM documents),
               |sc AS (
               |  SELECT a.doc_id, p.neg_id,

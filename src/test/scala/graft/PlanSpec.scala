@@ -214,7 +214,10 @@ class PlanSpec extends AnyFunSuite {
       "q_text_source_overlap"     -> (37, 12),
       "q_lake_pack_plan"          -> (5, 3),
       "q_ev_twap"                 -> (5, 3),
-      "q_text_negative_sampling"  -> (8, 5),
+      // re-pinned round 13: the rank-3 window became the bounded-buffer
+      // kMinPairsPerGroup aggregate and the pool gained a corpus-count
+      // sizing branch (measured 10/6 at sf0.001 AND sf0.01 + slack)
+      "q_text_negative_sampling"  -> (13, 8),
       "q_text_quantile_norm"      -> (18, 8),
       // final plan sits ABOVE the checkpoint-truncated components, so
       // the counts cover only the canonical-selection joins

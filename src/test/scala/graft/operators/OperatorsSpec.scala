@@ -199,6 +199,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"false-positive rate ${fp / 20000.0} far above the 1% target")
   }
 
+  test("Bloom over an EMPTY build side: contains nothing, no NPE") {
+    // Spark's stat.bloomFilter returns a null buffer on zero rows
+    // (found by the sf10 sweep when a rare-ngram gate emptied under
+    // replica tiling); buildLongFilter must hand back a valid filter
+    // with zero members instead of propagating the NPE.
+    import TestSpark.spark.implicits._
+    val none = Seq.empty[Long].toDF("k")
+    val filter = Bloom.buildLongFilter(none, "k")
+    val probes = (0L until 1000L).toDF("k")
+    assert(probes.filter(Bloom.mightContain(filter, col("k"))).count()
+      == 0L, "empty-build filter claimed a member")
+    // the explicit-size path must take the same guard
+    val filter2 = Bloom.buildLongFilter(none, "k", expectedItems = 100)
+    assert(probes.filter(Bloom.mightContain(filter2, col("k"))).count()
+      == 0L)
+  }
+
   test("distinctSketchReport: exact counts right, sketch within tolerance") {
     val li = graft.sources.Tables.lineitem(TestSpark.spark,
       "/root/testdata/sf0.001")

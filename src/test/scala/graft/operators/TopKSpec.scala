@@ -50,4 +50,37 @@ class TopKSpec extends AnyFunSuite {
     val got = agg(df, 3)
     assert(got.map(_._4).toSeq == Seq(1L, 3L))
   }
+
+  test("kMinPairsPerGroup matches the (hash, id)-ranked window exactly") {
+    // The long-exact sibling used by negative sampling: ascending
+    // (hash, id) with hash values ABOVE 2^53, where a double-keyed
+    // rank would collapse distinct hashes.
+    val big = (1L << 60) - 1
+    val prs = Seq(
+      ("a", big, 1L), ("a", big - 1, 2L), ("a", big, 3L), ("a", 5L, 4L),
+      ("b", 7L, 5L), ("b", 7L, 6L), ("c", 0L, 7L))
+    val df = prs.toDF("g", "h", "id")
+    val got = TopK.kMinPairsPerGroup(df, Seq("g"), "h", "id", 2, "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 5L, 4L), ("a", 2L, big - 1, 2L), // big-1 beats big: long-exact
+      ("b", 1L, 7L, 5L), ("b", 2L, 7L, 6L),      // hash tie: lower id first
+      ("c", 1L, 0L, 7L)))
+    val win = Windows.topKPerGroupRanked(df, Seq(col("g")),
+        Seq(col("h"), col("id")), 2, "rk")
+      .select(col("g"), col("rk").cast("long"), col("h"), col("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.toSet == win)
+    // partition-invariance (the partial-aggregation law)
+    val got7 = TopK.kMinPairsPerGroup(df.repartition(7), Seq("g"), "h",
+        "id", 2, "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == got7.toSeq)
+  }
 }

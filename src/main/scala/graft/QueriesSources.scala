@@ -22,6 +22,21 @@ object QueriesSources {
   private val TMP =
     sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/tmp")
 
+  /** Dataset-scoped TMP subdirectory. Any TMP artifact whose READ-BACK
+    * can outlive one dataset's write — dynamic-partition-overwrite
+    * catalogs, incremental lakes — MUST key its directory by the
+    * dataset it was built from: dynamic overwrite preserves partitions
+    * absent from the current input, so a shared dir polluted by a
+    * larger scale factor silently changes every later run's answer
+    * (round-13 red row: the sf10 sweep left 3000 stale day partitions
+    * in hll_catalog; sf0.01 then read n_days=3000 vs the oracle's 30).
+    * Full-overwrite round-trips (CSV sink, ORC, Derby tables) truncate
+    * on write and are self-contained; only preserve-on-write artifacts
+    * need this. Pinned by InfraSpec's cross-dataset idempotence test.
+    */
+  private[graft] def dsScoped(base: String, d: String): String =
+    s"$TMP/$base/ds_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
   // Embedded Derby for the JDBC sink surface: same write/verify/probe code
   // path as a warehouse sink, zero external service. derby.system.home
   // keeps derby.log + the db directory out of the repo root.
@@ -144,7 +159,7 @@ object QueriesSources {
     Q("q_profile_hll_catalog",
       (s, d) => graft.operators.Profile.distinctSketchCatalog(
         Tables.events(s, d), to_date(col("ts")), "user_id",
-        s"$TMP/hll_catalog"),
+        dsScoped("hll_catalog", d)),
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS day,
              |    count(DISTINCT user_id) AS exact_day

@@ -186,6 +186,36 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("TMP catalog artifacts are dataset-scoped: cross-dataset runs are idempotent") {
+    // r13's one red row: q_profile_hll_catalog wrote day-partitioned
+    // sketches with DYNAMIC partition overwrite into a dataset-AGNOSTIC
+    // $TMP dir; a later sf10 sweep left 3000 foreign day partitions
+    // that dynamic overwrite preserves, so the next sf0.01 run read
+    // n_days=3000 against the oracle's 30. The fix keys the catalog
+    // dir by dataset (QueriesSources.dsScoped); this test pins the
+    // class of bug: running the SAME query against dataset B between
+    // two runs on dataset A must not change A's answer, and each
+    // dataset's n_days must equal its OWN day count.
+    val q = Queries.all("q_profile_hll_catalog")
+    val a = sf                       // sf0.001
+    val b = "/root/testdata/sf0.01"  // different day population
+    def run(d: String): Seq[Seq[Any]] =
+      q(spark, d).collect().toSeq.map(_.toSeq)
+    val a1 = run(a)
+    val nDaysA = Tables.events(spark, a)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(a1.head.head == nDaysA,
+      s"first run on A already wrong: ${a1.head.head} != $nDaysA " +
+        "(stale catalog dir? wipe target/tmp)")
+    val b1 = run(b)
+    val nDaysB = Tables.events(spark, b)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(b1.head.head == nDaysB)
+    val a2 = run(a)
+    assert(a2 == a1,
+      "cross-dataset catalog pollution: A's answer changed after B ran")
+  }
+
   test("doc query totals cannot drift from the registry") {
     // The r7 verdict caught SURVEY/README totals lagging the registry
     // twice; this pins them. Every oracle-bearing doc number must equal

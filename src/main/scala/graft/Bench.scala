@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * Measurement discipline (round-2 verdict: n=1 timings were order- and
   * GC-sensitive — four sub-3 s queries "regressed" 5-10× with no code
   * change): each query runs up to SPARK_GRAFT_BENCH_RUNS times (default
-  * 3) and reports the MEDIAN, so one GC pause or JIT warmup can't
+  * 4) and reports the MEDIAN, so one GC pause or JIT warmup can't
   * masquerade as a plan regression, and the full JSON line carries a
   * per-query [min, median, max] "spread" map so machine-load
   * sensitivity is visible in the committed artifact (r3-r5 recorded
@@ -63,16 +63,19 @@ import java.nio.file.{Files, Paths}
   * debt in-sweep; ~2.7× the warm cost, and it WAS the max of nearly
   * every wide committed spread). The cold number is committed
   * per-query in the "first" map; "queries"/"spread" are warm-mode.
-  * For the typical first-run-is-max case the median is numerically
-  * IDENTICAL to the old all-runs median (middle of [w,w,cold] = the
-  * larger warm value), so cross-round totals stay comparable — only
-  * the spread stops conflating the mode difference with load noise.
+  *
+  * Default runs is 4 since round 14 (r13 verdict: with 3 runs the
+  * warm set was n=2, so the committed "median" was the MAX of two
+  * samples and one ambient-load hit on a warm run became the
+  * committed number — q_sim_lsh_neardup committed 8.88 s with warm
+  * min 4.90). 4 runs → 3 warm samples → a true median that one
+  * outlier cannot move.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt.max(1)
     val rerunMaxSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MAX_SEC", "20").toDouble
     val loadGate =

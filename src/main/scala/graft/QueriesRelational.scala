@@ -21,6 +21,12 @@ object QueriesRelational {
   private def davg(c: Column): Column = dsum(c) / count(c)
   private def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
 
+  /** Sketch size shared by q_profile_kmv_setops' Spark side AND its
+    * DuckDB oracle (r13 advice: the SQL hardcoded 256/255, so changing
+    * the Scala k silently desynchronized the two engines).
+    */
+  private val KmvK = 256
+
   /** Shared by q_agg_percentiles and q_agg_percentiles_hist — the two
     * plans must stay answer-identical, so they share ONE oracle.
     */
@@ -457,7 +463,7 @@ object QueriesRelational {
     // and set algebra replay bit-exactly in DuckDB.
     Q("q_profile_kmv_setops",
       (s, d) => {
-        val k = 256
+        val k = KmvK
         val docs = Tables.documents(s, d)
         val hh = graft.operators.Similarity.hashedShingles(
           graft.operators.Similarity.charShingles(
@@ -468,6 +474,8 @@ object QueriesRelational {
         // production at scale skips this distinct entirely (the
         // aggregator dedups, KMV.scala); it exists here because the
         // certification baseline needs the exact frame anyway.
+        // Eviction: LRU/harness-clearCache, never inline unpersist
+        // (the result is lazy — the repo-wide cache contract).
         val hd = hh.distinct().cache()
         val sk = graft.operators.KMV.sketch(hd, "source", "h", k)
         val est = sk.select(col("source"), col("kmins"),
@@ -524,8 +532,9 @@ object QueriesRelational {
       Some {
         import graft.functions.HashFns
         def estCase(m: String, hk: String) =
-          s"CASE WHEN $m < 256 THEN CAST($m AS DOUBLE) " +
-            "ELSE (CAST(255 AS DOUBLE) * POWER(CAST(2 AS DOUBLE), 60)) " +
+          s"CASE WHEN $m < $KmvK THEN CAST($m AS DOUBLE) " +
+            s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * " +
+            "POWER(CAST(2 AS DOUBLE), 60)) " +
             s"/ CAST($hk AS DOUBLE) END"
         val estCaseS = estCase("m", "hk")
         val estCaseU = estCase("ua.m", "ua.hk")
@@ -539,7 +548,7 @@ object QueriesRelational {
            |       FROM hh GROUP BY source),
            |km AS (SELECT source, h, row_number() OVER (
            |         PARTITION BY source ORDER BY h) AS rn FROM hh),
-           |sk AS (SELECT source, h FROM km WHERE rn <= 256),
+           |sk AS (SELECT source, h FROM km WHERE rn <= $KmvK),
            |sz AS (SELECT source, count(*) AS m, max(h) AS hk
            |       FROM sk GROUP BY source),
            |est AS (SELECT source, $estCaseS AS est_d FROM sz),
@@ -552,7 +561,7 @@ object QueriesRelational {
            |       FROM pr p JOIN sk s ON s.source = p.src_b),
            |ur AS (SELECT src_a, src_b, h, row_number() OVER (
            |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
-           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= 256),
+           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $KmvK),
            |mf AS (SELECT u.src_a, u.src_b, u.h,
            |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
            |           THEN 1 ELSE 0 END AS in_both

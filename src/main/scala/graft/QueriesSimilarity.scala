@@ -892,7 +892,10 @@ object QueriesSimilarity {
         // sizing + both join sides), and its lineage here is the whole
         // shingle→md5→minhash pipeline — cached, the signature work
         // runs once (the persisted band-index artifact the lake-served
-        // variants materialize; n_docs × nBands small rows)
+        // variants materialize; n_docs × nBands small rows). Eviction
+        // is deliberately LRU/harness-clearCache, never an inline
+        // unpersist — the repo-wide lazy-result cache contract
+        // (QueriesText's contamination helper documents it)
         val bands = Similarity.lshBands(sig, "doc_id", K, R).cache()
         val cand = Similarity.candidatePairs(bands, "doc_id", maxBucket = 20)
         val t = uniq.select(col("doc_id"), col("text"),
@@ -1937,7 +1940,8 @@ object QueriesSimilarity {
           explode(TextFns.tokens(col("text"))).as("token"))
         // one small row per doc, five consumers (banding explode + both
         // hamming-verify sides via candidatePairs' three band reads) —
-        // cached so the token-vote aggregate runs once
+        // cached so the token-vote aggregate runs once; eviction by
+        // LRU/harness-clearCache (the lazy-result cache contract)
         val shash = Similarity.simHash(toks, "doc_id", "token", 16).cache()
         val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("band_value")))

@@ -35,23 +35,31 @@ object Bloom {
     */
   def buildLongFilter(keys: DataFrame, keyCol: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
-    val cnt = if (expectedItems > 0) -1L else keys.count()
-    // Spark's bloomFilter aggregate returns a NULL buffer over an
-    // EMPTY build side (BloomFilter.readFrom then NPEs — found by the
-    // sf10 sweep, where a df<=50 rare-ngram gate empties under the
-    // 100-replica tiling). Zero keys is a legitimate filter: nothing
-    // is a member, so hand back an explicit empty filter — probes
-    // return false everywhere, vacuously preserving no-false-negatives.
-    val empty = if (cnt == 0L) true
-                else if (cnt > 0L) false
-                else keys.isEmpty
     val bos = new java.io.ByteArrayOutputStream()
-    if (empty) {
+    // Spark's bloomFilter aggregate yields a NULL bit buffer over an
+    // EMPTY build side (surfacing as an NPE — found by the sf10 sweep,
+    // where a df<=50 rare-ngram gate empties under the 100-replica
+    // tiling). Zero keys is a legitimate filter: nothing is a member,
+    // so hand back an explicit empty filter — probes return false
+    // everywhere, vacuously preserving no-false-negatives.
+    def emptyFilter(): Unit =
       org.apache.spark.util.sketch.BloomFilter.create(64L, fpp)
         .writeTo(bos)
+    if (expectedItems > 0) {
+      // Explicitly-sized build: ONE job (the sketch treeAggregate
+      // itself), no extra count/isEmpty action (r13 advice). The
+      // empty case is caught from the aggregate's own null result.
+      try {
+        val f = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+        if (f == null) emptyFilter() else f.writeTo(bos)
+      } catch { case _: NullPointerException => emptyFilter() }
     } else {
-      val n = if (expectedItems > 0) expectedItems else math.max(cnt, 64L)
-      keys.stat.bloomFilter(keyCol, n, fpp).writeTo(bos)
+      // expectedItems <= 0 means "count the keys first" — the count
+      // both sizes the filter and detects the empty build side.
+      val cnt = keys.count()
+      if (cnt == 0L) emptyFilter()
+      else keys.stat.bloomFilter(keyCol, math.max(cnt, 64L), fpp)
+        .writeTo(bos)
     }
     bos.toByteArray
   }

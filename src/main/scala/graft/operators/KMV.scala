@@ -44,13 +44,51 @@ object KMV {
     */
   private final class KMinAgg(k: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {
-    def zero: Seq[Long] = Nil
-    def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-      if (buf.lengthCompare(k) >= 0 && buf.last <= h) buf
-      else if (buf.contains(h)) buf
-      else ((buf :+ h).sorted).take(k)
-    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-      (a ++ b).distinct.sorted.take(k)
+    import scala.collection.immutable.ArraySeq
+    def zero: Seq[Long] = ArraySeq.empty[Long]
+    // The buffer invariant is "ascending, distinct, |buf| <= k", so
+    // membership and insertion position come from ONE binary search
+    // and each accepted element is a single O(k) array splice — not
+    // the r13-advice linear contains + full re-sort. Results are
+    // bit-identical to the sorted-set definition by construction.
+    private def arr(s: Seq[Long]): Array[Long] = s match {
+      case as: ArraySeq[_] if as.unsafeArray.isInstanceOf[Array[Long]] =>
+        as.unsafeArray.asInstanceOf[Array[Long]]
+      case _ => s.toArray
+    }
+    def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      val a = arr(buf); val n = a.length
+      if (n >= k && a(n - 1) <= h) buf
+      else {
+        val i = java.util.Arrays.binarySearch(a, h)
+        if (i >= 0) buf // present already: KMV is over distinct values
+        else {
+          val ins = -i - 1
+          val m = math.min(n + 1, k)
+          val out = new Array[Long](m)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, m - ins - 1)
+          ArraySeq.unsafeWrapArray(out)
+        }
+      }
+    }
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = {
+      // bounded two-pointer sorted merge with dedup — both inputs hold
+      // the ascending-distinct invariant, so out(o-1) != v suffices
+      val a = arr(x); val b = arr(y)
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val t = a(i); i += 1; t
+          } else { val t = b(j); j += 1; t }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      ArraySeq.unsafeWrapArray(
+        if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
     def finish(r: Seq[Long]): Seq[Long] = r
     def bufferEncoder: ExpressionEncoder[Seq[Long]] =
       ExpressionEncoder[Seq[Long]]()

@@ -390,7 +390,12 @@ object SetJoin {
     // cost more in storage pressure than re-running the columnar
     // tokenize+hash scan), the classic recompute-over-materialize
     // call. Only the much smaller DISTINCT set view is cached (four
-    // consumers: signatures, both verify sides, sizes).
+    // consumers: signatures, both verify sides, sizes). No explicit
+    // unpersist: the result is lazy (unpersisting here would defeat
+    // the cache), eviction is deliberately left to Spark's LRU storage
+    // policy, and both harness runners clearCache() between queries —
+    // the repo-wide cache-release contract (see QueriesText's
+    // contamination helper).
     val seq = ngrams.select(col(idCol), col(posCol), col(hashCol).as("h"))
     val hashed = seq.select(col(idCol), col("h")).distinct().cache()
     // ---- stratum 1: size-similar pairs via the banded MinHash probe

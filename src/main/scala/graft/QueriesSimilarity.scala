@@ -52,9 +52,14 @@ object QueriesSimilarity {
     * literally "reproduces the exact answer", not "replays its own
     * approximation". Parametrized by the corpus SELECT so
     * q_sim_containment_stratified can run the SAME brute force over
-    * its quote-augmented fixture.
+    * its quote-augmented fixture, and by an optional A-side predicate
+    * so q_sim_containment_indexed_sampled can bound the Σdf²
+    * intersection join to a deterministic 1/97 probe subsample — the
+    * trick that makes this oracle REPLAYABLE at sf10, where the full
+    * join is infeasible in DuckDB (the r13 named exclusion).
     */
-  private def containmentExactOracleSqlOver(corpusSql: String): String =
+  private def containmentExactOracleSqlOver(corpusSql: String,
+      aSideSql: String = ""): String =
     s"""WITH corpus AS (
        |  $corpusSql),
        |t AS (
@@ -76,7 +81,7 @@ object QueriesSimilarity {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |         count(*) AS n_inter
        |  FROM hng a JOIN hng b ON b.h = a.h
-       |    AND a.doc_id <> b.doc_id
+       |    AND a.doc_id <> b.doc_id$aSideSql
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        |  n_inter / sa.n AS containment
@@ -2589,6 +2594,37 @@ object QueriesSimilarity {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(containmentExactOracleSql)),
+
+    // ------- containment twin with an sf10-REPLAYABLE exact oracle
+    // Identical plan to q_sim_containment_indexed with one final
+    // deterministic probe subsample on the CONTAINED side
+    // (id_a % 97 == 0, OR id_a < 50 so the row is populated at the
+    // sf0.01 driver gate too — 6 of its 50 truth pairs have a sub-50
+    // contained doc there). The point is the ORACLE: the full brute
+    // force's Σdf² intersection join is infeasible in DuckDB at 500k
+    // docs (the standing sf10 exclusion), but the A-side predicate
+    // pushes into the join and bounds it to ~1/97 of that work (+ a
+    // constant 50 docs), so THIS row hash-verifies the banded
+    // operator against exact truth at sf10 too — closing the
+    // containment family's timing-only gap at the decade where it
+    // matters. The subsample is of the VERIFIED output, not of the
+    // index: the banded probe still runs over the whole corpus, so
+    // the plan under test is unchanged.
+    Q("q_sim_containment_indexed_sampled",
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokens(col("text")).as("toks"))
+        val hashed = Similarity.hashedShingles(
+          Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+            .withColumnRenamed("ngram", "shingle"), "doc_id")
+        graft.operators.SetJoin
+          .containmentBanded(hashed, "doc_id", "h", 0.9)
+          .filter(col("id_a") % 97 === 0 || col("id_a") < 50)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(containmentExactOracleSqlOver(
+        "SELECT doc_id, text FROM documents",
+        " AND (a.doc_id % 97 = 0 OR a.doc_id < 50)"))),
 
     // -------- containment FULL-RANGE twin: stratified by overlap shape
     // SetJoin.containmentStratified — closes q_sim_containment_indexed's

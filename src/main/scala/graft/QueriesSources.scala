@@ -37,6 +37,11 @@ object QueriesSources {
   private[graft] def dsScoped(base: String, d: String): String =
     s"$TMP/$base/ds_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Sketch size shared by q_profile_kmv_catalog's Spark side and its
+    * DuckDB oracle (one constant, two engines — the KmvK discipline).
+    */
+  private val KmvCatalogK = 256
+
   // Embedded Derby for the JDBC sink surface: same write/verify/probe code
   // path as a warehouse sink, zero external service. derby.system.home
   // keeps derby.log + the db directory out of the repo root.
@@ -170,6 +175,58 @@ object QueriesSources {
              |    AS exact_distinct,
              |  TRUE AS union_ok
              |FROM daily""".stripMargin)),
+
+    // --------------------------------------- mergeable KMV catalog
+    // The lifecycle face of the KMV set-operation sketch
+    // (q_profile_kmv_setops certifies the estimator; this certifies
+    // the STORAGE pattern): per-day k-min sketches persisted with
+    // dynamic partition overwrite into a DATASET-SCOPED lake dir —
+    // a new day appends one sketch row, history is never re-scanned,
+    // and the global distinct is answered by merging the stored
+    // k-long arrays (closure under union). Unlike the HLL catalog's
+    // tolerance boolean, the merged estimate replays BIT-EXACTLY in
+    // DuckDB (md5Long order statistics), so est_distinct is
+    // hash-pinned. KMVSpec proves the append-merges-against-stored
+    // contract (a day-only second call preserves prior partitions
+    // and the merged sketch equals the full-corpus sketch).
+    Q("q_profile_kmv_catalog",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(to_date(col("ts")).as("__day"),
+            graft.functions.HashFns
+              .md5Long(col("user_id").cast("string")).as("__h"))
+        graft.operators.KMV.sketchCatalog(ev, col("__day"), "__h",
+          KmvCatalogK, dsScoped("kmv_catalog", d))
+      },
+      Some {
+        import graft.functions.HashFns
+        val k = KmvCatalogK
+        s"""WITH hh AS (
+           |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+           |    ${HashFns.md5LongSql("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |dd AS (SELECT day, count(*) AS exact_day FROM hh
+           |       GROUP BY day),
+           |km AS (SELECT day, h, row_number() OVER (
+           |         PARTITION BY day ORDER BY h) AS rn FROM hh),
+           |sk AS (SELECT day, h FROM km WHERE rn <= $k),
+           |uq AS (SELECT DISTINCT h FROM sk),
+           |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |       FROM uq),
+           |us AS (SELECT h FROM ur WHERE rn <= $k),
+           |mg AS (SELECT count(*) AS m, max(h) AS hk FROM us)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_days,
+           |  (SELECT CAST(sum(exact_day) AS BIGINT) FROM dd)
+           |    AS sum_day_distinct,
+           |  (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM hh)
+           |    AS exact_distinct,
+           |  (SELECT CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+           |     ELSE (CAST(${k - 1} AS DOUBLE) *
+           |           POWER(CAST(2 AS DOUBLE), 60))
+           |          / CAST(hk AS DOUBLE) END
+           |   FROM mg) AS est_distinct""".stripMargin
+      }),
 
     // ------------------------------------------------- ORC lake surface
     // Columnar-format breadth beyond parquet: write a lineitem slice as

@@ -1031,6 +1031,25 @@ object QueriesText {
       (s, d) => contamination(s, d, bloomPrefilter = true),
       Some(contaminationOracle)),
 
+    // Salted-fixture twins: the SAME decontamination pipeline kept
+    // POPULATED at every decade. The plain pair's df <= 50 rare gate
+    // empties by sf10 under replica tiling (every template n-gram's
+    // df scales with corpus size — r13's "green-but-vacuous" rows
+    // certified only the empty-case contract there). [[saltedDocs]]
+    // controls df by construction — each eval doc carries a unique
+    // 5-token salt run shared with ~one train doc per 50 at any
+    // corpus size — so the MATCH logic (rare gate, inverted-index
+    // join, >= 3 threshold) hash-verifies with non-empty results at
+    // sf0.01, sf1 and sf10. The bloom twin additionally pins the
+    // prefilter's bit-identity on a populated corpus at scale by
+    // sharing the same oracle string.
+    Q("q_text_contamination_salted",
+      (s, d) => contaminationOver(saltedDocs(s, d), bloomPrefilter = false),
+      Some(saltedContaminationOracle)),
+    Q("q_text_contamination_salted_bloom",
+      (s, d) => contaminationOver(saltedDocs(s, d), bloomPrefilter = true),
+      Some(saltedContaminationOracle)),
+
     // ------------------------------------------------------ PII scrubbing
     // Redaction pass: count and mask emails and (toy) phone numbers.
     // The corpus has no natural PII, so deterministic PII is appended
@@ -1493,45 +1512,22 @@ object QueriesText {
     // pair work is O(ngrams * cap^2) worst case, never quadratic in
     // corpus size.
     Q("q_text_source_overlap",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val toked = docs.select(col("doc_id"),
-          TextFns.tokens(col("text")).as("toks"))
-        val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
-          .distinct()
-        val rare = ng.groupBy(col("ngram"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
-          .select(col("ngram"))
-        val srcNg = ng.join(rare, Seq("ngram"))
-          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-          .select(col("source"), col("ngram")).distinct()
-        val a = srcNg.select(col("ngram"), col("source").as("src_a"))
-        val b = srcNg.select(col("ngram"), col("source").as("src_b"))
-        a.join(b, Seq("ngram")).filter(col("src_a") < col("src_b"))
-          .groupBy(col("src_a"), col("src_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy(col("src_a"), col("src_b"))
-      },
-      Some(s"""WITH t AS (
-              |  SELECT doc_id, string_split($normSql, ' ') AS toks
-              |  FROM documents),
-              |ng AS (
-              |  SELECT DISTINCT doc_id,
-              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
-              |      || ' ' || toks[CAST(i AS INT)+2] AS ngram
-              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
-              |  WHERE len(toks) >= 3),
-              |rare AS (SELECT ngram FROM ng GROUP BY ngram
-              |         HAVING count(*) <= 50),
-              |sn AS (
-              |  SELECT DISTINCT d.source, ng.ngram
-              |  FROM ng JOIN rare USING (ngram)
-              |  JOIN documents d USING (doc_id))
-              |SELECT a.source AS src_a, b.source AS src_b,
-              |  CAST(count(*) AS BIGINT) AS n_shared
-              |FROM sn a JOIN sn b USING (ngram)
-              |WHERE a.source < b.source
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      (s, d) => sourceOverlapOver(Tables.documents(s, d)),
+      Some("WITH " + sourceOverlapSqlOver("documents"))),
+
+    // Salted-fixture twin: the same rare-ngram source matrix, kept
+    // POPULATED at every decade. The plain query's df <= 50 gate
+    // empties by sf10 under replica tiling (template n-grams' df
+    // scales with corpus size — the r13 "green-but-vacuous" rows), so
+    // this variant runs the identical pipeline over [[saltedDocs]],
+    // whose constructed runs keep df ~2 at any scale: eval doc e and
+    // its salted train partners sit in different sources, so each
+    // salted run contributes cross-source shared n-grams that survive
+    // the gate at sf0.01, sf1 AND sf10. Same oracle body over the
+    // fixture CTE.
+    Q("q_text_source_overlap_salted",
+      (s, d) => sourceOverlapOver(saltedDocs(s, d)),
+      Some("WITH " + saltedDocsSql + ",\n" + sourceOverlapSqlOver("aug"))),
 
     // ----------------------------------- interpolated bigram-LM score
     // The bigram upgrade of q_text_unigram_nll's quality signal:
@@ -2456,8 +2452,12 @@ object QueriesText {
     * operators/Bloom prefilter before the train-side shuffle).
     */
   private def contamination(s: SparkSession, d: String,
+      bloomPrefilter: Boolean): DataFrame =
+    contaminationOver(Tables.documents(s, d), bloomPrefilter)
+
+  private def contaminationOver(docs: DataFrame,
       bloomPrefilter: Boolean): DataFrame = {
-    val toked = Tables.documents(s, d).select(col("doc_id"),
+    val toked = docs.select(col("doc_id"),
       TextFns.tokens(col("text")).as("toks"))
     val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3).distinct()
     val rare = ng.groupBy(col("ngram"))
@@ -2500,13 +2500,68 @@ object QueriesText {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
-  // lazy: declared after `qs`, which captures it during object init
-  private lazy val contaminationOracle: String =
-    """WITH t AS (
+  /** Cross-source rare-ngram overlap matrix over any documents-shaped
+    * frame (shared by q_text_source_overlap and its salted-fixture
+    * twin). Inverted-index join with the df <= 50 cap bounding every
+    * ngram bucket — pair work is O(ngrams · cap²), never
+    * corpus-quadratic.
+    */
+  private def sourceOverlapOver(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      TextFns.tokens(col("text")).as("toks"))
+    val ng = Similarity.wordNgrams(toked, "doc_id", "toks", 3)
+      .distinct()
+    val rare = ng.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 50)
+      .select(col("ngram"))
+    val srcNg = ng.join(rare, Seq("ngram"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("ngram")).distinct()
+    val a = srcNg.select(col("ngram"), col("source").as("src_a"))
+    val b = srcNg.select(col("ngram"), col("source").as("src_b"))
+    a.join(b, Seq("ngram")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The source-overlap replay's CTE chain + final SELECT over any
+    * documents-shaped relation `src`. Callers prepend "WITH " (and
+    * any fixture CTEs).
+    */
+  private def sourceOverlapSqlOver(src: String): String =
+    s"""t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM $src),
+              |ng AS (
+              |  SELECT DISTINCT doc_id,
+              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+              |      || ' ' || toks[CAST(i AS INT)+2] AS ngram
+              |  FROM t, unnest(range(1, greatest(len(toks)-1, 1))) u(i)
+              |  WHERE len(toks) >= 3),
+              |rare AS (SELECT ngram FROM ng GROUP BY ngram
+              |         HAVING count(*) <= 50),
+              |sn AS (
+              |  SELECT DISTINCT d.source, ng.ngram
+              |  FROM ng JOIN rare USING (ngram)
+              |  JOIN $src d USING (doc_id))
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM sn a JOIN sn b USING (ngram)
+              |WHERE a.source < b.source
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The decontamination replay's CTE chain + final SELECT over any
+    * documents-shaped relation `src` (shared by the plain, bloom, and
+    * salted-fixture registrations — one body, so the replays cannot
+    * drift). Callers prepend "WITH " (and any fixture CTEs).
+    */
+  private def contaminationSqlOver(src: String): String =
+    s"""t AS (
              |  SELECT doc_id, string_split(
              |    trim(regexp_replace(regexp_replace(lower(text),
              |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-             |  FROM documents),
+             |  FROM $src),
              |ng AS (
              |  SELECT DISTINCT doc_id,
              |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] ||
@@ -2522,4 +2577,85 @@ object QueriesText {
              |WHERE a.doc_id >= 50 AND b.doc_id < 50
              |GROUP BY 1, 2 HAVING count(*) >= 3
              |ORDER BY train_id, eval_id""".stripMargin
+
+  // lazy: declared after `qs`, which captures it during object init
+  private lazy val contaminationOracle: String =
+    "WITH " + contaminationSqlOver("documents")
+
+  /** SALTED CONTAMINATION FIXTURE (round 14, de-vacuating the sf10
+    * rows): under the self-similar replica tiling every TEMPLATE
+    * n-gram's document frequency scales with corpus size — the closed
+    * 31-word vocabulary means all natural 3-grams blow through the
+    * df <= 50 rare gate by sf10 (100 replicas), so
+    * q_text_contamination and q_text_source_overlap return 0 rows on
+    * BOTH engines there: green, but certifying only the empty-case
+    * contract. This fixture controls df BY CONSTRUCTION at every
+    * decade instead (the quote-augmented-fixture pattern of
+    * q_sim_containment_stratified): each eval doc e (doc_id < 50)
+    * appends a unique 5-token salt run (tokens `zqsalt{e}a..e`,
+    * lowercase-alnum so TextFns.normalize passes them through), and
+    * ~50 HASH-SELECTED train docs — md5Long(id, seed 41) %
+    * max(97, n/50) == 0, a scale-adaptive modulus so the salted-train
+    * COUNT stays ~constant as the corpus grows — append the run of
+    * eval doc md5Long(id, seed 43) % 50. Selection and partner
+    * assignment are hashed, NOT raw-id modular arithmetic: at the
+    * tiled decades doc_ids are sparse multiples of the replica offset,
+    * so `doc_id % M == 0` degenerates to one-per-replica ids that ALL
+    * share residue 0 mod 50 — every salted doc piles onto eval doc 0
+    * and the pile's df blows through the rare gate (measured: 0 rows
+    * at sf10 on the first cut of this fixture). Hashing decouples the
+    * construction from any id structure: ~Poisson(1) partners per
+    * eval doc, so every salted n-gram's df stays ~2 at ANY scale.
+    * Each salted train doc shares exactly 3 n-grams (5 tokens → 3
+    * trigrams) with its eval doc — meeting the >= 3 flag bar — and
+    * the match logic stays populated and hash-verifiable at sf0.01,
+    * sf1 and sf10. The oracle replays the identical augmentation in
+    * SQL, so fixture + pipeline pin end to end.
+    */
+  private def saltedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    def run(e: org.apache.spark.sql.Column) = {
+      val es = e.cast("string")
+      concat(lit(" zqsalt"), es, lit("a zqsalt"), es, lit("b zqsalt"),
+        es, lit("c zqsalt"), es, lit("d zqsalt"), es, lit("e"))
+    }
+    val m = greatest(lit(97L), floor(col("__n") / 50).cast("long"))
+    val idStr = col("doc_id").cast("string")
+    docs.crossJoin(broadcast(n))
+      .withColumn("text",
+        when(col("doc_id") < 50, concat(col("text"), run(col("doc_id"))))
+          .when(HashFns.md5Long(idStr, 41) % m === 0,
+            concat(col("text"),
+              run(HashFns.md5Long(idStr, 43) % 50)))
+          .otherwise(col("text")))
+      .drop("__n")
+  }
+
+  /** DuckDB mirror of [[saltedDocs]]: CTEs `nn` + `aug`, where `aug`
+    * is documents-shaped (SELECT * REPLACE keeps all columns). Same
+    * branch order as the Spark `when` chain, so doc_id 0 (eval AND a
+    * multiple of every modulus) salts identically on both engines.
+    */
+  private lazy val saltedDocsSql: String = { // lazy: captured during `qs` init
+    def run(e: String) =
+      s"' zqsalt' || $e || 'a zqsalt' || $e || 'b zqsalt' || $e || " +
+        s"'c zqsalt' || $e || 'd zqsalt' || $e || 'e'"
+    val idStr = "CAST(d.doc_id AS VARCHAR)"
+    s"""nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |aug AS (
+       |  SELECT d.* REPLACE ((CASE
+       |    WHEN d.doc_id < 50
+       |      THEN d.text || ${run("CAST(d.doc_id AS VARCHAR)")}
+       |    WHEN ${HashFns.md5LongSql(idStr, 41)}
+       |        % GREATEST(97, nn.n // 50) = 0
+       |      THEN d.text ||
+       |        ${run(s"CAST(${HashFns.md5LongSql(idStr, 43)} % 50" +
+                  " AS VARCHAR)")}
+       |    ELSE d.text END) AS text)
+       |  FROM documents d, nn)""".stripMargin
+  }
+
+  private lazy val saltedContaminationOracle: String =
+    "WITH " + saltedDocsSql + ",\n" + contaminationSqlOver("aug")
 }

@@ -108,6 +108,59 @@ object KMV {
       .agg(km(col(hashCol)).as("kmins"))
   }
 
+  /** Mergeable KMV CATALOG (the lifecycle face of [[sketch]], mirroring
+    * Profile.distinctSketchCatalog's incremental-profile pattern): one
+    * k-min sketch per partition key (a day) PERSISTED to `catalogDir`
+    * with dynamic partition overwrite — a new day's rows rewrite only
+    * that day's partition; history is never re-scanned. Cross-period
+    * distinct questions are then answered by merging the STORED k-long
+    * arrays (KMV is closed under union: the k smallest distinct hashes
+    * of the merged arrays ARE the union's sketch), here via the same
+    * bounded aggregator over the exploded catalog — days × k tiny rows
+    * however big the underlying data. Per-day exact distincts ride
+    * along so the catalog's claims stay oracle-checkable.
+    *
+    * `catalogDir` MUST be dataset-scoped by the caller (the
+    * QueriesSources.dsScoped contract): dynamic overwrite preserves
+    * partitions absent from the current input — exactly right for
+    * incremental maintenance, exactly wrong across datasets sharing a
+    * directory (the r13 hll_catalog red row).
+    *
+    * Returned report: (n_days, sum_day_distinct, exact_distinct,
+    * est_distinct). Unlike the HLL catalog's 5%-tolerance boolean,
+    * est_distinct is pinned EXACTLY by the DuckDB oracle — md5Long
+    * hashes plus one order-statistic division replay bit-for-bit.
+    * The exact_distinct face recomputes over the frame it is given
+    * (test-scale certification); at 100 TB you maintain the catalog
+    * with new-day frames and answer from the merged sketches alone.
+    */
+  def sketchCatalog(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                    hashCol: String, k: Int,
+                    catalogDir: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val km = udaf(new KMinAgg(k))
+    val daily = df.filter(col(hashCol).isNotNull)
+      .groupBy(dayCol.as("day"))
+      .agg(km(col(hashCol)).as("kmins"),
+        count_distinct(col(hashCol)).as("exact_day"))
+    daily.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(catalogDir)
+    val catalog = df.sparkSession.read.parquet(catalogDir)
+    // bounded input by construction: <= n_days * k exploded rows
+    val merged = catalog.select(explode(col("kmins")).as("h"))
+      .agg(km(col("h")).as("kmins"))
+    val counts = catalog.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("exact_day")).as("sum_day_distinct"))
+    val exact = df.agg(count_distinct(col(hashCol)).as("exact_distinct"))
+    merged.crossJoin(broadcast(counts)).crossJoin(broadcast(exact))
+      .select(col("n_days"), col("sum_day_distinct"),
+        col("exact_distinct"),
+        estimateDistinct(col("kmins"), k).as("est_distinct"))
+  }
+
   /** The KMV order-statistic estimate as a Column over a `kmins`
     * array: exact size below k, (k−1)·2^60/h_(k) at k. The numerator
     * is a compile-time double with trailing zero bits, so the single

@@ -60,6 +60,47 @@ class KMVSpec extends AnyFunSuite {
     assert(merged == unionDirect)
   }
 
+  test("sketchCatalog: appending a day merges against STORED sketches " +
+      "without rescanning history") {
+    // The 100 TB lifecycle contract: per-day sketches are write-once
+    // lake artifacts; a later call with ONLY a new day's rows must
+    // (a) preserve every prior day's stored sketch (dynamic partition
+    // overwrite), and (b) answer the global distinct from the merged
+    // stored arrays — equal to the sketch built over the full data
+    // directly (closure under union).
+    val k = 32
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_catalog").toString
+    def day(d: String, vs: Range) =
+      vs.map(v => (d, v)).toDF("day0", "v")
+        .select(to_date(lit(d)).as("dt"),
+          HashFns.md5Long(col("v").cast("string")).as("h"))
+    val d1 = day("2024-01-01", 0 until 300)
+    val d2 = day("2024-01-02", 150 until 450)
+    val d3 = day("2024-01-03", 400 until 700)
+    val first = KMV.sketchCatalog(d1.union(d2), col("dt"), "h", k, dir)
+      .collect().head
+    assert(first.getLong(0) == 2L) // n_days
+    // second call: ONLY day 3's rows — history must not be rescanned
+    // (the input frame simply doesn't contain it) yet the report
+    // merges all three stored days
+    val second = KMV.sketchCatalog(d3, col("dt"), "h", k, dir)
+      .collect().head
+    assert(second.getLong(0) == 3L, "stored days lost on append")
+    assert(second.getLong(1) == 300L + 300L + 300L) // sum of per-day
+    // exact face recomputes over the GIVEN frame (day 3 only) — the
+    // documented certification contract
+    assert(second.getLong(2) == 300L)
+    // merged estimate == the estimate from a sketch built over ALL
+    // days directly: the stored-array merge lost nothing
+    val full = d1.union(d2).union(d3)
+      .select(lit("g").as("g"), col("h"))
+    val directEst = KMV.sketch(full, "g", "h", k)
+      .select(KMV.estimateDistinct(col("kmins"), k)).as[Double].head()
+    assert(second.getDouble(3) == directEst,
+      s"merged-catalog estimate ${second.getDouble(3)} != direct $directEst")
+  }
+
   test("estimates land within the KMV error envelope") {
     // 400 distinct values, k=64: σ ≈ D/√(k−2) ≈ 51. Assert a loose
     // 4σ band — deterministic data, so this pins the estimator math

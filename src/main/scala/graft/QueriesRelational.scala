@@ -27,6 +27,30 @@ object QueriesRelational {
     */
   private val KmvK = 256
 
+  /** One-time, dataset-keyed build of the per-source KMV sketch lake
+    * (q_profile_kmv_setops_lake): write-once k-min arrays, one row per
+    * source, built by the sketch-only production path — the bounded
+    * aggregator dedups inside reduce/merge, so NO distinct shuffle
+    * precedes the group-by (the plan q_profile_kmv_setops' scaladoc
+    * promises for 100 TB, here actually executed). Idempotent per
+    * (JVM, dataset); the dir is dsScoped so cross-dataset sweeps
+    * cannot pollute it (the r13 hll_catalog lesson).
+    */
+  @volatile private var kmvLakeBuiltFor: String = null
+  private def buildKmvSourceLake(s: org.apache.spark.sql.SparkSession,
+                                 d: String): Unit =
+    this.synchronized {
+      if (kmvLakeBuiltFor != d) {
+        val hh = graft.operators.Similarity.hashedShingles(
+          graft.operators.Similarity.charShingles(
+            Tables.documents(s, d), "source", "text", 5), "source")
+        graft.operators.KMV.sketch(hh, "source", "h", KmvK)
+          .write.mode("overwrite")
+          .parquet(QueriesSources.dsScoped("kmv_source_sketches", d))
+        kmvLakeBuiltFor = d
+      }
+    }
+
   /** Shared by q_agg_percentiles and q_agg_percentiles_hist — the two
     * plans must stay answer-identical, so they share ONE oracle.
     */
@@ -592,6 +616,105 @@ object QueriesRelational {
            |JOIN est sb ON sb.source = p.src_b
            |JOIN ua ON ua.src_a = p.src_a AND ua.src_b = p.src_b
            |LEFT JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b
+           |ORDER BY p.src_a, p.src_b""".stripMargin
+      }),
+
+    // ---------------------- KMV set operations SERVED from the lake
+    // The production shape of the cross-corpus overlap question
+    // ("how much of crawl B is already in crawl A?"): per-source KMV
+    // sketches are write-once lake artifacts ([[buildKmvSourceLake]],
+    // built by the NO-DISTINCT aggregator path — the sketch-only plan
+    // that skips q_profile_kmv_setops' certification-side distinct
+    // entirely), and the whole pairwise report — |A|, |A∪B|, |A∩B|,
+    // Jaccard per source pair — is computed by merging the STORED
+    // k-long arrays. No corpus scan, no exact sides, no join against
+    // the data: n_sources² pairs of k-long arrays. The oracle
+    // recomputes the identical estimates from the corpus in DuckDB
+    // (the construction is md5Long-deterministic), so served ==
+    // recomputed is hash-pinned. Under the warm-mode bench convention
+    // the one-time build rides in "first"; warm runs are the pure
+    // serve leg.
+    Q("q_profile_kmv_setops_lake",
+      (s, d) => {
+        val k = KmvK
+        buildKmvSourceLake(s, d)
+        val sk = s.read.parquet(
+          QueriesSources.dsScoped("kmv_source_sketches", d))
+        val est = sk.select(col("source"), col("kmins"),
+          graft.operators.KMV.estimateDistinct(col("kmins"), k)
+            .as("est_d"))
+        val a = est.select(col("source").as("src_a"),
+          col("kmins").as("__ka"), col("est_d").as("est_a"))
+        val b = est.select(col("source").as("src_b"),
+          col("kmins").as("__kb"), col("est_d").as("est_b"))
+        val num = lit((k - 1).toDouble * math.pow(2.0, 60))
+        a.join(b, col("src_a") < col("src_b"))
+          .withColumn("__L",
+            slice(array_sort(array_union(col("__ka"), col("__kb"))),
+              1, k))
+          .withColumn("__m", size(col("__L")))
+          .withColumn("__rho", size(filter(col("__L"),
+            h => array_contains(col("__ka"), h) &&
+              array_contains(col("__kb"), h))))
+          .withColumn("est_union",
+            when(col("__m") < k, col("__m").cast("double"))
+              .otherwise(num / element_at(col("__L"), k).cast("double")))
+          .withColumn("est_jaccard",
+            col("__rho").cast("double") / col("__m").cast("double"))
+          .select(col("src_a"), col("src_b"),
+            col("est_a"), col("est_b"),
+            (col("est_jaccard") * col("est_union")).as("est_inter"),
+            col("est_union"), col("est_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        import graft.functions.HashFns
+        def estCase(m: String, hk: String) =
+          s"CASE WHEN $m < $KmvK THEN CAST($m AS DOUBLE) " +
+            s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * " +
+            "POWER(CAST(2 AS DOUBLE), 60)) " +
+            s"/ CAST($hk AS DOUBLE) END"
+        s"""WITH sh AS (
+           |  SELECT d.source, substr(d.text, CAST(i AS INT), 5) AS shingle
+           |  FROM documents d,
+           |       unnest(range(1, greatest(length(d.text)-3, 1))) t(i)),
+           |hh AS (SELECT DISTINCT source,
+           |         ${HashFns.md5LongSql("shingle")} AS h FROM sh),
+           |km AS (SELECT source, h, row_number() OVER (
+           |         PARTITION BY source ORDER BY h) AS rn FROM hh),
+           |sk AS (SELECT source, h FROM km WHERE rn <= $KmvK),
+           |sz AS (SELECT source, count(*) AS m, max(h) AS hk
+           |       FROM sk GROUP BY source),
+           |est AS (SELECT source, ${estCase("m", "hk")} AS est_d FROM sz),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b
+           |       FROM sz a JOIN sz b ON a.source < b.source),
+           |uh AS (SELECT p.src_a, p.src_b, s.h
+           |       FROM pr p JOIN sk s ON s.source = p.src_a
+           |       UNION
+           |       SELECT p.src_a, p.src_b, s.h
+           |       FROM pr p JOIN sk s ON s.source = p.src_b),
+           |ur AS (SELECT src_a, src_b, h, row_number() OVER (
+           |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
+           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $KmvK),
+           |mf AS (SELECT u.src_a, u.src_b, u.h,
+           |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+           |           THEN 1 ELSE 0 END AS in_both
+           |       FROM us u
+           |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
+           |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
+           |ua AS (SELECT src_a, src_b, count(*) AS m, max(h) AS hk,
+           |         sum(in_both) AS rho
+           |       FROM mf GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b,
+           |  sa.est_d AS est_a, sb.est_d AS est_b,
+           |  (CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE))
+           |    * (${estCase("ua.m", "ua.hk")}) AS est_inter,
+           |  ${estCase("ua.m", "ua.hk")} AS est_union,
+           |  CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE) AS est_jaccard
+           |FROM pr p
+           |JOIN est sa ON sa.source = p.src_a
+           |JOIN est sb ON sb.source = p.src_b
+           |JOIN ua ON ua.src_a = p.src_a AND ua.src_b = p.src_b
            |ORDER BY p.src_a, p.src_b""".stripMargin
       }),
 

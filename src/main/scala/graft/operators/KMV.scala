@@ -148,9 +148,7 @@ object KMV {
       .partitionBy("day")
       .parquet(catalogDir)
     val catalog = df.sparkSession.read.parquet(catalogDir)
-    // bounded input by construction: <= n_days * k exploded rows
-    val merged = catalog.select(explode(col("kmins")).as("h"))
-      .agg(km(col("h")).as("kmins"))
+    val merged = mergeSketchArrays(catalog, "kmins", k)
     val counts = catalog.agg(
       count(lit(1)).as("n_days"),
       sum(col("exact_day")).as("sum_day_distinct"))
@@ -159,6 +157,19 @@ object KMV {
       .select(col("n_days"), col("sum_day_distinct"),
         col("exact_distinct"),
         estimateDistinct(col("kmins"), k).as("est_distinct"))
+  }
+
+  /** Merge a frame of `kmins` arrays (per-day catalog rows, per-batch
+    * stream partials, per-shard artifacts) into ONE union sketch: the
+    * k smallest distinct hashes across all arrays — KMV's closure
+    * under union, through the same bounded aggregator. Input is
+    * `n_arrays × k` tiny rows however big the underlying data.
+    */
+  def mergeSketchArrays(df: DataFrame, kminsCol: String,
+                        k: Int): DataFrame = {
+    val km = udaf(new KMinAgg(k))
+    df.select(explode(col(kminsCol)).as("h"))
+      .agg(km(col("h")).as("kmins"))
   }
 
   /** The KMV order-statistic estimate as a Column over a `kmins`

@@ -25,7 +25,8 @@ import graft.sinks.Jdbc
 object EventStreams {
 
   /** Lineage guard for the batch-keyed ingest sinks ([[dedupIngest]],
-    * [[sketchIngest]], [[bm25Ingest]], [[phashIngest]]): an ingest
+    * [[sketchIngest]], [[kmvIngest]], [[bm25Ingest]],
+    * [[phashIngest]]): an ingest
     * directory is bound to ONE checkpoint location for its lifetime,
     * because replay idempotency keys partitions solely on the stream's
     * batchId. Restarting against an existing dir with a FRESH
@@ -333,6 +334,52 @@ object EventStreams {
     spark.read.parquet(sketchDir)
       .groupBy(col("d"), col("bucket"))
       .agg(sum(col("c")).as("c"))
+
+  /** Streaming KMV ingest — the distinct-count face of the batch-keyed
+    * ingest family (the [[sketchIngest]] idempotency shape, for the
+    * KMV catalog the way sketchIngest is for CountMin): each
+    * micro-batch reduces to ONE k-min array (k longs regardless of
+    * batch size) landed in a batch-keyed partition, so a crash replay
+    * overwrites its own partial instead of corrupting the merge.
+    * Merge-on-read ([[readKmvSketch]]) folds the stored arrays through
+    * KMV's closure under union — the stream's global distinct (and,
+    * with a second stream's sketch, intersection/Jaccard via
+    * KMV.estimateDistinct + the setops algebra) is answered from
+    * n_batches × k stored longs, never from the stream's history.
+    * `hashCol` must hold md5Long hashes (the [[graft.operators.KMV]]
+    * contract).
+    */
+  def kmvIngest(items: DataFrame, hashCol: String, k: Int,
+                sketchDir: String): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmvIngestBatch(batch, batchId, hashCol, k, sketchDir)
+      }
+
+  /** One micro-batch of [[kmvIngest]], exposed so replay idempotency
+    * is directly testable.
+    */
+  def kmvIngestBatch(batch: DataFrame, batchId: Long, hashCol: String,
+                     k: Int, sketchDir: String): Unit = {
+    requireFreshOrSameLineage(batch.sparkSession, sketchDir, batchId)
+    if (!batch.isEmpty) {
+      graft.operators.KMV
+        .sketch(batch.select(lit(0).as("__g"), col(hashCol)),
+          "__g", hashCol, k)
+        .select(col("kmins"))
+        .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+    }
+  }
+
+  /** Merge-on-read of a [[kmvIngest]] directory: the k smallest
+    * distinct hashes across all stored batch partials = the sketch of
+    * the whole stream (KMV.mergeSketchArrays).
+    */
+  def readKmvSketch(spark: SparkSession, sketchDir: String,
+                    k: Int): DataFrame =
+    graft.operators.KMV.mergeSketchArrays(
+      spark.read.parquet(sketchDir), "kmins", k)
 
   /** Streaming BM25 index ingest — the streaming face of
     * Bm25.buildIndex/mergeIndex, in the [[sketchIngest]] idempotency

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -180,6 +180,39 @@ class StreamingSpec extends AnyFunSuite {
     EventStreams.sketchIngestBatch(
       all.drop(4).toDF("key"), 1L, "key", 3, 8, dir)
     assert(cells(EventStreams.readSketch(spark, dir)) == direct)
+  }
+
+  test("kmvIngest merges per-batch k-min partials; replay replaces") {
+    val base = java.nio.file.Files.createTempDirectory("graft_kmvs")
+    val dir = s"$base/kmv"
+    val k = 16
+    def hashed(vs: Seq[Int]) = vs.toDF("v")
+      .select(graft.functions.HashFns
+        .md5Long(col("v").cast("string")).as("h"))
+    val input = MemoryStream[Int](spark)
+    val q = EventStreams.kmvIngest(
+      input.toDF().select(graft.functions.HashFns
+        .md5Long(col("value").cast("string")).as("h")), "h", k, dir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val b0 = 0 until 300
+    val b1 = 150 until 500 // overlaps b0: the merge must dedup
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def arr(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getSeq[Long](0)).head
+    val merged = arr(EventStreams.readKmvSketch(spark, dir, k))
+    val direct = arr(graft.operators.KMV.sketch(
+      hashed(b0 ++ b1).select(lit("g").as("g"), col("h")), "g", "h", k)
+      .select(col("kmins")))
+    assert(merged == direct,
+      "merge-on-read != one-shot sketch over the whole stream")
+    // replaying batch 1 (same id, same data) must leave the merge
+    // unchanged: the partial overwrites its own partition
+    EventStreams.kmvIngestBatch(hashed(b1), 1L, "h", k, dir)
+    assert(arr(EventStreams.readKmvSketch(spark, dir, k)) == direct)
   }
 
   test("batch-keyed ingest rejects a fresh-checkpoint restart over history") {

@@ -587,6 +587,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv setops lake SERVE plan reads stored sketches, never the corpus") {
+    // The lake-served claim, pinned physically: after the one-time
+    // build (idempotent per JVM+dataset), the registered query's
+    // executed plan must scan the persisted sketch parquet and must
+    // NOT contain any scan of documents.parquet — the overlap report
+    // is answered entirely from stored k-min arrays.
+    val d1 = df("q_profile_kmv_setops_lake")
+    d1.collect() // guarantees the lake build has happened
+    val d2 = df("q_profile_kmv_setops_lake") // serve-only invocation
+    d2.collect()
+    val plan = planString(d2)
+    assert(plan.contains("kmv_source_sketches"),
+      s"served plan does not read the sketch lake:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"served plan still scans the corpus:\n$plan")
+  }
+
   test("LSH scale twins carry NO cartesian node anywhere in the plan") {
     // The whole point of the `_lsh`/`_ann` twins: the kNN edge build /
     // ANN candidate pool is multi-probe sign-bit buckets EQUI-joined —

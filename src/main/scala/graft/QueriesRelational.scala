@@ -27,6 +27,58 @@ object QueriesRelational {
     */
   private val KmvK = 256
 
+  /** DuckDB mirror of KMV.estimateDistinct over (m, hk) columns —
+    * shared by every KMV oracle so the estimator formula exists once.
+    */
+  private def kmvEstCaseSql(m: String, hk: String): String =
+    s"CASE WHEN $m < $KmvK THEN CAST($m AS DOUBLE) " +
+      s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * " +
+      "POWER(CAST(2 AS DOUBLE), 60)) " +
+      s"/ CAST($hk AS DOUBLE) END"
+
+  /** Shared CTE chain of the per-source KMV sketch oracles (shingle →
+    * hash → per-source k-min → pairwise union sketch → rho/m/hk),
+    * ending at `ua`. q_profile_kmv_setops appends its exact
+    * certification sides (ex, ei); q_profile_kmv_setops_lake consumes
+    * it as-is — ONE body, so the two replays cannot drift (the
+    * contaminationSqlOver discipline).
+    */
+  private lazy val kmvSketchCtesSql: String = {
+    import graft.functions.HashFns
+    s"""sh AS (
+       |  SELECT d.source, substr(d.text, CAST(i AS INT), 5) AS shingle
+       |  FROM documents d,
+       |       unnest(range(1, greatest(length(d.text)-3, 1))) t(i)),
+       |hh AS (SELECT DISTINCT source,
+       |         ${HashFns.md5LongSql("shingle")} AS h FROM sh),
+       |km AS (SELECT source, h, row_number() OVER (
+       |         PARTITION BY source ORDER BY h) AS rn FROM hh),
+       |sk AS (SELECT source, h FROM km WHERE rn <= $KmvK),
+       |sz AS (SELECT source, count(*) AS m, max(h) AS hk
+       |       FROM sk GROUP BY source),
+       |est AS (SELECT source, ${kmvEstCaseSql("m", "hk")} AS est_d
+       |        FROM sz),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b
+       |       FROM sz a JOIN sz b ON a.source < b.source),
+       |uh AS (SELECT p.src_a, p.src_b, s.h
+       |       FROM pr p JOIN sk s ON s.source = p.src_a
+       |       UNION
+       |       SELECT p.src_a, p.src_b, s.h
+       |       FROM pr p JOIN sk s ON s.source = p.src_b),
+       |ur AS (SELECT src_a, src_b, h, row_number() OVER (
+       |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
+       |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $KmvK),
+       |mf AS (SELECT u.src_a, u.src_b, u.h,
+       |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+       |           THEN 1 ELSE 0 END AS in_both
+       |       FROM us u
+       |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
+       |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
+       |ua AS (SELECT src_a, src_b, count(*) AS m, max(h) AS hk,
+       |         sum(in_both) AS rho
+       |       FROM mf GROUP BY 1, 2)""".stripMargin
+  }
+
   /** One-time, dataset-keyed build of the per-source KMV sketch lake
     * (q_profile_kmv_setops_lake): write-once k-min arrays, one row per
     * source, built by the sketch-only production path — the bounded
@@ -34,20 +86,24 @@ object QueriesRelational {
     * precedes the group-by (the plan q_profile_kmv_setops' scaladoc
     * promises for 100 TB, here actually executed). Idempotent per
     * (JVM, dataset); the dir is dsScoped so cross-dataset sweeps
-    * cannot pollute it (the r13 hll_catalog lesson).
+    * cannot pollute it (the r13 hll_catalog lesson). The guard is a
+    * SET of built datasets, not a last-dataset slot: the dirs are
+    * dataset-keyed, so a lake built for A stays valid while B runs —
+    * alternating datasets in one JVM must not rebuild A's still-valid
+    * artifacts (the once-per-(JVM, dataset) semantics, literally).
     */
-  @volatile private var kmvLakeBuiltFor: String = null
+  private val kmvLakeBuilt = scala.collection.mutable.Set.empty[String]
   private def buildKmvSourceLake(s: org.apache.spark.sql.SparkSession,
                                  d: String): Unit =
     this.synchronized {
-      if (kmvLakeBuiltFor != d) {
+      if (!kmvLakeBuilt.contains(d)) {
         val hh = graft.operators.Similarity.hashedShingles(
           graft.operators.Similarity.charShingles(
             Tables.documents(s, d), "source", "text", 5), "source")
         graft.operators.KMV.sketch(hh, "source", "h", KmvK)
           .write.mode("overwrite")
           .parquet(QueriesSources.dsScoped("kmv_source_sketches", d))
-        kmvLakeBuiltFor = d
+        kmvLakeBuilt += d
       }
     }
 
@@ -554,47 +610,10 @@ object QueriesRelational {
           .orderBy(col("src_a"), col("src_b"))
       },
       Some {
-        import graft.functions.HashFns
-        def estCase(m: String, hk: String) =
-          s"CASE WHEN $m < $KmvK THEN CAST($m AS DOUBLE) " +
-            s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * " +
-            "POWER(CAST(2 AS DOUBLE), 60)) " +
-            s"/ CAST($hk AS DOUBLE) END"
-        val estCaseS = estCase("m", "hk")
-        val estCaseU = estCase("ua.m", "ua.hk")
-        s"""WITH sh AS (
-           |  SELECT d.source, substr(d.text, CAST(i AS INT), 5) AS shingle
-           |  FROM documents d,
-           |       unnest(range(1, greatest(length(d.text)-3, 1))) t(i)),
-           |hh AS (SELECT DISTINCT source,
-           |         ${HashFns.md5LongSql("shingle")} AS h FROM sh),
+        val estCaseU = kmvEstCaseSql("ua.m", "ua.hk")
+        s"""WITH $kmvSketchCtesSql,
            |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_d
            |       FROM hh GROUP BY source),
-           |km AS (SELECT source, h, row_number() OVER (
-           |         PARTITION BY source ORDER BY h) AS rn FROM hh),
-           |sk AS (SELECT source, h FROM km WHERE rn <= $KmvK),
-           |sz AS (SELECT source, count(*) AS m, max(h) AS hk
-           |       FROM sk GROUP BY source),
-           |est AS (SELECT source, $estCaseS AS est_d FROM sz),
-           |pr AS (SELECT a.source AS src_a, b.source AS src_b
-           |       FROM ex a JOIN ex b ON a.source < b.source),
-           |uh AS (SELECT p.src_a, p.src_b, s.h
-           |       FROM pr p JOIN sk s ON s.source = p.src_a
-           |       UNION
-           |       SELECT p.src_a, p.src_b, s.h
-           |       FROM pr p JOIN sk s ON s.source = p.src_b),
-           |ur AS (SELECT src_a, src_b, h, row_number() OVER (
-           |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
-           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $KmvK),
-           |mf AS (SELECT u.src_a, u.src_b, u.h,
-           |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
-           |           THEN 1 ELSE 0 END AS in_both
-           |       FROM us u
-           |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
-           |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
-           |ua AS (SELECT src_a, src_b, count(*) AS m, max(h) AS hk,
-           |         sum(in_both) AS rho
-           |       FROM mf GROUP BY 1, 2),
            |ei AS (SELECT a.source AS src_a, b.source AS src_b,
            |         CAST(count(*) AS BIGINT) AS exact_inter
            |       FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
@@ -668,48 +687,13 @@ object QueriesRelational {
           .orderBy(col("src_a"), col("src_b"))
       },
       Some {
-        import graft.functions.HashFns
-        def estCase(m: String, hk: String) =
-          s"CASE WHEN $m < $KmvK THEN CAST($m AS DOUBLE) " +
-            s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * " +
-            "POWER(CAST(2 AS DOUBLE), 60)) " +
-            s"/ CAST($hk AS DOUBLE) END"
-        s"""WITH sh AS (
-           |  SELECT d.source, substr(d.text, CAST(i AS INT), 5) AS shingle
-           |  FROM documents d,
-           |       unnest(range(1, greatest(length(d.text)-3, 1))) t(i)),
-           |hh AS (SELECT DISTINCT source,
-           |         ${HashFns.md5LongSql("shingle")} AS h FROM sh),
-           |km AS (SELECT source, h, row_number() OVER (
-           |         PARTITION BY source ORDER BY h) AS rn FROM hh),
-           |sk AS (SELECT source, h FROM km WHERE rn <= $KmvK),
-           |sz AS (SELECT source, count(*) AS m, max(h) AS hk
-           |       FROM sk GROUP BY source),
-           |est AS (SELECT source, ${estCase("m", "hk")} AS est_d FROM sz),
-           |pr AS (SELECT a.source AS src_a, b.source AS src_b
-           |       FROM sz a JOIN sz b ON a.source < b.source),
-           |uh AS (SELECT p.src_a, p.src_b, s.h
-           |       FROM pr p JOIN sk s ON s.source = p.src_a
-           |       UNION
-           |       SELECT p.src_a, p.src_b, s.h
-           |       FROM pr p JOIN sk s ON s.source = p.src_b),
-           |ur AS (SELECT src_a, src_b, h, row_number() OVER (
-           |         PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
-           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $KmvK),
-           |mf AS (SELECT u.src_a, u.src_b, u.h,
-           |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
-           |           THEN 1 ELSE 0 END AS in_both
-           |       FROM us u
-           |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
-           |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
-           |ua AS (SELECT src_a, src_b, count(*) AS m, max(h) AS hk,
-           |         sum(in_both) AS rho
-           |       FROM mf GROUP BY 1, 2)
+        val estCaseU = kmvEstCaseSql("ua.m", "ua.hk")
+        s"""WITH $kmvSketchCtesSql
            |SELECT p.src_a, p.src_b,
            |  sa.est_d AS est_a, sb.est_d AS est_b,
            |  (CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE))
-           |    * (${estCase("ua.m", "ua.hk")}) AS est_inter,
-           |  ${estCase("ua.m", "ua.hk")} AS est_union,
+           |    * ($estCaseU) AS est_inter,
+           |  $estCaseU AS est_union,
            |  CAST(ua.rho AS DOUBLE) / CAST(ua.m AS DOUBLE) AS est_jaccard
            |FROM pr p
            |JOIN est sa ON sa.source = p.src_a

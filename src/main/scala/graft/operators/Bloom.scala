@@ -48,11 +48,22 @@ object Bloom {
     if (expectedItems > 0) {
       // Explicitly-sized build: ONE job (the sketch treeAggregate
       // itself), no extra count/isEmpty action (r13 advice). The
-      // empty case is caught from the aggregate's own null result.
+      // empty case surfaces as the aggregate's null result / NPE —
+      // but an NPE alone must NOT become an empty filter (that would
+      // silently convert an unrelated Spark bug into false negatives,
+      // breaking the no-false-negatives contract), so the emptiness
+      // is re-verified positively before the empty filter is handed
+      // back; a non-empty build side rethrows loudly.
       try {
         val f = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-        if (f == null) emptyFilter() else f.writeTo(bos)
-      } catch { case _: NullPointerException => emptyFilter() }
+        if (f == null && keys.isEmpty) emptyFilter()
+        else if (f == null)
+          sys.error("bloomFilter returned null on a NON-empty build side")
+        else f.writeTo(bos)
+      } catch {
+        case e: NullPointerException =>
+          if (keys.isEmpty) emptyFilter() else throw e
+      }
     } else {
       // expectedItems <= 0 means "count the keys first" — the count
       // both sizes the filter and detects the empty build side.

@@ -374,12 +374,23 @@ object EventStreams {
 
   /** Merge-on-read of a [[kmvIngest]] directory: the k smallest
     * distinct hashes across all stored batch partials = the sketch of
-    * the whole stream (KMV.mergeSketchArrays).
+    * the whole stream (KMV.mergeSketchArrays). A dir no batch has
+    * written yet (every trigger so far was empty — kmvIngestBatch
+    * skips empty batches) is a VALID state of the stream: the sketch
+    * of nothing is the empty array, not an AnalysisException, so a
+    * consumer polling the merge-on-read view before first data gets
+    * an estimate of 0.
     */
   def readKmvSketch(spark: SparkSession, sketchDir: String,
-                    k: Int): DataFrame =
-    graft.operators.KMV.mergeSketchArrays(
+                    k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.range(1)
+        .select(array().cast("array<long>").as("kmins"))
+    else graft.operators.KMV.mergeSketchArrays(
       spark.read.parquet(sketchDir), "kmins", k)
+  }
 
   /** Streaming BM25 index ingest — the streaming face of
     * Bm25.buildIndex/mergeIndex, in the [[sketchIngest]] idempotency

@@ -189,6 +189,10 @@ class StreamingSpec extends AnyFunSuite {
     def hashed(vs: Seq[Int]) = vs.toDF("v")
       .select(graft.functions.HashFns
         .md5Long(col("v").cast("string")).as("h"))
+    // the never-written dir is a valid stream state: empty sketch,
+    // not an AnalysisException
+    assert(EventStreams.readKmvSketch(spark, dir, k)
+      .collect().head.getSeq[Long](0).isEmpty)
     val input = MemoryStream[Int](spark)
     val q = EventStreams.kmvIngest(
       input.toDF().select(graft.functions.HashFns

@@ -214,6 +214,17 @@ class InfraSpec extends AnyFunSuite {
     val a2 = run(a)
     assert(a2 == a1,
       "cross-dataset catalog pollution: A's answer changed after B ran")
+    // Same pin for the KMV catalog (the second dynamic-partition-
+    // overwrite writer): A -> B -> A must be idempotent, and each
+    // run's n_days must equal its own dataset's day count.
+    val qk = Queries.all("q_profile_kmv_catalog")
+    def runK(d: String): Seq[Seq[Any]] =
+      qk(spark, d).collect().toSeq.map(_.toSeq)
+    val ka = runK(a)
+    assert(ka.head.head == nDaysA)
+    assert(runK(b).head.head == nDaysB)
+    assert(runK(a) == ka,
+      "cross-dataset KMV catalog pollution: A's answer changed after B")
   }
 
   test("doc query totals cannot drift from the registry") {

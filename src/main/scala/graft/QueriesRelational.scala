@@ -525,6 +525,45 @@ object QueriesRelational {
            |FROM est ORDER BY exact_n DESC, key""".stripMargin
       }),
 
+    // ----------------------------------- exact heavy-hitter detection
+    // The ENUMERATION face of the frequency family: count-min (above)
+    // estimates a given key, but listing the frequent keys without a
+    // candidate source is the real 100 TB ask ("which domains exceed
+    // 1/64 of the crawl") — and the naive candidate source, a full
+    // groupBy(key), shuffles one row per distinct key. HeavyHitters
+    // .exact bounds it with a mergeable Misra–Gries summary (k counters
+    // per partial, merged by partial aggregation; its key set provably
+    // contains every key with count > n/(k+1) under any partitioning)
+    // and then re-counts only the <= k candidates behind a broadcast
+    // isin probe — the second scan's shuffle is tasks × k rows however
+    // many distinct keys exist. Output is the EXACT strict-threshold
+    // set, so the oracle is a plain GROUP BY / HAVING replay. The skew
+    // regime is constructed deterministically (the engine's skew-
+    // fixture discipline): 5 hot keys at ~2% of rows over a ~2000-key
+    // uniform tail at ~0.05% — distinct >> k, so the sketch phase
+    // genuinely evicts, and only the hot keys clear the 1/64 bar.
+    Q("q_profile_heavy_hitters_exact",
+      (s, d) => {
+        val keys = Tables.lineitem(s, d).select(
+          when(col("l_quantity") <= 5,
+            concat(lit("hot_"),
+              col("l_quantity").cast("int").cast("string")))
+            .otherwise(col("l_partkey").cast("string")).as("key"))
+        graft.operators.HeavyHitters.exact(keys, "key", k = 63)
+          .orderBy(col("exact_n").desc, col("key"))
+      },
+      Some("""WITH k AS (
+             |  SELECT CASE WHEN l_quantity <= 5
+             |    THEN 'hot_' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+             |    ELSE CAST(l_partkey AS VARCHAR) END AS key
+             |  FROM lineitem),
+             |n AS (SELECT count(*) AS n FROM k)
+             |SELECT key, count(*) AS exact_n,
+             |  (SELECT n FROM n) AS total_n
+             |FROM k GROUP BY key
+             |HAVING count(*) * 64 > (SELECT n FROM n)
+             |ORDER BY exact_n DESC, key""".stripMargin)),
+
     // ------------------------------------- KMV set-operation sketches
     // The third member of the sketch-certification family (HLL:
     // q_profile_approx_distinct, count-min: q_profile_heavy_hitters).

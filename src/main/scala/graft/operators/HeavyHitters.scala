@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** EXACT heavy-hitter detection with a bounded candidate phase
+  * (Misra–Gries 1982; merge rule per Agarwal et al., "Mergeable
+  * Summaries", PODS 2012 — re-derived from the published algorithms,
+  * not copied).
+  *
+  * The gap this fills next to the count-min face
+  * (q_profile_heavy_hitters): count-min ESTIMATES any key's frequency
+  * but cannot enumerate the frequent keys without an external candidate
+  * list — and the obvious candidate source, a full `groupBy(key).count`,
+  * shuffles one row per DISTINCT key. For "which domains / tokens /
+  * users exceed φ of a 100 TB corpus" with billions of distinct keys,
+  * that shuffle IS the job. Misra–Gries bounds it: k counters per
+  * partial summary, merged by Spark's partial aggregation into ONE
+  * k-entry summary whose key set provably contains every item with
+  * true count > n/(k+1) (the summary's residual undercounts by at most
+  * the decrement total, which is bounded by n/(k+1)) — under ANY
+  * partitioning of the rows, because the merge rule (sum counters,
+  * subtract the (k+1)-th largest, drop non-positive) preserves the
+  * error bound additively.
+  *
+  * [[exact]] then re-counts ONLY the ≤ k candidates: the second scan's
+  * shuffle carries at most tasks × k partial rows however many distinct
+  * keys the corpus holds, and the final filter `count·(k+1) > n` uses
+  * exact integer arithmetic. The OUTPUT is therefore deterministic and
+  * exact (the same set a full groupBy would return) even though the
+  * intermediate candidate set depends on partitioning — which is what
+  * makes the operator oracle-checkable by a plain GROUP BY / HAVING
+  * replay.
+  *
+  * Driver-side state: one ≤ k-entry map (the merged summary) is
+  * collected to build the broadcast `isin` probe — a bounded model
+  * artifact in the audited-collect discipline (MMR pool, Markov matrix,
+  * BPE rules, bucket carries), not a data-sized collect.
+  */
+object HeavyHitters {
+
+  /** Misra–Gries summary: at most k (key, residual-count) entries.
+    * reduce: increment a present key, insert when below capacity,
+    * otherwise decrement ALL counters by one (dropping zeros) — the
+    * arriving key is not inserted; the decrement "charges" k+1 distinct
+    * stream positions, which is where the n/(k+1) bound comes from.
+    * merge: sum counters, then restore |summary| <= k by subtracting
+    * the (k+1)-th largest count from every entry and dropping the
+    * non-positive ones (Agarwal et al. 2012, Fig. 1).
+    */
+  private final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], key: String): Map[String, Long] =
+      m.get(key) match {
+        case Some(c) => m.updated(key, c + 1L)
+        case None if m.size < k => m.updated(key, 1L)
+        case None =>
+          // decrement-all: one pass, keys at 1 fall out
+          m.collect { case (x, c) if c > 1L => (x, c - 1L) }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (x, c)) =>
+        acc.updated(x, acc.getOrElse(x, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everything
+        val m = sum.valuesIterator.toArray
+        java.util.Arrays.sort(m)
+        val cut = m(m.length - (k + 1)) // (k+1)-th largest
+        sum.collect { case (x, c) if c > cut => (x, c - cut) }
+      }
+    }
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: ExpressionEncoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** All keys of `items(itemCol)` with count strictly greater than
+    * n/(k+1), with their EXACT counts: (key, exact_n, total_n), where
+    * total_n = n (non-null rows). Two bounded passes — candidate
+    * generation through the mergeable Misra–Gries aggregate (map-side
+    * partial summaries, one k-entry result), then an exact count over
+    * the ≤ k candidates behind a codegen'd `isin` hash probe. Null
+    * keys are excluded from both the count base and the candidates,
+    * matching the SQL GROUP BY / HAVING replay.
+    */
+  def exact(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val mg = udaf(new MisraGriesAgg(k))
+    val keyed = items.filter(col(itemCol).isNotNull)
+    val row = keyed
+      .agg(mg(col(itemCol)).as("cands"), count(lit(1)).as("n")).head()
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val base = keyed.groupBy(col(itemCol).as("key"))
+      .agg(count(lit(1)).as("exact_n"))
+    if (cands.isEmpty)
+      // n == 0, or every counter decremented away — then no key can
+      // exceed n/(k+1) (the superset guarantee ran in reverse); keep
+      // the schema, return zero rows without another job.
+      base.filter(lit(false)).withColumn("total_n", lit(n))
+    else
+      keyed.filter(col(itemCol).isin(cands: _*))
+        .groupBy(col(itemCol).as("key"))
+        .agg(count(lit(1)).as("exact_n"))
+        .filter(col("exact_n") * (k + 1L) > n)
+        .withColumn("total_n", lit(n))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HeavyHittersSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(xs: Seq[String], k: Int, parts: Int = 4) =
+    HeavyHitters.exact(
+      xs.toDF("key").repartition(parts), "key", k)
+      .orderBy(desc("exact_n"), col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+
+  private def brute(xs: Seq[String], k: Int) = {
+    val n = xs.size.toLong
+    xs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }
+      .toSeq.map { case (x, c) => (x, c, n) }
+      .sortBy { case (x, c, _) => (-c, x) }
+  }
+
+  test("hot keys over a long uniform tail: exact counts, nothing missed") {
+    // 3 hot keys x 60 + 200 tail keys x 1: n = 380, k = 9 -> threshold
+    // 38; only the hot keys qualify. distinct (203) >> k, so the
+    // Misra-Gries phase genuinely evicts and decrements.
+    val xs = Seq("a", "b", "c").flatMap(x => Seq.fill(60)(x)) ++
+      (0 until 200).map(i => s"t$i")
+    assert(run(xs, k = 9) == brute(xs, 9))
+    assert(run(xs, k = 9).map(_._1) == Seq("a", "b", "c"))
+  }
+
+  test("adversarial near-uniform stream at the threshold boundary") {
+    // 50 keys with counts straddling n/(k+1): the worst regime for the
+    // sketch phase (constant decrement churn) — the exact verify phase
+    // must still return precisely the strict-majority set.
+    val xs = (0 until 50).flatMap(i => Seq.fill(10 + (i % 3))(f"k$i%02d"))
+    val k = 49
+    assert(run(xs, k) == brute(xs, k))
+    assert(run(xs, k).nonEmpty && run(xs, k).size < 50)
+  }
+
+  test("partitioning does not change the answer") {
+    val xs = Seq.fill(40)("hot") ++ (0 until 100).map(i => s"t$i")
+    val one = run(xs, k = 6, parts = 1)
+    assert(one == brute(xs, 6))
+    assert(run(xs, k = 6, parts = 7) == one)
+    assert(run(xs, k = 6, parts = 32) == one)
+  }
+
+  test("no heavy hitters and empty input both return zero rows") {
+    assert(run(Seq("a", "b", "c", "d"), k = 1).isEmpty) // all f = 1 <= n/2
+    val empty = HeavyHitters.exact(
+      Seq.empty[String].toDF("key"), "key", 5)
+    assert(empty.columns.toSeq == Seq("key", "exact_n", "total_n"))
+    assert(empty.count() == 0)
+  }
+
+  test("nulls are excluded from candidates and the count base") {
+    val df = (Seq.fill(5)(Some("x")) ++ Seq.fill(4)(Option.empty[String]) ++
+      Seq(Some("y"))).toDF("key")
+    // n = 6 non-null; threshold with k=2 is f > 2 -> only x (5)
+    val got = HeavyHitters.exact(df, "key", 2).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("x", 5L, 6L)))
+  }
+}

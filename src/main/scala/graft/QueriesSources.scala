@@ -42,6 +42,13 @@ object QueriesSources {
     */
   private val KmvCatalogK = 256
 
+  /** Count-min grid shape + probe size shared by q_profile_cm_catalog's
+    * Spark side and its DuckDB oracle (same discipline).
+    */
+  private val CmDepth = 3
+  private val CmWidth = 256
+  private val CmProbeK = 5
+
   // Embedded Derby for the JDBC sink surface: same write/verify/probe code
   // path as a warehouse sink, zero external service. derby.system.home
   // keeps derby.log + the db directory out of the repo root.
@@ -226,6 +233,59 @@ object QueriesSources {
            |           POWER(CAST(2 AS DOUBLE), 60))
            |          / CAST(hk AS DOUBLE) END
            |   FROM mg) AS est_distinct""".stripMargin
+      }),
+
+    // --------------------------------------- mergeable count-min catalog
+    // The FREQUENCY face of the catalog trilogy (distincts:
+    // q_profile_hll_catalog; set operations: q_profile_kmv_catalog):
+    // one 3×256 count-min grid per day persisted with dynamic
+    // partition overwrite into a dataset-scoped lake dir — a new day
+    // rewrites one partition, history is never re-scanned, and any
+    // cross-period frequency probe is answered by cell-wise-summing
+    // the stored grids (days × d × w tiny rows). The report probes the
+    // true top-5 keys (exact face rides along, the q_profile_
+    // heavy_hitters convention) against the MERGED STORED grid;
+    // n_days comes from the catalog read-back, so directory pollution
+    // fails the hash gate loudly (the r13 lesson). Integer cells +
+    // md5-family hashes make every column replay bit-exactly.
+    Q("q_profile_cm_catalog",
+      (s, d) => graft.operators.CountMin.sketchCatalog(
+        Tables.events(s, d).withColumn("__key",
+          col("user_id").cast("string")),
+        to_date(col("ts")), "__key", depth = CmDepth, width = CmWidth,
+        probeK = CmProbeK, dsScoped("cm_catalog", d)),
+      Some {
+        import graft.functions.HashFns
+        def cellSql(src: String) =
+          s"""SELECT $src.*, CAST(t.d AS INT) AS d,
+             |    (CASE CAST(t.d AS INT)
+             |${(0 until CmDepth).map(i =>
+                 s"       WHEN $i THEN ${HashFns.hashFamilySql("h", i)}")
+                 .mkString("\n")}
+             |     END) % $CmWidth AS bucket
+             |  FROM $src, unnest(range($CmDepth)) t(d)""".stripMargin
+        s"""WITH k AS (
+           |  SELECT CAST(user_id AS VARCHAR) AS key, ts FROM events
+           |  WHERE user_id IS NOT NULL),
+           |hh AS (SELECT key, ${HashFns.md5LongSql("key")} AS h FROM k),
+           |cells AS (${cellSql("hh")}),
+           |sk AS (SELECT d, bucket, count(*) AS c FROM cells
+           |       GROUP BY d, bucket),
+           |top AS (
+           |  SELECT key, count(*) AS exact_n FROM k GROUP BY key
+           |  ORDER BY exact_n DESC, key LIMIT $CmProbeK),
+           |th AS (SELECT key, exact_n, ${HashFns.md5LongSql("key")} AS h
+           |       FROM top),
+           |probes AS (${cellSql("th")}),
+           |est AS (
+           |  SELECT key, exact_n, min(c) AS cm_estimate
+           |  FROM probes JOIN sk USING (d, bucket)
+           |  GROUP BY key, exact_n)
+           |SELECT
+           |  (SELECT count(DISTINCT CAST(ts AS DATE)) FROM k) AS n_days,
+           |  key, exact_n, cm_estimate,
+           |  cm_estimate - exact_n AS over_count
+           |FROM est ORDER BY exact_n DESC, key""".stripMargin
       }),
 
     // ------------------------------------------------- ORC lake surface

@@ -52,6 +52,62 @@ object CountMin {
       .agg(min(col(cv)).as("cm_estimate"))
   }
 
+  /** Mergeable COUNT-MIN CATALOG (the lifecycle face of [[sketch]],
+    * completing the catalog trilogy: HLL distincts —
+    * Profile.distinctSketchCatalog; KMV set operations —
+    * KMV.sketchCatalog; this — frequencies): one d×w counter grid per
+    * day PERSISTED to `catalogDir` with dynamic partition overwrite,
+    * so a new day's rows rewrite only that day's partition and history
+    * is never re-scanned. Count-min merges by CELL-WISE ADDITION, so
+    * any cross-period frequency question ("how often did key x appear
+    * this quarter") is answered by summing the stored grids —
+    * days × d × w tiny rows however big the underlying data — and
+    * probing the merged grid.
+    *
+    * `catalogDir` MUST be dataset-scoped by the caller (the
+    * QueriesSources.dsScoped contract): dynamic overwrite preserves
+    * partitions absent from the current input — right for incremental
+    * maintenance, wrong across datasets sharing a directory (the r13
+    * hll_catalog red row; pinned by InfraSpec's cross-dataset
+    * idempotence test).
+    *
+    * Report: the true top-`probeK` keys by exact count (the test-scale
+    * certification baseline, the [[sketch]] convention), each probed
+    * against the MERGED STORED grid — (n_days, key, exact_n,
+    * cm_estimate, over_count). Cell counts are integers and hashes the
+    * md5 family, so every column replays bit-exactly in DuckDB;
+    * n_days comes from the catalog read-back, so a polluted directory
+    * fails the hash gate loudly.
+    */
+  def sketchCatalog(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                    itemCol: String, depth: Int, width: Int,
+                    probeK: Int, catalogDir: String): DataFrame = {
+    val items = df.filter(col(itemCol).isNotNull)
+    val daily = items
+      .select(dayCol.as("day"),
+        posexplode(buckets(itemCol, depth, width)).as(Seq("d", "bucket")))
+      .groupBy(col("day"), col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    daily.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(catalogDir)
+    val catalog = df.sparkSession.read.parquet(catalogDir)
+    // cell-wise addition of the per-day grids = the whole-period grid
+    val merged = catalog.groupBy(col("d"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val nDays = catalog.agg(count_distinct(col("day")).as("n_days"))
+    val top = items.groupBy(col(itemCol).as("key"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key")).limit(probeK)
+    estimate(top, "key", merged, depth, width)
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("key"), col("exact_n"),
+        col("cm_estimate"),
+        (col("cm_estimate") - col("exact_n")).as("over_count"))
+      .orderBy(col("exact_n").desc, col("key"))
+  }
+
   /** The d bucket positions of one item: family-hash i of the item's
     * md5-long, mod `width` (family hashes are non-negative, so `%` is
     * portable across engines without pmod gymnastics).

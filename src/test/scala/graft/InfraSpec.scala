@@ -225,6 +225,16 @@ class InfraSpec extends AnyFunSuite {
     assert(runK(b).head.head == nDaysB)
     assert(runK(a) == ka,
       "cross-dataset KMV catalog pollution: A's answer changed after B")
+    // And for the count-min catalog (the third dynamic-partition-
+    // overwrite writer; its n_days rides on every probe row).
+    val qc = Queries.all("q_profile_cm_catalog")
+    def runC(d: String): Seq[Seq[Any]] =
+      qc(spark, d).collect().toSeq.map(_.toSeq)
+    val ca = runC(a)
+    assert(ca.head.head == nDaysA)
+    assert(runC(b).head.head == nDaysB)
+    assert(runC(a) == ca,
+      "cross-dataset CM catalog pollution: A's answer changed after B")
   }
 
   test("doc query totals cannot drift from the registry") {

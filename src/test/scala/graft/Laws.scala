@@ -561,4 +561,28 @@ object Laws extends Properties("graft") {
         } yield (a, bb, h.toLong)).toSet
         got == brute
     }
+
+  // exact heavy hitters: for ANY stream, k, and partitioning, the
+  // Misra–Gries candidate phase + exact re-count returns precisely the
+  // strict-threshold set {x : f(x)·(k+1) > n} with exact counts — the
+  // guaranteed-superset property under merge is what the law exercises
+  // (a missed candidate is unrecoverable by the verify phase).
+  property("mg heavy hitters == exact strict-threshold set") =
+    Prop.forAll(
+      Gen.choose(1, 8), Gen.choose(1, 6),
+      Gen.listOfN(80, Gen.frequency(
+        4 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        3 -> Gen.choose(0, 40).map(i => s"t$i")))) { (k, parts, xs) =>
+      xs.isEmpty || {
+        val got = graft.operators.HeavyHitters
+          .exact(xs.toDF("key").repartition(parts), "key", k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val n = xs.size.toLong
+        val brute = xs.groupBy(identity).view
+          .mapValues(_.size.toLong)
+          .filter { case (_, c) => c * (k + 1) > n }
+          .toSet
+        got == brute
+      }
+    }
 }

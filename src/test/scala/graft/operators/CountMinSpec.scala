@@ -49,4 +49,42 @@ class CountMinSpec extends AnyFunSuite {
       k -> (partA.getOrElse(k, 0L) + partB.getOrElse(k, 0L))).toMap
     assert(whole == merged)
   }
+
+  test("catalog appends one day and answers from all stored grids") {
+    // Mirror of KMVSpec's catalog contract: a second call with ONLY the
+    // new day's rows must preserve prior partitions (dynamic overwrite)
+    // and report estimates over the MERGED stored grids equal to a
+    // sketch built over the whole corpus directly.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_catalog").toString
+    def day(d: String, keys: Seq[String]) =
+      keys.toDF("__key").select(to_date(lit(d)).as("dt"), col("__key"))
+    val d1 = day("2024-01-01", Seq.fill(30)("alpha") ++ Seq.fill(4)("beta"))
+    val d2 = day("2024-01-02", Seq.fill(25)("alpha") ++ Seq.fill(9)("beta"))
+    val d3 = day("2024-01-03", Seq.fill(11)("alpha") ++ Seq("gamma"))
+    def report(in: org.apache.spark.sql.DataFrame) =
+      CountMin.sketchCatalog(in, col("dt"), "__key", 3, 64, 2, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+    val first = report(d1.union(d2))
+    assert(first.map(_._1) == Seq(2L, 2L), "n_days after two days")
+    // second call: day 3 only — history must come from the lake
+    val second = report(d3)
+    assert(second.map(_._1) == Seq(3L, 3L), "stored days lost on append")
+    // exact face recomputes over the GIVEN frame (day 3 only)...
+    assert(second.map(t => (t._2, t._3)) ==
+      Seq(("alpha", 11L), ("gamma", 1L)))
+    // ...but the estimates come from ALL THREE stored grids: alpha's
+    // merged cell floor is its whole-corpus count (one-sided >= 66).
+    val alphaEst = second.find(_._2 == "alpha").get._4
+    assert(alphaEst >= 66L, s"merged estimate $alphaEst lost stored days")
+    // and equals the estimate from one grid built over everything
+    val direct = CountMin.estimate(
+      Seq("alpha").toDF("key"), "key",
+      CountMin.sketch(d1.union(d2).union(d3).withColumnRenamed(
+        "__key", "key"), "key", 3, 64), 3, 64)
+      .collect().head.getLong(1)
+    assert(alphaEst == direct,
+      s"merged-catalog estimate $alphaEst != direct $direct")
+  }
 }

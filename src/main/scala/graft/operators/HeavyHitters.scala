@@ -51,7 +51,7 @@ object HeavyHitters {
     * non-positive ones (Agarwal et al. 2012, Fig. 1).
     */
   private final class MisraGriesAgg(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     def zero: Map[String, Long] = Map.empty
     def reduce(m: Map[String, Long], key: String): Map[String, Long] =
       m.get(key) match {
@@ -74,11 +74,48 @@ object HeavyHitters {
         sum.collect { case (x, c) if c > cut => (x, c - cut) }
       }
     }
-    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def finish(m: Map[String, Long]): Map[String, Long] = m
     def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
-    def outputEncoder: ExpressionEncoder[Seq[String]] =
-      ExpressionEncoder[Seq[String]]()
+    def outputEncoder: ExpressionEncoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The Misra–Gries summary of `items(itemCol)` as (key, c) rows —
+    * at most k of them, c the residual count (undercounts truth by at
+    * most n/(k+1)). This is the STORABLE form: per-batch/per-shard
+    * summaries written as tiny row sets merge through
+    * [[mergeSummaryRows]] without rescanning their inputs.
+    */
+  def summary(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val mg = udaf(new MisraGriesAgg(k))
+    items.filter(col(itemCol).isNotNull)
+      .agg(mg(col(itemCol)).as("s"))
+      .select(explode(col("s")).as(Seq("key", "c")))
+  }
+
+  /** Merge stored summary rows (any number of [[summary]] outputs
+    * concatenated) into ONE ≤ k-entry summary: sum counts per key,
+    * then subtract the (k+1)-th largest summed count from every entry
+    * and drop the non-positive — the m-way form of the pairwise merge
+    * rule, preserving the guarantee that every key with TOTAL count
+    * > n/(k+1) across all summarized inputs survives (each unit of
+    * subtraction charges k+1 units of distinct input mass, so total
+    * undercount stays ≤ n/(k+1)). Input and output are bounded
+    * (n_summaries × k rows in, ≤ k rows out), so every stage here is
+    * driver-light and broadcast-size by construction.
+    */
+  def mergeSummaryRows(summaries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val summed = summaries.groupBy(col("key")).agg(sum(col("c")).as("c"))
+    // (k+1)-th largest summed count; 0 when at most k entries survive
+    val cut = summed.orderBy(col("c").desc).limit(k + 1)
+      .agg(when(count(lit(1)) <= k, lit(0L))
+        .otherwise(min(col("c"))).as("cut"))
+    summed.crossJoin(broadcast(cut))
+      .filter(col("c") > col("cut"))
+      .select(col("key"), (col("c") - col("cut")).as("c"))
   }
 
   /** All keys of `items(itemCol)` with count strictly greater than
@@ -96,7 +133,7 @@ object HeavyHitters {
     val keyed = items.filter(col(itemCol).isNotNull)
     val row = keyed
       .agg(mg(col(itemCol)).as("cands"), count(lit(1)).as("n")).head()
-    val cands = row.getSeq[String](0)
+    val cands = row.getMap[String, Long](0).keys.toSeq.sorted
     val n = row.getLong(1)
     val base = keyed.groupBy(col(itemCol).as("key"))
       .agg(count(lit(1)).as("exact_n"))

@@ -392,6 +392,87 @@ object EventStreams {
       spark.read.parquet(sketchDir), "kmins", k)
   }
 
+  /** Streaming Misra–Gries ingest — the heavy-hitter CANDIDATE face of
+    * the batch-keyed ingest family: each micro-batch reduces to ONE
+    * ≤ k-row summary (HeavyHitters.summary) landed in a batch-keyed
+    * partition, so a crash replay overwrites its own partial.
+    * Merge-on-read ([[readMgSummary]]) folds the stored rows through
+    * the m-way merge rule, and the merged key set provably contains
+    * every key whose TOTAL stream count exceeds n/(k+1) — however the
+    * stream was batched. Per-batch state is k (key, count) rows
+    * regardless of batch size or key cardinality; no per-key state
+    * store, no ledger.
+    *
+    * Serving ([[servedHeavyHitters]]) pairs the candidates with the
+    * CM stream state ([[sketchIngest]] over the same stream): the CM
+    * estimate is one-sided (never below truth), so candidates kept by
+    * `estimate·(k+1) > n` still include every true heavy hitter — a
+    * no-false-negative serve from two bounded sketch lakes (colliding
+    * keys can ride along; the exact re-count face is the batch
+    * operator HeavyHitters.exact when the corpus is at rest).
+    */
+  def mgIngest(items: DataFrame, itemCol: String, k: Int,
+               summaryDir: String): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mgIngestBatch(batch, batchId, itemCol, k, summaryDir)
+      }
+
+  /** One micro-batch of [[mgIngest]], exposed so replay idempotency is
+    * directly testable. Idempotency here is SEMANTIC, not byte-level:
+    * an MG summary depends on the batch's partitioning (unlike CM/KMV
+    * partials, which are deterministic), so a crash replay rewrites
+    * `batch=<id>` with a possibly different — but equally valid —
+    * summary of the same rows; the merge-on-read guarantee and the
+    * serve's no-false-negative property are unaffected, and no
+    * double-count can occur (replace, never append).
+    */
+  def mgIngestBatch(batch: DataFrame, batchId: Long, itemCol: String,
+                    k: Int, summaryDir: String): Unit = {
+    requireFreshOrSameLineage(batch.sparkSession, summaryDir, batchId)
+    if (!batch.isEmpty) {
+      graft.operators.HeavyHitters.summary(batch, itemCol, k)
+        .write.mode("overwrite").parquet(s"$summaryDir/batch=$batchId")
+    }
+  }
+
+  /** Merge-on-read of a [[mgIngest]] directory: the ≤ k-entry summary
+    * of the whole stream. A dir no batch has written yet is a valid
+    * stream state (no candidates yet), not an AnalysisException.
+    */
+  def readMgSummary(spark: SparkSession, summaryDir: String,
+                    k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(summaryDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.range(0).select(lit("").as("key"), lit(0L).as("c"))
+    else graft.operators.HeavyHitters.mergeSummaryRows(
+      spark.read.parquet(summaryDir).select(col("key"), col("c")), k)
+  }
+
+  /** Serve the stream's heavy hitters from the two sketch lakes: MG
+    * candidates ([[readMgSummary]]) probed against the CM stream state
+    * ([[readSketch]]), kept when `cm_estimate·(k+1) > n` with n taken
+    * from the sketch itself (each item increments one cell per grid
+    * row, so row 0's cell sum IS the stream count). No false
+    * negatives: a true heavy hitter is always a candidate (MG) and its
+    * one-sided estimate always clears the bar (CM). Returns
+    * (key, cm_estimate, n).
+    */
+  def servedHeavyHitters(spark: SparkSession, summaryDir: String,
+                         sketchDir: String, k: Int, depth: Int,
+                         width: Int): DataFrame = {
+    val sk = readSketch(spark, sketchDir)
+    val n = sk.filter(col("d") === 0)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val cands = readMgSummary(spark, summaryDir, k).select(col("key"))
+    graft.operators.CountMin.estimate(cands, "key", sk, depth, width)
+      .crossJoin(broadcast(n))
+      .filter(col("cm_estimate") * (k + 1L) > col("n"))
+      .select(col("key"), col("cm_estimate"), col("n"))
+  }
+
   /** Streaming BM25 index ingest — the streaming face of
     * Bm25.buildIndex/mergeIndex, in the [[sketchIngest]] idempotency
     * shape: each micro-batch of NEW documents (id, term token rows)

@@ -59,6 +59,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("stored summaries merge without losing any strict-threshold key") {
+    // The storable face: per-shard summaries written as (key, c) rows,
+    // merged by the m-way rule. Any key with TOTAL count > n/(k+1)
+    // must survive the merge, for any sharding; output stays <= k rows.
+    val xs = Seq.fill(50)("hot1") ++ Seq.fill(45)("hot2") ++
+      (0 until 150).map(i => s"t${i % 60}")
+    val k = 7
+    for (shards <- Seq(1, 2, 5)) {
+      val parts = xs.grouped(math.ceil(xs.size / shards.toDouble).toInt).toSeq
+      val stored = parts.map(p =>
+        HeavyHitters.summary(p.toDF("key"), "key", k))
+        .reduce(_ unionAll _)
+      val merged = HeavyHitters.mergeSummaryRows(stored, k)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(merged.length <= k, s"shards=$shards: ${merged.length} > k")
+      val n = xs.size.toLong
+      val must = xs.groupBy(identity).collect {
+        case (x, o) if o.size.toLong * (k + 1) > n => x
+      }.toSet
+      assert(must.nonEmpty && must.subsetOf(merged.map(_._1).toSet),
+        s"shards=$shards: merged summary lost a strict-threshold key")
+    }
+  }
+
   test("nulls are excluded from candidates and the count base") {
     val df = (Seq.fill(5)(Some("x")) ++ Seq.fill(4)(Option.empty[String]) ++
       Seq(Some("y"))).toDF("key")

@@ -219,6 +219,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(arr(EventStreams.readKmvSketch(spark, dir, k)) == direct)
   }
 
+  test("mgIngest candidates + CM serve lose no heavy hitter; replay replaces") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mg")
+    val mgDir = s"$base/mg"
+    val cmDir = s"$base/cm"
+    val k = 5
+    // never-written dir: valid empty state
+    assert(EventStreams.readMgSummary(spark, mgDir, k).count() == 0)
+    // hot keys over a wide tail, split so neither batch alone decides
+    val b0 = Seq.fill(30)("hot1") ++ Seq.fill(10)("hot2") ++
+      (0 until 60).map(i => s"t$i")
+    val b1 = Seq.fill(10)("hot1") ++ Seq.fill(28)("hot2") ++
+      (60 until 120).map(i => s"t$i")
+    val input = MemoryStream[String](spark)
+    val q = EventStreams.mgIngest(
+      input.toDF().toDF("key"), "key", k, mgDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the CM stream state over the same batches (its own ingest face
+    // is proven above; here it feeds the serve leg)
+    EventStreams.sketchIngestBatch(b0.toDF("key"), 0L, "key", 3, 64, cmDir)
+    EventStreams.sketchIngestBatch(b1.toDF("key"), 1L, "key", 3, 64, cmDir)
+    val all = b0 ++ b1
+    val n = all.size.toLong
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val must = exact.collect {
+      case (x, c) if c * (k + 1) > n => x }.toSet
+    assert(must == Set("hot1", "hot2")) // the fixture's intent
+    // merged candidates contain every strict-threshold key
+    val cands = EventStreams.readMgSummary(spark, mgDir, k)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.size <= k && must.subsetOf(cands))
+    // the serve leg keeps them all, with one-sided estimates
+    val served = EventStreams.servedHeavyHitters(
+      spark, mgDir, cmDir, k, 3, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(served.forall(_._3 == n), "n must come from the CM grid")
+    val servedMap = served.map(t => t._1 -> t._2).toMap
+    assert(must.subsetOf(servedMap.keySet), "serve lost a heavy hitter")
+    servedMap.foreach { case (key, est) =>
+      assert(est >= exact.getOrElse(key, 0L),
+        s"$key: CM estimate $est undershot ${exact.get(key)}") }
+    // Replaying batch 1 (same id, same data) REPLACES its partition
+    // with a fresh valid summary of the same rows. Unlike CM/KMV
+    // partials, an MG summary is partitioning-dependent, so the stored
+    // bytes may differ across a replay — the contract is SEMANTIC
+    // idempotency: the merge-on-read guarantee (every strict-threshold
+    // key survives) and the serve's no-false-negative property must
+    // hold identically, and no double-count can occur (the partition
+    // was replaced, not appended).
+    EventStreams.mgIngestBatch(b1.toDF("key"), 1L, "key", k, mgDir)
+    val cands2 = EventStreams.readMgSummary(spark, mgDir, k)
+      .collect().map(_.getString(0)).toSet
+    assert(cands2.size <= k && must.subsetOf(cands2),
+      "replay broke the merged-summary guarantee")
+    val served2 = EventStreams.servedHeavyHitters(spark, mgDir, cmDir, k, 3, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(must.subsetOf(served2.map(_._1).toSet),
+      "replay broke the serve's no-false-negative property")
+    assert(served2.forall(_._3 == n),
+      "replay double-counted the CM grid") // CM side IS bit-idempotent
+  }
+
   test("batch-keyed ingest rejects a fresh-checkpoint restart over history") {
     // An ingest dir is bound to one checkpoint lineage: a restart with
     // a FRESH checkpoint restarts batchIds at 0, and writing batch=0

@@ -564,6 +564,44 @@ object QueriesRelational {
              |HAVING count(*) * 64 > (SELECT n FROM n)
              |ORDER BY exact_n DESC, key""".stripMargin)),
 
+    // -------------------------------- weighted heavy-hitter detection
+    // The WEIGHTED face of the exact detector above: "which keys exceed
+    // 1/64 of total REVENUE/bytes", not of row count. Same two bounded
+    // passes, with the weighted Misra–Gries rule (fold the arriving
+    // weight in, shrink by subtracting the (k+1)-th largest — the
+    // undercount stays <= W/(k+1) because each unit subtracted charges
+    // k+1 units of input mass, so the candidate superset guarantee
+    // carries over to weights). Money is fixed-pointed to integer
+    // cents BEFORE summing, so both engines' totals — and the strict
+    // threshold filter — are exact integer arithmetic, no float-sum
+    // ordering hazards. The skew regime mirrors the unweighted twin
+    // but keys the HIGH-quantity rows (weight ∝ price ∝ quantity in
+    // the TPC-H shape): 5 hot keys at ~2% of total cents each over the
+    // ~2000-key tail.
+    Q("q_profile_heavy_hitters_weighted",
+      (s, d) => {
+        val keys = Tables.lineitem(s, d).select(
+          when(col("l_quantity") >= 46,
+            concat(lit("hot_"),
+              col("l_quantity").cast("int").cast("string")))
+            .otherwise(col("l_partkey").cast("string")).as("key"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        graft.operators.HeavyHitters.exactWeighted(keys, "key", "cents", k = 63)
+          .orderBy(col("exact_w").desc, col("key"))
+      },
+      Some("""WITH k AS (
+             |  SELECT CASE WHEN l_quantity >= 46
+             |    THEN 'hot_' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+             |    ELSE CAST(l_partkey AS VARCHAR) END AS key,
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |n AS (SELECT sum(cents) AS w FROM k)
+             |SELECT key, CAST(sum(cents) AS BIGINT) AS exact_w,
+             |  (SELECT CAST(w AS BIGINT) FROM n) AS total_w
+             |FROM k GROUP BY key
+             |HAVING sum(cents) * 64 > (SELECT w FROM n)
+             |ORDER BY exact_w DESC, key""".stripMargin)),
+
     // ------------------------------------- KMV set-operation sketches
     // The third member of the sketch-certification family (HLL:
     // q_profile_approx_distinct, count-min: q_profile_heavy_hitters).

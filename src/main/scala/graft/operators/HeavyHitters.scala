@@ -61,19 +61,51 @@ object HeavyHitters {
           // decrement-all: one pass, keys at 1 fall out
           m.collect { case (x, c) if c > 1L => (x, c - 1L) }
       }
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (acc, (x, c)) =>
-        acc.updated(x, acc.getOrElse(x, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        // subtract the (k+1)-th largest count from everything
-        val m = sum.valuesIterator.toArray
-        java.util.Arrays.sort(m)
-        val cut = m(m.length - (k + 1)) // (k+1)-th largest
-        sum.collect { case (x, c) if c > cut => (x, c - cut) }
-      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(sumMaps(a, b), k)
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: ExpressionEncoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  private def sumMaps(a: Map[String, Long],
+                      b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (x, c)) =>
+      acc.updated(x, acc.getOrElse(x, 0L) + c)
     }
+
+  /** Restore |summary| <= k: subtract the (k+1)-th largest count from
+    * every entry, drop the non-positive. Each unit subtracted charges
+    * k+1 units of distinct input mass (the k+1 largest entries all
+    * lose `cut`), which is where the W/(k+1) undercount bound — and so
+    * the superset guarantee — comes from, for counts and weights alike.
+    */
+  private def shrink(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val v = m.valuesIterator.toArray
+      java.util.Arrays.sort(v)
+      val cut = v(v.length - (k + 1)) // (k+1)-th largest
+      m.collect { case (x, c) if c > cut => (x, c - cut) }
+    }
+
+  /** Weighted Misra–Gries (Berinde et al., "Space-optimal heavy
+    * hitters with strong error bounds", PODS 2009 — re-derived): the
+    * arriving (key, weight) is folded in, then the summary shrinks
+    * back to k entries by the same subtract-the-(k+1)-th-largest rule.
+    * Undercount is bounded by W/(k+1) (W = total weight), so the key
+    * set contains every key with total weight > W/(k+1). Weights must
+    * be non-negative.
+    */
+  private final class WeightedMisraGriesAgg(k: Int)
+      extends Aggregator[(String, Long), Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], in: (String, Long)): Map[String, Long] =
+      shrink(m.updated(in._1, m.getOrElse(in._1, 0L) + in._2), k)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(sumMaps(a, b), k)
     def finish(m: Map[String, Long]): Map[String, Long] = m
     def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
@@ -148,5 +180,39 @@ object HeavyHitters {
         .agg(count(lit(1)).as("exact_n"))
         .filter(col("exact_n") * (k + 1L) > n)
         .withColumn("total_n", lit(n))
+  }
+
+  /** The weighted face of [[exact]]: all keys whose TOTAL WEIGHT
+    * strictly exceeds W/(k+1), with their exact weights — the "which
+    * domains exceed 1/k of total bytes / revenue / tokens" ask, under
+    * the same two-bounded-pass shape (weighted MG candidates, then an
+    * exact weight sum over the ≤ k candidates). `weightCol` must be a
+    * non-negative integral column (fixed-point your money/bytes to
+    * longs first — integer sums keep the output engine-portable and
+    * the threshold filter exact). Rows with a null key or null weight
+    * are excluded from both W and the candidates. Returns
+    * (key, exact_w, total_w).
+    */
+  def exactWeighted(items: DataFrame, itemCol: String, weightCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val mgw = udaf(new WeightedMisraGriesAgg(k))
+    val keyed = items
+      .filter(col(itemCol).isNotNull && col(weightCol).isNotNull)
+    val row = keyed
+      .agg(mgw(col(itemCol), col(weightCol).cast("long")).as("cands"),
+        sum(col(weightCol).cast("long")).as("w")).head()
+    val cands = row.getMap[String, Long](0).keys.toSeq.sorted
+    val w = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val base = keyed.groupBy(col(itemCol).as("key"))
+      .agg(sum(col(weightCol).cast("long")).as("exact_w"))
+    if (cands.isEmpty)
+      base.filter(lit(false)).withColumn("total_w", lit(w))
+    else
+      keyed.filter(col(itemCol).isin(cands: _*))
+        .groupBy(col(itemCol).as("key"))
+        .agg(sum(col(weightCol).cast("long")).as("exact_w"))
+        .filter(col("exact_w") * (k + 1L) > w)
+        .withColumn("total_w", lit(w))
   }
 }

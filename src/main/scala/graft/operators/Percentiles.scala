@@ -158,6 +158,86 @@ object Percentiles {
     * lands exactly on k, so the fallback is never interpolated with a
     * nonzero weight against a different value).
     */
+  /** Mergeable HISTOGRAM CATALOG — the distributions face of the
+    * catalog family (HLL distincts, KMV set operations, count-min
+    * frequencies, and now exact value distributions): one (value,
+    * count) histogram per day PERSISTED to `catalogDir` with dynamic
+    * partition overwrite, so a new day rewrites only its own partition
+    * and history is never re-scanned. Histograms merge by per-value
+    * COUNT ADDITION — and unlike the sketch catalogs the merge is
+    * EXACT, so "p99 over the quarter" is the true type-7 quantile of
+    * the whole period, computed from days × distinct-values tiny rows
+    * however many raw rows the period holds.
+    *
+    * Same bounded-distinct-domain contract as [[exactByHistogram]]
+    * (pre-quantize a genuinely continuous column to a fixed grid
+    * first); same dsScoped-directory contract as the other catalog
+    * writers (dynamic overwrite preserves foreign partitions — the
+    * r13 lesson, pinned by InfraSpec's cross-dataset idempotence
+    * test, which this report makes loud by leading every row with
+    * n_days from the catalog READ-BACK).
+    *
+    * Returns one row: (n_days, <one column per (p, alias)>, n), the
+    * quantiles interpolated through the shared [[interp]] helper so
+    * they are bit-identical to the built-in `percentile` aggregate
+    * over the same merged distribution.
+    */
+  def histogramCatalog(df: DataFrame, dayCol: org.apache.spark.sql.Column,
+                       valueCol: String, ps: Seq[(Double, String)],
+                       catalogDir: String): DataFrame = {
+    require(ps.nonEmpty, "need at least one (p, alias)")
+    ps.foreach { case (p, _) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p") }
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(dayCol.as("day"), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    daily.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(catalogDir)
+    val catalog = df.sparkSession.read.parquet(catalogDir)
+    val merged = catalog.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
+    val nDays = catalog.agg(count_distinct(col("day")).as("n_days"))
+    percentilesOverHistogram(merged, ps)
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days") +: ps.map { case (_, a) => col(a) } :+ col("n"): _*)
+  }
+
+  /** Phase 2 of the histogram plan over an ALREADY-BUILT (__v, __c)
+    * histogram: cumulative window over the bounded histogram, then one
+    * 1-row aggregate interpolating each requested quantile (shared
+    * [[interp]] form) plus `n` = Σ__c.
+    */
+  private def percentilesOverHistogram(hist: DataFrame,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val withH = ps.zipWithIndex.foldLeft(ranked) { case (acc, ((p, _), i)) =>
+      acc.withColumn(s"__h$i",
+        lit(p) * (col("__n") - lit(1)).cast("double"))
+    }
+    def covers(rank: org.apache.spark.sql.Column) =
+      col("__cum") - col("__c") <= rank && rank < col("__cum")
+    val aggs = ps.indices.flatMap { i =>
+      val k = floor(col(s"__h$i")).cast("long")
+      Seq(
+        max(when(covers(k), col("__v"))).as(s"__vk$i"),
+        max(when(covers(k + 1), col("__v"))).as(s"__vk1$i"),
+        max(col(s"__h$i")).as(s"__hh$i"),
+        max(k).as(s"__kk$i"))
+    } :+ max(col("__n")).as("n")
+    val out = withH.agg(aggs.head, aggs.tail: _*)
+    val quantiles = ps.zipWithIndex.map { case ((_, alias), i) =>
+      interp(s"__vk$i", s"__vk1$i", s"__hh$i", s"__kk$i").as(alias)
+    }
+    out.select(quantiles :+ col("n"): _*)
+  }
+
   private def interp(vk: String, vk1: String, hh: String,
       kk: String): org.apache.spark.sql.Column = {
     val kD = col(kk).cast("double")

@@ -235,6 +235,16 @@ class InfraSpec extends AnyFunSuite {
     assert(runC(b).head.head == nDaysB)
     assert(runC(a) == ca,
       "cross-dataset CM catalog pollution: A's answer changed after B")
+    // And for the histogram catalog (the fourth dynamic-partition-
+    // overwrite writer; exact distributions, n_days leads the row).
+    val qp = Queries.all("q_profile_pctl_catalog")
+    def runP(d: String): Seq[Seq[Any]] =
+      qp(spark, d).collect().toSeq.map(_.toSeq)
+    val pa = runP(a)
+    assert(pa.head.head == nDaysA)
+    assert(runP(b).head.head == nDaysB)
+    assert(runP(a) == pa,
+      "cross-dataset pctl catalog pollution: A's answer changed after B")
   }
 
   test("doc query totals cannot drift from the registry") {

@@ -162,4 +162,35 @@ class PercentilesSpec extends AnyFunSuite {
     assert(r.getDouble(0) == sorted(math.ceil(0.5 * xs.size).toInt - 1))
     assert(r.getDouble(1) == sorted(math.ceil(0.8 * xs.size).toInt - 1))
   }
+
+  test("histogram catalog appends one day; merged quantiles are the true ones") {
+    // The catalog-writer contract (the KMV/CM pattern): a second call
+    // with ONLY the new day's rows must preserve prior partitions and
+    // report quantiles over ALL stored days, bit-identical to the
+    // built-in percentile over the whole period.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pctl_catalog").toString
+    def day(d: String, vs: Seq[Double]) =
+      vs.toDF("v").select(to_date(lit(d)).as("dt"), col("v"))
+    val d1 = day("2024-01-01", Seq(1.0, 2.0, 2.0, 3.0, 50.0))
+    val d2 = day("2024-01-02", Seq(2.0, 4.0, 4.0, 9.0))
+    val d3 = day("2024-01-03", Seq(0.5, 6.0, 7.0))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90")
+    def report(in: org.apache.spark.sql.DataFrame) =
+      Percentiles.histogramCatalog(in, col("dt"), "v", ps, dir)
+        .collect().head
+    val first = report(d1.union(d2))
+    assert(first.getLong(0) == 2L && first.getLong(3) == 9L)
+    // second call: day 3 only — history must come from the lake
+    val second = report(d3)
+    assert(second.getLong(0) == 3L, "stored days lost on append")
+    assert(second.getLong(3) == 12L, "merged n must span all days")
+    val all = d1.union(d2).union(d3)
+    val want = all.agg(
+      expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .collect().head
+    assert(second.getDouble(1) == want.getDouble(0) &&
+      second.getDouble(2) == want.getDouble(1),
+      "merged-catalog quantiles != built-in over the whole period")
+  }
 }

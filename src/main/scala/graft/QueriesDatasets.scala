@@ -200,8 +200,44 @@ object QueriesDatasets {
     "Distance", "RunTime", "IsRunDay", "trainingStatus",
     "fitnessLevelTrend")
 
-  private val masterOracle: String = {
+  /** The imputing-pipeline columns the master build also carries
+    * (sleep 8 + uds 7). Kept out of [[masterCols]] (fp-noise story in
+    * that scaladoc); hash-pinned by q_ds_master_table_full, which
+    * stabilizes the two noisy sleep columns the same way q_ds_sleep
+    * does and reuses [[sleepOracle]]/[[udsOracle]] verbatim as oracle
+    * subqueries so the two entries cannot drift.
+    */
+  private val masterSleepCols = Seq("sleepDurationHours", "deepSleepHours",
+    "lightSleepHours", "remSleepHours", "awakeSleepHours",
+    "averageRespiration", "avgSleepStress", "overallScore")
+  private val masterUdsCols = Seq("totalSteps", "totalKilocalories",
+    "activeKilocalories", "restingHeartRate", "averageStressLevel",
+    "highDuration", "mediumDuration")
+
+  /** Master oracle, parameterized by whether the imputing-pipeline
+    * columns ride along (`full = true` → q_ds_master_table_full).
+    * Shared text: the five non-imputing input CTEs, the N-way FULL
+    * JOIN, the status filter + post-join ffill. The full variant adds
+    * sleepx/udsx CTEs that subquery the per-dataset oracles (already
+    * stabilized there) and widens the join + final projection.
+    */
+  private def masterOracleSql(full: Boolean): String = {
     val ffill = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val imputedCtes = if (!full) "" else
+      s"""sleepx AS (
+       |  SELECT calendarDate, ${masterSleepCols.mkString(", ")}
+       |  FROM ($sleepOracle)),
+       |udsx AS (
+       |  SELECT calendarDate, ${masterUdsCols.mkString(", ")}
+       |  FROM ($udsOracle)),""".stripMargin
+    val imputedJoins = if (!full) "" else
+      s"""
+       |  FULL JOIN sleepx USING (calendarDate)
+       |  FULL JOIN udsx USING (calendarDate)""".stripMargin
+    val imputedSelect = if (!full) "" else
+      s""",
+       |  ${masterSleepCols.mkString(", ")},
+       |  ${masterUdsCols.mkString(", ")}""".stripMargin
     s"""WITH atl AS (
        |  SELECT calendarDate, acwrStatus, dailyTrainingLoadAcute,
        |    dailyTrainingLoadChronic, acwrPercent,
@@ -272,12 +308,13 @@ object QueriesDatasets {
        |      '${glob("DI-Connect-Metrics/TrainingHistory_*.json")}',
        |      union_by_name=true))
        |  WHERE rn = 1 AND trainingStatus <> 'NO_STATUS'),
+$imputedCtes
        |j AS (
        |  SELECT * FROM atl
        |  FULL JOIN maxmet USING (calendarDate)
        |  FULL JOIN race USING (calendarDate)
        |  FULL JOIN run USING (calendarDate)
-       |  FULL JOIN th USING (calendarDate)),
+       |  FULL JOIN th USING (calendarDate)$imputedJoins),
        |w AS (
        |  SELECT *,
        |    last_value(vo2MaxValue IGNORE NULLS) OVER (
@@ -294,9 +331,12 @@ object QueriesDatasets {
        |  COALESCE(RunTime, '00:00:00') AS RunTime,
        |  CASE WHEN COALESCE(Distance, 0.0) > 0.0 THEN 1 ELSE 0 END
        |    AS IsRunDay,
-       |  trainingStatus, fitnessLevelTrend
+       |  trainingStatus, fitnessLevelTrend$imputedSelect
        |FROM w ORDER BY calendarDate""".stripMargin
   }
+
+  private val masterOracle: String = masterOracleSql(full = false)
+  private val masterFullOracle: String = masterOracleSql(full = true)
 
   // ---- activities oracle (summarized_activities / running_data) --------
   private val activitiesOracle: String = {
@@ -488,6 +528,21 @@ object QueriesDatasets {
       (s, _) => MasterTable.build(s)
         .select(masterCols.map(col): _*)
         .orderBy(col("calendarDate")),
-      Some(masterOracle))
+      Some(masterOracle)),
+
+    // The FULL master projection: the stable columns above PLUS the 15
+    // sleep/uds imputing-pipeline columns that masterCols excludes. The
+    // two fp-noisy sleep columns go through the same stab6 the sleep
+    // replay uses; the oracle reuses sleepOracle/udsOracle verbatim as
+    // subqueries, so the 7-way full-outer join (`ML …Merge.ipynb:1883`)
+    // now has hash evidence over its complete column set, not just the
+    // non-imputing projection.
+    Q("q_ds_master_table_full",
+      (s, _) => MasterTable.build(s)
+        .select((masterCols ++ masterSleepCols ++ masterUdsCols).map(col): _*)
+        .withColumn("sleepDurationHours", stab6(col("sleepDurationHours")))
+        .withColumn("avgSleepStress", stab6(col("avgSleepStress")))
+        .orderBy(col("calendarDate")),
+      Some(masterFullOracle))
   )
 }

@@ -96,13 +96,22 @@ object QueriesRelational {
   private def buildKmvSourceLake(s: org.apache.spark.sql.SparkSession,
                                  d: String): Unit =
     this.synchronized {
-      if (!kmvLakeBuilt.contains(d)) {
+      val dir = QueriesSources.dsScoped("kmv_source_sketches", d)
+      // The memo alone is not proof the artifact still exists: if the
+      // tmp dir was wiped (or a prior write died between mkdir and
+      // commit) while this JVM lives, trusting the set would hand the
+      // serve a missing/partial lake. Trust the memo only when the
+      // write's _SUCCESS marker is also on disk, and record the
+      // dataset only AFTER a verified write (r14 advice).
+      val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+      val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!kmvLakeBuilt.contains(d) || !fs.exists(success)) {
         val hh = graft.operators.Similarity.hashedShingles(
           graft.operators.Similarity.charShingles(
             Tables.documents(s, d), "source", "text", 5), "source")
         graft.operators.KMV.sketch(hh, "source", "h", KmvK)
-          .write.mode("overwrite")
-          .parquet(QueriesSources.dsScoped("kmv_source_sketches", d))
+          .write.mode("overwrite").parquet(dir)
+        require(fs.exists(success), s"kmv lake write left no _SUCCESS: $dir")
         kmvLakeBuilt += d
       }
     }
@@ -601,6 +610,102 @@ object QueriesRelational {
              |FROM k GROUP BY key
              |HAVING sum(cents) * 64 > (SELECT w FROM n)
              |ORDER BY exact_w DESC, key""".stripMargin)),
+
+    // ----------------------------- served heavy hitters (sketch lakes)
+    // The SERVE face of the streaming frequency family, oracle-checked:
+    // the stream is replayed as 4 deterministic micro-batches through
+    // the two batch-keyed ingest writers (EventStreams.mgIngestBatch →
+    // ≤ k-row Misra–Gries summaries; sketchIngestBatch → d×w count-min
+    // grids), then servedHeavyHitters answers "which keys exceed
+    // n/(k+1)" purely from the two stored lakes — no corpus rescan.
+    // What is deterministic (and therefore hashed): the truth set
+    // (exact GROUP BY/HAVING), n, and cm_estimate — per-batch CM grids
+    // are exact cell counts and merge-on-read is cell-wise addition,
+    // so the merged grid equals the whole-stream grid bit-for-bit
+    // however the stream was batched or partitioned. What is NOT
+    // deterministic (and therefore asserted, not enumerated): the MG
+    // candidate set beyond the guarantee — so the output carries the
+    // no-false-negative property as oracle-pinned booleans (the HLL
+    // certification convention): every true heavy hitter must be
+    // served (MG superset ∧ one-sided CM estimate always clears the
+    // `estimate·(k+1) > n` bar) and its estimate must dominate truth.
+    // Skew regime and k match q_profile_heavy_hitters_exact, so the
+    // sketch phase genuinely evicts (distinct ≈ 2000 ≫ k = 63).
+    Q("q_profile_mg_served",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val k = 63; val depth = 3; val width = 256
+        val keys = Tables.lineitem(s, d).select(
+          when(col("l_quantity") <= 5,
+            concat(lit("hot_"),
+              col("l_quantity").cast("int").cast("string")))
+            .otherwise(col("l_partkey").cast("string")).as("key"),
+          pmod(col("l_orderkey"), lit(4)).cast("int").as("__b"))
+          .cache()
+        // fresh per-run lake root: the batch-keyed writers' lineage
+        // guard (requireFreshOrSameLineage) correctly refuses to let a
+        // restarted batch 0 clobber an existing multi-batch history,
+        // so each replay gets its own dirs (tiny: ≤ k rows + d×w cells
+        // per batch)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_mg_served").toString
+        val (mgDir, cmDir) = (s"$base/mg", s"$base/cm")
+        (0 until 4).foreach { b =>
+          val batch = keys.filter(col("__b") === b).select(col("key"))
+          EventStreams.mgIngestBatch(batch, b.toLong, "key", k, mgDir)
+          EventStreams.sketchIngestBatch(batch, b.toLong, "key",
+            depth, width, cmDir)
+        }
+        val served = EventStreams.servedHeavyHitters(
+          s, mgDir, cmDir, k, depth, width)
+        val tot = keys.agg(count(lit(1)).as("total_n"))
+        val truth = keys.groupBy(col("key"))
+          .agg(count(lit(1)).as("exact_n"))
+          .crossJoin(broadcast(tot))
+          .filter(col("exact_n") * (k + 1L) > col("total_n"))
+        truth
+          .join(served.select(col("key"), col("cm_estimate")),
+            Seq("key"), "left")
+          .select(col("key"), col("exact_n"), col("total_n"),
+            col("cm_estimate"),
+            col("cm_estimate").isNotNull.as("served"),
+            (col("cm_estimate") >= col("exact_n")).as("cm_one_sided"))
+          .orderBy(col("exact_n").desc, col("key"))
+      },
+      Some {
+        import graft.functions.HashFns
+        def cellSql(src: String) =
+          s"""SELECT $src.*, CAST(t.d AS INT) AS d,
+             |    (CASE CAST(t.d AS INT)
+             |       WHEN 0 THEN ${HashFns.hashFamilySql("h", 0)}
+             |       WHEN 1 THEN ${HashFns.hashFamilySql("h", 1)}
+             |       WHEN 2 THEN ${HashFns.hashFamilySql("h", 2)}
+             |     END) % 256 AS bucket
+             |  FROM $src, unnest(range(3)) t(d)""".stripMargin
+        s"""WITH k AS (
+           |  SELECT CASE WHEN l_quantity <= 5
+           |    THEN 'hot_' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+           |    ELSE CAST(l_partkey AS VARCHAR) END AS key
+           |  FROM lineitem),
+           |n AS (SELECT count(*) AS n FROM k),
+           |hh AS (SELECT key, ${HashFns.md5LongSql("key")} AS h FROM k),
+           |cells AS (${cellSql("hh")}),
+           |sk AS (SELECT d, bucket, count(*) AS c FROM cells
+           |       GROUP BY d, bucket),
+           |truth AS (
+           |  SELECT key, count(*) AS exact_n FROM k GROUP BY key
+           |  HAVING count(*) * 64 > (SELECT n FROM n)),
+           |th AS (SELECT key, exact_n, ${HashFns.md5LongSql("key")} AS h
+           |       FROM truth),
+           |probes AS (${cellSql("th")}),
+           |est AS (
+           |  SELECT key, exact_n, min(c) AS cm_estimate
+           |  FROM probes JOIN sk USING (d, bucket)
+           |  GROUP BY key, exact_n)
+           |SELECT key, exact_n, (SELECT n FROM n) AS total_n,
+           |  cm_estimate, TRUE AS served, TRUE AS cm_one_sided
+           |FROM est ORDER BY exact_n DESC, key""".stripMargin
+      }),
 
     // ------------------------------------- KMV set-operation sketches
     // The third member of the sketch-certification family (HLL:

@@ -37,6 +37,19 @@ object QueriesSources {
   private[graft] def dsScoped(base: String, d: String): String =
     s"$TMP/$base/ds_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Dataset- AND process-scoped TMP dir, for write-then-read-back
+    * round-trips (CSV sink, ORC, zip extraction). These are
+    * self-contained within one query run, so nothing ever needs to
+    * read another process's copy — but two overlapping harness JVMs
+    * (the driver runs correctness and bench concurrently, possibly at
+    * different scale factors) racing an overwrite-write against a
+    * read of the SAME fixed dir can observe a half-deleted directory
+    * or the other scale factor's rows. Process-keying removes the
+    * race by construction, same move as the per-PID Derby database.
+    */
+  private[graft] def procScoped(base: String, d: String): String =
+    s"${dsScoped(base, d)}_p${ProcessHandle.current().pid()}"
+
   /** Sketch size shared by q_profile_kmv_catalog's Spark side and its
     * DuckDB oracle (one constant, two engines — the KmvK discipline).
     */
@@ -52,10 +65,24 @@ object QueriesSources {
   // Embedded Derby for the JDBC sink surface: same write/verify/probe code
   // path as a warehouse sink, zero external service. derby.system.home
   // keeps derby.log + the db directory out of the repo root.
+  //
+  // The db directory is JVM-SCOPED (round-14 red row): embedded Derby
+  // allows exactly ONE booting JVM per database directory, so a fixed
+  // shared path made the second of two overlapping harness processes
+  // (the driver runs correctness and bench as separate JVMs) fail with
+  // XSDB6 "Another instance of Derby may have already booted". All
+  // three JDBC queries create/drop their own tables per run, so no
+  // cross-run state is lost by giving each process its own database.
+  // Same lesson as dsScoped above, one level up: dataset-keyed for
+  // preserve-on-write artifacts, PROCESS-keyed for single-booter
+  // embedded stores. Pinned by InfraSpec's jvm-scoped-path test.
+  private[graft] def derbyDbDir(pid: Long): String =
+    s"$TMP/derby/graftdb-$pid"
+
   private lazy val derbyUrl: String = {
     System.setProperty("derby.system.home", s"$TMP/derby")
     new java.io.File(s"$TMP/derby").mkdirs()
-    s"jdbc:derby:$TMP/derby/graftdb;create=true"
+    s"jdbc:derby:${derbyDbDir(ProcessHandle.current().pid())};create=true"
   }
 
   val qs: Seq[Q] = Seq(
@@ -149,7 +176,7 @@ object QueriesSources {
     // with an explicit schema; the oracle pins it to the source parquet.
     Q("q_s5_csv_sink_roundtrip",
       (s, d) => {
-        val dir = s"$TMP/s5_nation_csv"
+        val dir = procScoped("s5_nation_csv", d)
         CsvSources.write(Tables.nation(s, d), dir)
         val schema = StructType(Seq(
           StructField("n_nationkey", IntegerType),
@@ -339,7 +366,7 @@ object QueriesSources {
     // full write→read→filter chain to the source parquet.
     Q("q_orc_roundtrip",
       (s, d) => {
-        val dir = s"$TMP/orc_lineitem"
+        val dir = procScoped("orc_lineitem", d)
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag"), col("l_quantity"),
@@ -552,7 +579,7 @@ object QueriesSources {
     // the committed plain copy of the same file.
     Q("q_s10_zip_extract_scan",
       (s, d) => {
-        val paths = ZipUtil.extract(s"$FX/zip/garmin_export.zip", s"$TMP/s10")
+        val paths = ZipUtil.extract(s"$FX/zip/garmin_export.zip", procScoped("s10", d))
         val csv = paths.find(_.toString.endsWith("daily_steps.csv"))
           .getOrElse(sys.error("daily_steps.csv not in archive")).toString
         val schema = StructType(Seq(

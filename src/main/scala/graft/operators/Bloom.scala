@@ -53,24 +53,36 @@ object Bloom {
       // silently convert an unrelated Spark bug into false negatives,
       // breaking the no-false-negatives contract), so the emptiness
       // is re-verified positively before the empty filter is handed
-      // back; a non-empty build side rethrows loudly.
+      // back; a non-empty build side rethrows loudly. The recheck
+      // runs against a CACHED build side (r14 advice): re-evaluating
+      // a non-deterministic plan (sampling, first-wins dedup) could
+      // report empty for a frame whose aggregate pass saw rows —
+      // converting a transient failure into silent false negatives.
+      // The aggregate populates the cache; isEmpty then reads the
+      // same materialized rows. Nothing lazy escapes this method (the
+      // result is a byte array), so the cache is dropped on exit.
+      val cached = keys.cache()
       try {
-        val f = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-        if (f == null && keys.isEmpty) emptyFilter()
+        val f = cached.stat.bloomFilter(keyCol, expectedItems, fpp)
+        if (f == null && cached.isEmpty) emptyFilter()
         else if (f == null)
           sys.error("bloomFilter returned null on a NON-empty build side")
         else f.writeTo(bos)
       } catch {
         case e: NullPointerException =>
-          if (keys.isEmpty) emptyFilter() else throw e
-      }
+          if (cached.isEmpty) emptyFilter() else throw e
+      } finally cached.unpersist(blocking = false)
     } else {
       // expectedItems <= 0 means "count the keys first" — the count
-      // both sizes the filter and detects the empty build side.
-      val cnt = keys.count()
-      if (cnt == 0L) emptyFilter()
-      else keys.stat.bloomFilter(keyCol, math.max(cnt, 64L), fpp)
-        .writeTo(bos)
+      // both sizes the filter and detects the empty build side; the
+      // cache makes the second pass read the rows the count saw.
+      val cached = keys.cache()
+      try {
+        val cnt = cached.count()
+        if (cnt == 0L) emptyFilter()
+        else cached.stat.bloomFilter(keyCol, math.max(cnt, 64L), fpp)
+          .writeTo(bos)
+      } finally cached.unpersist(blocking = false)
     }
     bos.toByteArray
   }

@@ -92,6 +92,15 @@ object CountMin {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(catalogDir)
+    // A catalog nothing has ever written into is a VALID state (the
+    // readKmvSketch/readMgSummary convention, r14 advice): an empty
+    // first input leaves a partition-less dir that read.parquet would
+    // reject with a schema-inference error instead of reporting "no
+    // days yet". Probe the dir for day partitions before reading.
+    if (!catalogHasDays(df, catalogDir))
+      return df.sparkSession.range(0).select(
+        lit(0L).as("n_days"), lit("").as("key"), lit(0L).as("exact_n"),
+        lit(0L).as("cm_estimate"), lit(0L).as("over_count"))
     val catalog = df.sparkSession.read.parquet(catalogDir)
     // cell-wise addition of the per-day grids = the whole-period grid
     val merged = catalog.groupBy(col("d"), col("bucket"))
@@ -106,6 +115,21 @@ object CountMin {
         col("cm_estimate"),
         (col("cm_estimate") - col("exact_n")).as("over_count"))
       .orderBy(col("exact_n").desc, col("key"))
+  }
+
+  /** Whether `catalogDir` holds at least one day partition — the guard
+    * every partitionBy("day") catalog builder runs between its write
+    * and its read-back, so an empty first input yields the builder's
+    * empty report instead of a parquet schema-inference error (shared
+    * by the HLL/KMV/CM/histogram catalogs).
+    */
+  private[operators] def catalogHasDays(df: DataFrame,
+                                        catalogDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("day="))
   }
 
   /** The d bucket positions of one item: family-hash i of the item's

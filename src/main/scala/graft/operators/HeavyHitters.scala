@@ -109,6 +109,13 @@ object HeavyHitters {
       extends Aggregator[(String, Long), Map[String, Long], Map[String, Long]] {
     def zero: Map[String, Long] = Map.empty
     def reduce(m: Map[String, Long], in: (String, Long)): Map[String, Long] = {
+      // The superset guarantee's charging argument assumes weights
+      // only ever ADD mass; a negative weight could evict a true heavy
+      // hitter with no error anywhere downstream (r14 advice). Enforce
+      // the documented contract where the violation happens, loudly.
+      require(in._2 >= 0L,
+        s"exactWeighted: negative weight ${in._2} for key '${in._1}' — " +
+          "weights must be non-negative for the Misra-Gries guarantee")
       val up = m.updated(in._1, m.getOrElse(in._1, 0L) + in._2)
       if (up.size < 2 * k) up else shrink(up, k)
     }

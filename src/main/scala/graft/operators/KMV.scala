@@ -147,6 +147,13 @@ object KMV {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(catalogDir)
+    // Empty first input → partition-less dir → read.parquet throws.
+    // A never-written catalog is a valid state: no days, no distincts
+    // (the readKmvSketch empty-state convention, r14 advice).
+    if (!CountMin.catalogHasDays(df, catalogDir))
+      return df.sparkSession.range(1).select(
+        lit(0L).as("n_days"), lit(0L).as("sum_day_distinct"),
+        lit(0L).as("exact_distinct"), lit(0.0).as("est_distinct"))
     val catalog = df.sparkSession.read.parquet(catalogDir)
     val merged = mergeSketchArrays(catalog, "kmins", k)
     val counts = catalog.agg(

@@ -195,6 +195,14 @@ object Percentiles {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(catalogDir)
+    // Empty first input → partition-less dir → read.parquet throws.
+    // A never-written catalog is a valid state: no days, no rows, and
+    // the quantiles of nothing are null (r14 advice).
+    if (!CountMin.catalogHasDays(df, catalogDir))
+      return df.sparkSession.range(1).select(
+        lit(0L).as("n_days") +:
+          ps.map { case (_, a) => lit(null).cast("double").as(a) } :+
+          lit(0L).as("n"): _*)
     val catalog = df.sparkSession.read.parquet(catalogDir)
     val merged = catalog.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
     val nDays = catalog.agg(count_distinct(col("day")).as("n_days"))

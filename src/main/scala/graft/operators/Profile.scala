@@ -178,6 +178,13 @@ object Profile {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(catalogDir)
+    // Empty first input → partition-less dir → read.parquet throws.
+    // A never-written catalog is a valid state: no days, no distincts,
+    // and the 5% bound over 0-vs-0 holds (r14 advice).
+    if (!CountMin.catalogHasDays(df, catalogDir))
+      return df.sparkSession.range(1).select(
+        lit(0L).as("n_days"), lit(0L).as("sum_day_distinct"),
+        lit(0L).as("exact_distinct"), lit(true).as("union_ok"))
     val catalog = df.sparkSession.read.parquet(catalogDir)
     val merged = catalog.agg(
       count(lit(1)).as("n_days"),

@@ -247,6 +247,39 @@ class InfraSpec extends AnyFunSuite {
       "cross-dataset pctl catalog pollution: A's answer changed after B")
   }
 
+  test("TMP round-trip artifacts are process-scoped: no shared writable path across JVMs") {
+    // r14's red: the embedded Derby db lived at a FIXED shared path, and
+    // Derby allows exactly one booting JVM per database directory — when
+    // the driver's correctness and bench JVMs overlapped, the second got
+    // XSDB6 and three JDBC queries lost their correctness rows. The fix
+    // keys the db dir (and every write-then-read-back round-trip dir) by
+    // process id. This pins both halves of the lesson:
+    // (1) distinct processes must get distinct paths;
+    val d1 = QueriesSources.derbyDbDir(111L)
+    val d2 = QueriesSources.derbyDbDir(222L)
+    assert(d1 != d2, "derby db dir must be JVM-scoped")
+    val pid = ProcessHandle.current().pid()
+    assert(QueriesSources.derbyDbDir(pid).endsWith(s"graftdb-$pid"))
+    val ps = QueriesSources.procScoped("x_roundtrip", sf)
+    assert(ps.endsWith(s"_p$pid"), s"procScoped must embed the pid: $ps")
+    assert(ps.contains("ds_"), "procScoped must also keep the dataset key")
+    // (2) no query body may interpolate a raw shared $TMP path: every
+    // TMP use inside the registry region must go through dsScoped /
+    // procScoped / derbyDbDir, which are all defined BEFORE `val qs`.
+    // A future query hardcoding s"$TMP/..." lands after that marker
+    // and fails here.
+    val src = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/src/main/scala/graft/QueriesSources.scala")), "UTF-8")
+    val qsStart = src.indexOf("val qs: Seq[Q]")
+    assert(qsStart > 0, "registry marker missing")
+    val rawTmpInRegistry = src.substring(qsStart)
+      .linesIterator.zipWithIndex
+      .filter(_._1.contains("$TMP"))
+      .map(_._1.trim).toSeq
+    assert(rawTmpInRegistry.isEmpty,
+      s"raw \\$$TMP path inside the query registry (use dsScoped/procScoped): $rawTmpInRegistry")
+  }
+
   test("doc query totals cannot drift from the registry") {
     // The r7 verdict caught SURVEY/README totals lagging the registry
     // twice; this pins them. Every oracle-bearing doc number must equal

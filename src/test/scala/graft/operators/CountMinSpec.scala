@@ -87,4 +87,26 @@ class CountMinSpec extends AnyFunSuite {
     assert(alphaEst == direct,
       s"merged-catalog estimate $alphaEst != direct $direct")
   }
+
+  test("catalog on an empty first input: empty report, not a read error") {
+    // r14 advice: an empty first input left a partition-less dir that
+    // the immediate read-back rejected with a schema-inference error.
+    // A never-written catalog is a valid state (the streaming readers'
+    // convention): no days, no probes, schema intact.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cm_catalog_empty").toString
+    val empty = Seq.empty[(String, String)].toDF("ds", "__key")
+      .select(to_date(col("ds")).as("dt"), col("__key"))
+    val rep = CountMin.sketchCatalog(empty, col("dt"), "__key", 3, 64, 2, dir)
+    assert(rep.columns.toSeq ==
+      Seq("n_days", "key", "exact_n", "cm_estimate", "over_count"))
+    assert(rep.count() == 0)
+    // and a later real day proceeds normally from the same dir
+    val d1 = Seq.fill(5)("alpha").toDF("__key")
+      .select(to_date(lit("2024-01-01")).as("dt"), col("__key"))
+    val after = CountMin.sketchCatalog(d1, col("dt"), "__key", 3, 64, 2, dir)
+      .collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1L, "alpha", 5L)))
+  }
 }

@@ -120,4 +120,20 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("x", 5L, 6L)))
   }
+
+  test("weighted detection rejects negative weights loudly") {
+    // r14 advice: a negative weight breaks the Misra-Gries superset
+    // guarantee silently (a true heavy hitter can be evicted with no
+    // error anywhere downstream), so the aggregator must fail at the
+    // offending row instead of producing wrong output.
+    val bad = Seq(("a", 10L), ("b", -1L), ("a", 5L)).toDF("key", "wt")
+    val ex = intercept[org.apache.spark.SparkException] {
+      HeavyHitters.exactWeighted(bad, "key", "wt", 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative weight")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+  }
 }

@@ -111,4 +111,17 @@ class KMVSpec extends AnyFunSuite {
     assert(math.abs(est - 400.0) < 4 * 400.0 / math.sqrt(k - 2.0),
       s"estimate $est outside the 4σ envelope around 400")
   }
+
+  test("sketchCatalog on an empty first input: zero report, not a read error") {
+    // r14 advice (mirrors CountMinSpec's empty-catalog pin): empty
+    // input must short-circuit to the valid empty state — 0 days,
+    // 0 distincts — instead of crashing on the partition-less dir.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_catalog_empty").toString
+    val empty = Seq.empty[(String, Long)].toDF("ds", "h")
+      .select(to_date(col("ds")).as("dt"), col("h"))
+    val rep = KMV.sketchCatalog(empty, col("dt"), "h", 8, dir).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq((0L, 0L, 0L, 0.0)))
+  }
 }

@@ -264,6 +264,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"incremental union estimate $est vs exact ${exact4.size}")
   }
 
+  test("distinctSketchCatalog on an empty first input: zero report, no crash") {
+    // r14 advice (the empty-catalog pin, HLL face): 0 days / 0
+    // distincts / union_ok, not a schema-inference error on the
+    // partition-less directory the empty write leaves behind.
+    import org.apache.spark.sql.functions.{to_date, col}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_catalog_empty").toString
+    val empty = Seq.empty[(String, Long)].toDF("ds", "user_id")
+      .select(to_date(col("ds")).as("dt"), col("user_id"))
+    val rep = Profile.distinctSketchCatalog(
+      empty, col("dt"), "user_id", dir).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).toSeq == Seq((0L, 0L, 0L, true)))
+  }
+
   test("SpanDedup cuts exactly the cross-doc duplicated span, keeps the rest") {
     // Two docs share an 8-token boilerplate block; each also has unique
     // text. The block must be cut from BOTH docs; unique text survives;

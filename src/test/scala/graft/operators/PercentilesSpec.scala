@@ -193,4 +193,20 @@ class PercentilesSpec extends AnyFunSuite {
       second.getDouble(2) == want.getDouble(1),
       "merged-catalog quantiles != built-in over the whole period")
   }
+
+  test("histogramCatalog on an empty first input: null quantiles, n=0") {
+    // r14 advice (the empty-catalog pin, distributions face): no days,
+    // no rows, and the quantiles of nothing are null — not a parquet
+    // schema-inference error on the partition-less dir.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pctl_catalog_empty").toString
+    val empty = Seq.empty[(String, Double)].toDF("ds", "v")
+      .select(to_date(col("ds")).as("dt"), col("v"))
+    val rep = Percentiles.histogramCatalog(empty, col("dt"), "v",
+      Seq(0.5 -> "p50", 0.9 -> "p90"), dir).collect()
+    assert(rep.length == 1)
+    assert(rep.head.getLong(0) == 0L)
+    assert(rep.head.isNullAt(1) && rep.head.isNullAt(2))
+    assert(rep.head.getLong(3) == 0L)
+  }
 }

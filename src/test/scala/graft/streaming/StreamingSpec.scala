@@ -219,6 +219,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(arr(EventStreams.readKmvSketch(spark, dir, k)) == direct)
   }
 
+  test("kmvIngest decade replay (sf1): merge-on-read == one-shot, replay idempotent") {
+    // The batch-keyed ingest family's idempotency was spec-proven at
+    // fixture scale only (r14 verdict stretch); when the sf1 tiling
+    // exists (tools/make_sf1.py — the gated-decade-test convention of
+    // InfraSpec's autoWidthFactor check), replay one ingest over the
+    // full sf1 events table and pin the decade claim BIT-exactly:
+    // four batch partials merged on read equal the one-shot sketch of
+    // the whole table (KMV's k smallest distinct hashes are a pure
+    // function of the value set — partitioning- and batching-free),
+    // and a replayed batch changes nothing.
+    val sf1 = "/root/repo/target/sf1"
+    if (new java.io.File(sf1).isDirectory) {
+      val k = 256
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .select(graft.functions.HashFns
+          .md5Long(col("user_id").cast("string")).as("h"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_kmv_sf1").toString
+      def batch(b: Long) = ev.filter(col("h") % 4 === lit(b))
+      (0L until 4L).foreach(b =>
+        EventStreams.kmvIngestBatch(batch(b), b, "h", k, dir))
+      def arr(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.collect().map(_.getSeq[Long](0)).head
+      val merged = arr(EventStreams.readKmvSketch(spark, dir, k))
+      val direct = arr(graft.operators.KMV.sketch(
+        ev.select(lit("g").as("g"), col("h")), "g", "h", k)
+        .select(col("kmins")))
+      assert(merged == direct,
+        "sf1 merge-on-read != one-shot sketch over the whole table")
+      EventStreams.kmvIngestBatch(batch(2L), 2L, "h", k, dir)
+      assert(arr(EventStreams.readKmvSketch(spark, dir, k)) == direct,
+        "sf1 replay of batch 2 moved the merged sketch")
+    }
+  }
+
   test("mgIngest candidates + CM serve lose no heavy hitter; replay replaces") {
     val base = java.nio.file.Files.createTempDirectory("graft_mg")
     val mgDir = s"$base/mg"

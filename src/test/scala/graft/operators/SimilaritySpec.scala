@@ -413,4 +413,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bounded candidate pool"))
   }
+
+  test("sampled graph faces range over exactly the hash-sampled node universe") {
+    // The `_sampled` decade faces' contract: sample the NODE SET first
+    // (md5Long seed 15, mod 13 — hash-select, never a raw-id modulus:
+    // decade tilings re-key ids sparsely), then build the exact kNN
+    // graph OF THE SAMPLE. A future "optimization" that samples edges
+    // of the full graph instead would emit ids outside the slice or
+    // rank against unsampled neighbors — this pins the node universe,
+    // the oracle pins the edge values.
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.sources.Tables.embeddings(spark, sf)
+      .filter(graft.functions.HashFns.md5Long(
+        col("vec_id").cast("string"), 15) % 13 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture slice is empty — test is vacuous")
+    val got = graft.Queries.all("q_graph_pagerank_sampled")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"pagerank_sampled universe drifted: ${got.diff(expected).size} " +
+        s"extra, ${expected.diff(got).size} missing")
+  }
 }

@@ -254,6 +254,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchIngest decade replay (sf1): merged CM grid == one-shot, replay idempotent") {
+    // The count-min sibling of the kmv sf1 replay above — same gated-
+    // decade convention. CM partials are exact cell counts and
+    // merge-on-read is cell-wise addition, so the merged grid must
+    // equal the one-shot sketch of the whole table CELL-exactly under
+    // any batching, and a replayed batch (replace-not-append) must
+    // move nothing.
+    val sf1 = "/root/repo/target/sf1"
+    if (new java.io.File(sf1).isDirectory) {
+      val (depth, width) = (3, 256)
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("user_id").cast("string").as("item"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cm_sf1").toString
+      def batch(b: Long) = ev.filter(graft.functions.HashFns
+        .md5Long(col("item")) % 4 === lit(b))
+      (0L until 4L).foreach(b =>
+        EventStreams.sketchIngestBatch(batch(b), b, "item",
+          depth, width, dir))
+      def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getLong(2)).toMap
+      val merged = grid(EventStreams.readSketch(spark, dir)
+        .select(col("d"), col("bucket"), col("c")))
+      val direct = grid(graft.operators.CountMin
+        .sketch(ev, "item", depth, width)
+        .select(col("d"), col("bucket"), col("c")))
+      assert(merged == direct,
+        "sf1 merged CM grid != one-shot sketch over the whole table")
+      EventStreams.sketchIngestBatch(batch(1L), 1L, "item",
+        depth, width, dir)
+      assert(grid(EventStreams.readSketch(spark, dir)
+        .select(col("d"), col("bucket"), col("c"))) == direct,
+        "sf1 replay of batch 1 moved the merged CM grid")
+    }
+  }
+
   test("mgIngest candidates + CM serve lose no heavy hitter; replay replaces") {
     val base = java.nio.file.Files.createTempDirectory("graft_mg")
     val mgDir = s"$base/mg"

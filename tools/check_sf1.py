@@ -11,6 +11,10 @@ Usage:
   python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson>
   python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson> --isolate
   python3 tools/check_sf1.py <sfDir> <verifyOutDir> <outJson> --one <name>
+  ... the sweep modes (plain / --isolate) may add --merge: seed
+  <outJson> from its existing rows and update, instead of clobbering
+  the gate file with only this run's queries (a 5-query sweep once
+  shrank CORRECTNESS_SF1.json from 86 rows to 5).
 
 --isolate runs ONE SUBPROCESS PER QUERY (each invoking --one). This is
 the sf10 mode: DuckDB's allocator is process-global, so a single
@@ -131,13 +135,22 @@ def check_one(sf_dir, out_dir, name, oracle, entry):
         entry["err"] = msg
 
 
-def main(sf_dir, out_dir, out_json):
+def seed_report(out_json, merge):
+    """--merge: update the existing gate file in place instead of
+    clobbering it with only this run's rows (a 5-query sweep once
+    silently shrank CORRECTNESS_SF1.json from 86 rows to 5)."""
+    if merge and os.path.exists(out_json):
+        return json.load(open(out_json))
+    return {}
+
+
+def main(sf_dir, out_dir, out_json, merge=False):
     # One connection PER QUERY: a DuckDB OutOfMemoryException poisons
     # the connection's buffer pool — at sf10 a single OOM oracle made
     # every subsequent (individually fine) oracle fail with tiny
     # bad-allocation errors. Views are cheap to re-create.
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    report = {}
+    report = seed_report(out_json, merge)
     results = sorted(d for d in os.listdir(out_dir)
                      if os.path.isdir(os.path.join(out_dir, d)))
     n_fail = 0
@@ -161,7 +174,7 @@ def main(sf_dir, out_dir, out_json):
             n_fail += 1
             print(f"FAIL {name}: {entry['err']}", flush=True)
     with open(out_json, "w") as f:
-        json.dump(report, f, indent=2)
+        json.dump(dict(sorted(report.items())), f, indent=2)
     print(f"\n{len(report) - n_fail} pass, {n_fail} fail, "
           f"{len(report)} total -> {out_json}")
     return 1 if n_fail else 0
@@ -192,12 +205,12 @@ def main_one(sf_dir, out_dir, out_json, name):
     return 1 if failed else 0
 
 
-def main_isolated(sf_dir, out_dir, out_json):
+def main_isolated(sf_dir, out_dir, out_json, merge=False):
     """Driver mode: one subprocess (and one DuckDB process) per query."""
     timeout = int(os.environ.get("DUCK_QUERY_TIMEOUT", "3600"))
     results = sorted(d for d in os.listdir(out_dir)
                      if os.path.isdir(os.path.join(out_dir, d)))
-    report, n_fail = {}, 0
+    report, n_fail = seed_report(out_json, merge), 0
     for name in results:
         shutil.rmtree(os.path.join("target", "duck_tmp"),
                       ignore_errors=True)  # per-query temp budget
@@ -226,17 +239,19 @@ def main_isolated(sf_dir, out_dir, out_json):
             n_fail += 1
             print(f"FAIL {name}: {entry['err']}", flush=True)
         with open(out_json, "w") as f:   # checkpoint after every query
-            json.dump(report, f, indent=2)
+            json.dump(dict(sorted(report.items())), f, indent=2)
     print(f"\n{len(report) - n_fail} pass, {n_fail} fail, "
           f"{len(report)} total -> {out_json}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 4 and sys.argv[4] == "--isolate":
-        sys.exit(main_isolated(sys.argv[1], sys.argv[2], sys.argv[3]))
-    elif len(sys.argv) > 5 and sys.argv[4] == "--one":
+    merge = "--merge" in sys.argv[4:]
+    if len(sys.argv) > 4 and sys.argv[4] == "--one":
         sys.exit(main_one(sys.argv[1], sys.argv[2], sys.argv[3],
                           sys.argv[5]))
+    elif "--isolate" in sys.argv[4:]:
+        sys.exit(main_isolated(sys.argv[1], sys.argv[2], sys.argv[3],
+                               merge))
     else:
-        sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
+        sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], merge))

@@ -25,6 +25,13 @@
 #  - q_sim_semdedup (exact baseline): its own n^1.5 contract makes the
 #    255 s Spark side + sqrt(n)-centroid SQL replay a poor use of the
 #    gate; the LSH twin (included) is the scale path.
+#  - the five exact graph recall baselines (q_graph_pagerank /
+#    _label_prop / _triangles / _clustering_coeff / _kcore): the exact
+#    all-pairs kNN build is 4e10 pairs at 200k vectors — replayable in
+#    no engine. Round 15 closes the gap the containment way: their
+#    _sampled twins (INCLUDED below) run the identical exact chains
+#    over a deterministic 1/13 hash-sampled node slice whose (n/13)^2
+#    pair join IS replayable (~2.4e8 pairs, DuckDB minutes/query).
 set -u
 cd /root/repo
 # Scale-scoped TMP (round 14): the r13 red row came from this script's
@@ -35,7 +42,7 @@ cd /root/repo
 # belt-and-braces env keeps EVERY tmp artifact of a sweep out of the
 # default tree.
 export GRAFT_TMP_DIR=/root/repo/target/tmp_sf10
-QUERIES="q_profile_mg_served,q_profile_heavy_hitters_exact,q_profile_heavy_hitters_weighted,q_profile_cm_catalog,q_profile_pctl_catalog,q_profile_kmv_setops_lake,q_text_contamination_salted,q_text_contamination_salted_bloom,q_text_source_overlap_salted,q_sim_containment_indexed_sampled,q_profile_kmv_catalog,q_agg_percentiles_hist,q_corpus_clean,q_sim_containment_lake,q_sim_lsh_incremental_lake_probe,q_graph_clustering_coeff_lsh,q_graph_kcore_lsh,q_graph_label_prop_lsh,q_graph_pagerank_lsh,q_graph_triangles_lsh,q_lake_dpp_join,q_sim_ann_ivf,q_sim_ann_ivf_incremental,q_sim_ann_ivf_lake,q_sim_ann_ivfpq,q_sim_ann_ivfpq_incremental,q_sim_ann_pq,q_sim_dup_clusters,q_sim_embedding_neardup,q_sim_lsh_neardup,q_sim_lsh_incremental_lake,q_sim_semdedup_lsh,q_sim_sorted_neighborhood,q_split_cluster_safe,q_text_bm25_incremental,q_text_bm25_lake,q_text_bm25_topk,q_text_quality_prune,q_text_quality_prune_approx,q_text_rrf_fusion,q_text_rrf_fusion_ann,q_text_span_dedup,q_u2_dedup_keep_first,q_u2_dedup_keep_first_agg,q_w3_ffill_distributed,q_ev_sessionize,q_join_star_revenue,q_profile_approx_distinct,q_profile_kmv_setops,q_sim_cosine_topk,q_sim_exact_dedup,q_text_tfidf_terms"
+QUERIES="q_graph_pagerank_sampled,q_graph_label_prop_sampled,q_graph_triangles_sampled,q_graph_clustering_coeff_sampled,q_graph_kcore_sampled,q_profile_mg_served,q_profile_heavy_hitters_exact,q_profile_heavy_hitters_weighted,q_profile_cm_catalog,q_profile_pctl_catalog,q_profile_kmv_setops_lake,q_text_contamination_salted,q_text_contamination_salted_bloom,q_text_source_overlap_salted,q_sim_containment_indexed_sampled,q_profile_kmv_catalog,q_agg_percentiles_hist,q_corpus_clean,q_sim_containment_lake,q_sim_lsh_incremental_lake_probe,q_graph_clustering_coeff_lsh,q_graph_kcore_lsh,q_graph_label_prop_lsh,q_graph_pagerank_lsh,q_graph_triangles_lsh,q_lake_dpp_join,q_sim_ann_ivf,q_sim_ann_ivf_incremental,q_sim_ann_ivf_lake,q_sim_ann_ivfpq,q_sim_ann_ivfpq_incremental,q_sim_ann_pq,q_sim_dup_clusters,q_sim_embedding_neardup,q_sim_lsh_neardup,q_sim_lsh_incremental_lake,q_sim_semdedup_lsh,q_sim_sorted_neighborhood,q_split_cluster_safe,q_text_bm25_incremental,q_text_bm25_lake,q_text_bm25_topk,q_text_quality_prune,q_text_quality_prune_approx,q_text_rrf_fusion,q_text_rrf_fusion_ann,q_text_span_dedup,q_u2_dedup_keep_first,q_u2_dedup_keep_first_agg,q_w3_ffill_distributed,q_ev_sessionize,q_join_star_revenue,q_profile_approx_distinct,q_profile_kmv_setops,q_sim_cosine_topk,q_sim_exact_dedup,q_text_tfidf_terms"
 # Skip the (expensive) Spark leg when the dump already covers every
 # query in $QUERIES — set SF10_FORCE_VERIFY=1 to force a re-dump.
 need_verify=0
@@ -52,7 +59,7 @@ fi
 # process-global — the r12 run proved one OOM oracle poisons every
 # later oracle in the same process (13 red rows from 1-2 real OOMs).
 python3 tools/check_sf1.py /root/repo/target/sf10 target/verify_sf10 \
-  CORRECTNESS_SF10.json --isolate 2>&1 | tee /tmp/check_sf10.log
+  CORRECTNESS_SF10.json --isolate --merge 2>&1 | tee /tmp/check_sf10.log
 
 # Round 13: the WHOLE §2-parity family also verifies at sf10 (55/55
 # green, merged into CORRECTNESS_SF10.json). One named exclusion:

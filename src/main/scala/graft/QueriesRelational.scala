@@ -116,6 +116,47 @@ object QueriesRelational {
       }
     }
 
+  /** Once-per-(JVM, dataset, process) build of q_profile_mg_served's
+    * two heavy-hitter sketch lakes (≤ k-row Misra–Gries summaries +
+    * d×w count-min grids, 4 deterministic micro-batches keyed by
+    * `pmod(l_orderkey, 4)`) — the [[buildKmvSourceLake]] convention:
+    * at 100 TB the stream writes the lake ONCE; re-ingesting the whole
+    * corpus per probe would be the anti-pattern the serve face exists
+    * to avoid. Process-scoped (QueriesSources.procScoped) so two
+    * harness JVMs can't race each other's builds; memo trusted only
+    * when the LAST batch's _SUCCESS is on disk in BOTH lakes (the r14
+    * advice rule), and a partial history is wiped before rebuilding
+    * because the writers' lineage guard correctly refuses a batch-0
+    * restart over existing batches.
+    */
+  private val mgServedBuilt = scala.collection.mutable.Set.empty[String]
+  private def buildMgServedLakes(s: org.apache.spark.sql.SparkSession,
+                                 d: String,
+                                 keys: org.apache.spark.sql.DataFrame,
+                                 k: Int, depth: Int, width: Int)
+      : (String, String) =
+    this.synchronized {
+      import graft.streaming.EventStreams
+      val base = QueriesSources.procScoped("mg_served_lakes", d)
+      val (mgDir, cmDir) = (s"$base/mg", s"$base/cm")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def done = Seq(mgDir, cmDir).forall(dir => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/batch=3/_SUCCESS")))
+      if (!mgServedBuilt.contains(d) || !done) {
+        fs.delete(basePath, true)
+        (0 until 4).foreach { b =>
+          val batch = keys.filter(col("__b") === b).select(col("key"))
+          EventStreams.mgIngestBatch(batch, b.toLong, "key", k, mgDir)
+          EventStreams.sketchIngestBatch(batch, b.toLong, "key",
+            depth, width, cmDir)
+        }
+        require(done, s"mg_served lake build left no final _SUCCESS: $base")
+        mgServedBuilt += d
+      }
+      (mgDir, cmDir)
+    }
+
   /** Shared by q_agg_percentiles and q_agg_percentiles_hist — the two
     * plans must stay answer-identical, so they share ONE oracle.
     */
@@ -618,6 +659,10 @@ object QueriesRelational {
     // ≤ k-row Misra–Gries summaries; sketchIngestBatch → d×w count-min
     // grids), then servedHeavyHitters answers "which keys exceed
     // n/(k+1)" purely from the two stored lakes — no corpus rescan.
+    // The lakes are built once per (JVM, dataset, process) — the
+    // buildKmvSourceLake convention: at 100 TB the stream writes the
+    // lake ONCE and every later probe serves from stored artifacts,
+    // so warm runs here measure the serve, not a rebuild.
     // What is deterministic (and therefore hashed): the truth set
     // (exact GROUP BY/HAVING), n, and cm_estimate — per-batch CM grids
     // are exact cell counts and merge-on-read is cell-wise addition,
@@ -642,20 +687,8 @@ object QueriesRelational {
             .otherwise(col("l_partkey").cast("string")).as("key"),
           pmod(col("l_orderkey"), lit(4)).cast("int").as("__b"))
           .cache()
-        // fresh per-run lake root: the batch-keyed writers' lineage
-        // guard (requireFreshOrSameLineage) correctly refuses to let a
-        // restarted batch 0 clobber an existing multi-batch history,
-        // so each replay gets its own dirs (tiny: ≤ k rows + d×w cells
-        // per batch)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_mg_served").toString
-        val (mgDir, cmDir) = (s"$base/mg", s"$base/cm")
-        (0 until 4).foreach { b =>
-          val batch = keys.filter(col("__b") === b).select(col("key"))
-          EventStreams.mgIngestBatch(batch, b.toLong, "key", k, mgDir)
-          EventStreams.sketchIngestBatch(batch, b.toLong, "key",
-            depth, width, cmDir)
-        }
+        val (mgDir, cmDir) = buildMgServedLakes(s, d, keys, k,
+          depth, width)
         val served = EventStreams.servedHeavyHitters(
           s, mgDir, cmDir, k, depth, width)
         val tot = keys.agg(count(lit(1)).as("total_n"))

@@ -387,7 +387,16 @@ object QueriesSimilarity {
   private def exactKnnEdges(s: org.apache.spark.sql.SparkSession,
                             d: String, sampled: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    val base0 = Tables.embeddings(s, d)
+    // embeddingsSpread (full path only): the quadratic crossJoin
+    // inherits the left side's partitioning, so an unspread
+    // single-file scan ran the whole n² cosine pass in ONE task
+    // (measured: q_graph_kcore 5.54 -> 1.84 s at sf0.1, and the kNN
+    // build was a 12.5 s single-task stage in q_graph_pagerank). The
+    // sampled path keeps the plain scan: its 1/13-slice build is tiny
+    // at sf0.1 and the spread's exchange + task fan-out REGRESSED all
+    // five _sampled faces ~1.3-1.6x (OPTIMIZATION_r15.md).
+    val base0 =
+      if (sampled) Tables.embeddings(s, d) else Tables.embeddingsSpread(s, d)
     val base = if (sampled) graphSample(base0) else base0
     val e = base.withColumn("nrm", Similarity.norm(col("embedding")))
     val a = e.select(col("vec_id").as("src"),
@@ -780,8 +789,11 @@ object QueriesSimilarity {
     // ---------------------------------------------------- MinHash signature
     Q("q_sim_minhash_signature",
       (s, d) => {
+        // documentsSpread: the char-5 shingle explode + md5 is the whole
+        // query and the minhash groupBy(doc_id) reuses the spread's
+        // partitioning (measured 2.18 -> 1.20 s, OPTIMIZATION_r15.md)
         val hs = Similarity.hashedShingles(
-          Similarity.charShingles(Tables.documents(s, d),
+          Similarity.charShingles(Tables.documentsSpread(s, d),
             "doc_id", "text", 5), "doc_id")
         Similarity.minhashFromHashes(hs, "doc_id", K).orderBy(col("doc_id"))
       },
@@ -2180,7 +2192,9 @@ object QueriesSimilarity {
     // set-Jaccard for the candidates only.
     Q("q_sim_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // documentsSpread: parallelizes the md5-digest dedup window's
+        // map side and the tokenize leg (measured 5.36 -> 4.17 s)
+        val docs = Tables.documentsSpread(s, d)
         val uniq = Dedup.exactByContent(docs, "text", "doc_id")
         val toked = uniq.select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
@@ -2601,7 +2615,10 @@ object QueriesSimilarity {
     // ratio — bit-identical across engines, no stabilization.
     Q("q_sim_setjoin_prefix",
       (s, d) => {
-        val toked = Tables.documents(s, d).select(col("doc_id"),
+        // documentsSpread: tokenize + 3-gram explode + md5 parallelize
+        // and the jaccardSelfJoin's first distinct reuses the spread's
+        // doc_id partitioning (measured 3.98 -> 2.12 s)
+        val toked = Tables.documentsSpread(s, d).select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
         // 8-byte digests up front: prefix ranking, candidate join AND
         // verify all shuffle longs, never shingle strings (the oracle

@@ -916,7 +916,10 @@ object QueriesText {
     // boundaries are pinned token-exactly, not just counted.
     Q("q_text_span_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"),
+        // documentsSpread: tokenize + 8-gram window fingerprints were
+        // scan-bound on one task (measured 3.69 -> 2.66 s); the
+        // per-doc windows reuse the spread's doc_id partitioning
+        val docs = Tables.documentsSpread(s, d).select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
         graft.operators.SpanDedup
           .dedupFingerprints(docs, "doc_id", "toks", 8)
@@ -966,7 +969,9 @@ object QueriesText {
     // an exact int/int ratio, so no stabilizer.
     Q("q_text_span_dup_by_source",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"),
+        // documentsSpread: same scan-bound coverage pass as
+        // q_text_span_dedup (measured 3.71 -> 2.27 s)
+        val docs = Tables.documentsSpread(s, d).select(col("doc_id"),
           col("source"), TextFns.tokens(col("text")).as("toks"))
         graft.operators.SpanDedup
           .coverage(docs.select(col("doc_id"), col("toks")),
@@ -1869,7 +1874,12 @@ object QueriesText {
     // training AND encoding with the same list_reduce fold.
     Q("q_text_bpe_encode",
       (s, d) => {
-        val docsT = Tables.documents(s, d).select(col("doc_id"),
+        // documentsSpread: the encode fold (3 nested greedy merges per
+        // doc) is map-only and was serialized by the single-file scan
+        // (measured 5.46 -> 1.88 s; q_text_bpe_merges deliberately
+        // stays unspread — its 3 tiny training rounds REGRESSED 0.47
+        // -> 1.19 s under the same spread, see OPTIMIZATION_r15.md)
+        val docsT = Tables.documentsSpread(s, d).select(col("doc_id"),
           TextFns.tokens(col("text")).as("toks"))
         val rules = graft.operators.Bpe.trainMerges(
             docsT.select(col("toks")), "toks", iters = 3)

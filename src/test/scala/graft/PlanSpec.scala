@@ -110,7 +110,13 @@ class PlanSpec extends AnyFunSuite {
     val budgets = Map( // name -> (maxExchanges, maxFileScans)
       "q_sim_embedding_neardup" -> (5, 5),
       "q_corpus_clean"          -> (95, 42),
-      "q_sim_ngram_jaccard"     -> (115, 40),
+      // 115 -> 135 in the r15 optimization round: the documentsSpread
+      // scan fan-out adds ONE real exchange below the dedup window
+      // (narrow text rows, before the ngram explode) which the cached
+      // shingle lineage re-PRINTS once per consumer — the executed
+      // plan gains exactly one (PlanDump: distinctExchanges before/
+      // after in plans/r15/), the print count gains ~15.
+      "q_sim_ngram_jaccard"     -> (135, 40),
       "q_sim_lsh_neardup"       -> (90, 40),
       "q_sim_ann_quantized"     -> (8, 5),
       "q_sim_ann_ivf"           -> (35, 13),
@@ -267,7 +273,11 @@ class PlanSpec extends AnyFunSuite {
       // snapshot). The graph triangle/clustering twins stay waived —
       // their counts track InMemoryRelation printing, not work.
       "q_eval_bootstrap_ci"       -> (10, 5),
-      "q_text_bpe_encode"         -> (3, 3),
+      // 3 -> 5 in the r15 optimization round: documentsSpread adds ONE
+      // real exchange (narrow text rows before the encode fold) that
+      // bought the map-only encode 32x scan parallelism (5.46 -> 1.88 s
+      // at sf0.1; plans/r15/q_text_bpe_encode_{before,after}.txt)
+      "q_text_bpe_encode"         -> (5, 3),
       "q_sim_minhash_estimate"    -> (90, 45),
       "q_text_bm25_lake"          -> (18, 10),
       "q_text_bm25_incremental"   -> (65, 18),
@@ -334,7 +344,8 @@ class PlanSpec extends AnyFunSuite {
       "q_feat_target_encoding"    -> (13, 8),
       "q_feat_woe_iv"             -> (29, 7),
       "q_gpx_track_stats"         -> (5, 3),
-      "q_text_bpe_encode"         -> (3, 3),
+      "q_text_bpe_encode"         -> (5, 3), // r15: documentsSpread, see above
+
       "q_ab_diff_in_diff"         -> (5, 3),
       "q_ab_mde"                  -> (5, 3),
       "q_ev_growth_wow"           -> (8, 3))
